@@ -1,0 +1,169 @@
+"""Image payload codecs and perceptual hashing (pure numpy + stdlib).
+
+The graft input table carries real encoded image bytes
+(BASELINE.json input_hint: bytes BINARY, fmt STRING).  PIL/libjpeg are
+not available in this environment, so:
+
+* ``png``  — a real, spec-conformant PNG encoder/decoder implemented on
+  ``zlib`` + ``struct`` (8-bit RGB, filter 0).  Lossless: decode is
+  bit-exact.
+* ``qjpg`` — a DETERMINISTIC LOSSY STAND-IN for JPEG: channel
+  quantization to step 4 wrapped around the PNG container with a QJPG
+  magic.  It is NOT JPEG; it exists so the lossy path (PSNR >= 40 dB
+  allclose instead of bit-equality) is exercised end-to-end with the
+  same schema, UDF signatures and batch shapes a real JPEG decode
+  would use.  Swap ``decode``/``encode`` for PIL/libjpeg on a real
+  cluster; nothing else changes.
+
+Perceptual hash: 64-bit dHash (horizontal gradient sign over an 8x9
+mean-pooled grayscale), returned as signed int64 to fit the table's
+``phash BIGINT`` column.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QJPG_MAGIC = b"QJPG"
+_QUANT_STEP = 4  # uniform error in [-2, 2] → PSNR ≈ 47 dB
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """8-bit RGB (h, w, 3) uint8 → PNG bytes (filter 0 rows)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8 RGB array")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8.  Handles what png_encode emits
+    (8-bit RGB, filter 0) and rejects anything else loudly."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            if bit_depth != 8 or color_type != 2:
+                raise NotImplementedError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    rows = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
+    if (rows[:, 0] != 0).any():
+        raise NotImplementedError("only filter 0 supported")
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+def qjpg_encode(pixels: np.ndarray) -> bytes:
+    """Deterministic lossy stand-in: quantize then PNG-pack."""
+    q = ((pixels.astype(np.int32) + _QUANT_STEP // 2) // _QUANT_STEP * _QUANT_STEP)
+    return QJPG_MAGIC + png_encode(np.clip(q, 0, 255).astype(np.uint8))
+
+
+def qjpg_decode(data: bytes) -> np.ndarray:
+    if data[:4] != QJPG_MAGIC:
+        raise ValueError("not a QJPG payload")
+    return png_decode(data[4:])
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt in ("qjpg", "jpeg"):  # "jpeg" slot uses the stand-in codec here
+        return qjpg_encode(pixels)
+    raise NotImplementedError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt in ("qjpg", "jpeg"):
+        return qjpg_decode(data)
+    raise NotImplementedError(f"unknown fmt {fmt!r}")
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt == "png"
+
+
+def gen_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB test pattern: smooth gradient + seeded noise."""
+    rng = np.random.default_rng(np.uint64(seed))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = np.stack(
+        [
+            127 + 100 * np.sin(xx / max(w, 1) * 3.1 + (seed % 7)),
+            127 + 100 * np.cos(yy / max(h, 1) * 2.7 + (seed % 5)),
+            (xx + yy) * 255.0 / max(w + h, 1),
+        ],
+        axis=-1,
+    )
+    noise = rng.integers(-12, 13, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def _mean_pool(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style resize by mean over index bins (deterministic)."""
+    h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    out = np.empty((out_h, out_w), np.float64)
+    for i in range(out_h):
+        band = gray[ys[i] : max(ys[i + 1], ys[i] + 1)]
+        for j in range(out_w):
+            out[i, j] = band[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit dHash as signed int64 (fits phash BIGINT)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _mean_pool(gray, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical arrays."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
