@@ -46,6 +46,13 @@ class WebConfig:
     fail_429_mod: int = 41          # 429 on attempt 0
     dead_mod: int = 0               # permanent 500 when > 0
     noheader_mod: int = 0           # header-less 200 list page when > 0
+    # The reference couples a detail-fetch failure to the PAGE retry
+    # counter (an exception aborts parse_list_offers_page mid-loop,
+    # cianparser/cianparser.py:81-87), so cards after a failing detail
+    # can be silently dropped; the engine retries each detail
+    # independently (documented deviation).  Bit-match tests set this
+    # False so both worlds see fault-free detail pages.
+    faults_on_details: bool = True
 
 
 DEFAULT_CONFIG = WebConfig()
@@ -495,6 +502,8 @@ def is_list_url(url: str) -> bool:
 
 
 def status_for(url: str, attempt: int, cfg: WebConfig = DEFAULT_CONFIG) -> int:
+    if not cfg.faults_on_details and not is_list_url(url):
+        return 200
     h = stable_hash(f"status|{url}")
     if cfg.dead_mod and h % cfg.dead_mod == 3:
         return 500

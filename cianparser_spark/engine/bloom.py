@@ -1,0 +1,180 @@
+"""Partitioned Bloom filter for the URL-seen set (cuckoo fallback).
+
+North-rule component: at 10^10-URL scale the exact ``seen`` table
+can't be anti-joined against every wave's full candidate set cheaply,
+so candidates are pre-filtered through per-bucket Bloom filters built
+from the seen keys.  Semantics are SAFETY-PRESERVING by construction:
+
+* Bloom says "definitely unseen"  -> candidate bypasses the exact join
+  and is accepted (no false drops possible);
+* Bloom says "maybe seen"         -> candidate goes through the exact
+  ``left_anti`` join (false positives only cost a join probe).
+
+Buckets are ``hash(key) % n_buckets`` so each filter is built from one
+partition of the seen table (``applyInPandas``-shaped aggregation) and
+the in-memory blob stays small enough to broadcast.
+
+Hashes come from ``pandas.util.hash_array`` (stable, vectorized,
+process-independent) with two different hash keys, combined by double
+hashing h1 + i*h2.
+
+``CuckooBucket`` is the deletable variant (re-crawl invalidation): a
+cuckoo filter's fingerprint slots support deletion, which Bloom cannot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_HASH_KEY_1 = "0123456789abcdef"
+_HASH_KEY_2 = "fedcba9876543210"
+
+
+def _h2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(keys, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_HASH_KEY_1)
+    h2 = pd.util.hash_array(arr, hash_key=_HASH_KEY_2) | 1  # odd => full cycle
+    return h1, h2
+
+
+class BloomFilter:
+    """Bit-array Bloom filter over string keys, numpy-vectorized."""
+
+    def __init__(self, n_bits: int, n_hashes: int = 7, bits: np.ndarray | None = None):
+        self.n_bits = int(n_bits)
+        self.n_hashes = n_hashes
+        self.bits = bits if bits is not None else np.zeros((self.n_bits + 7) // 8, np.uint8)
+
+    @classmethod
+    def build(cls, keys, bits_per_key: int = 12, n_hashes: int = 7) -> "BloomFilter":
+        keys = list(keys)
+        bf = cls(max(1024, bits_per_key * max(len(keys), 1)), n_hashes)
+        if keys:
+            bf.add(np.asarray(keys, dtype=object))
+        return bf
+
+    def add(self, keys: np.ndarray) -> None:
+        h1, h2 = _h2(keys)
+        for i in range(self.n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+            np.bitwise_or.at(self.bits, (idx // 8).astype(np.int64),
+                             (1 << (idx % 8)).astype(np.uint8))
+
+    def contains(self, keys) -> np.ndarray:
+        """Vectorized membership probe -> bool array ('maybe seen')."""
+        keys = np.asarray(keys, dtype=object)
+        if keys.size == 0:
+            return np.zeros(0, bool)
+        h1, h2 = _h2(keys)
+        out = np.ones(keys.size, bool)
+        for i in range(self.n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+            got = (self.bits[(idx // 8).astype(np.int64)] >> (idx % 8).astype(np.uint8)) & 1
+            out &= got.astype(bool)
+            if not out.any():
+                break
+        return out
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.n_bits, self.n_hashes], np.int64).tobytes()
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomFilter":
+        n_bits, n_hashes = np.frombuffer(blob[:16], np.int64)
+        return cls(int(n_bits), int(n_hashes), np.frombuffer(blob[16:], np.uint8).copy())
+
+
+class PartitionedBloom:
+    """n_buckets Bloom filters keyed by hash(key) % n_buckets."""
+
+    def __init__(self, n_buckets: int, filters: list[BloomFilter]):
+        self.n_buckets = n_buckets
+        self.filters = filters
+
+    @classmethod
+    def build(cls, keys, n_buckets: int = 16, bits_per_key: int = 12) -> "PartitionedBloom":
+        keys = np.asarray(list(keys), dtype=object)
+        if keys.size:
+            bucket = pd.util.hash_array(keys, hash_key=_HASH_KEY_1) % np.uint64(n_buckets)
+            groups = [keys[bucket == b] for b in range(n_buckets)]
+        else:
+            groups = [keys] * n_buckets
+        return cls(n_buckets, [BloomFilter.build(g, bits_per_key) for g in groups])
+
+    def contains(self, keys) -> np.ndarray:
+        keys = np.asarray(list(keys), dtype=object)
+        if keys.size == 0:
+            return np.zeros(0, bool)
+        bucket = pd.util.hash_array(keys, hash_key=_HASH_KEY_1) % np.uint64(self.n_buckets)
+        out = np.zeros(keys.size, bool)
+        for b in range(self.n_buckets):
+            mask = bucket == b
+            if mask.any():
+                out[mask] = self.filters[b].contains(keys[mask])
+        return out
+
+    def to_blobs(self) -> list[bytes]:
+        return [f.to_bytes() for f in self.filters]
+
+    @classmethod
+    def from_blobs(cls, blobs: list[bytes]) -> "PartitionedBloom":
+        return cls(len(blobs), [BloomFilter.from_bytes(b) for b in blobs])
+
+
+class CuckooBucket:
+    """Minimal cuckoo filter (deletable seen-set variant).
+
+    2 candidate buckets x 4 slots, 16-bit fingerprints.  Used where the
+    crawl needs invalidation (re-crawl of changed pages) — Bloom cannot
+    delete.  Kept simple: python-loop insert (the deletable path is a
+    cold path), vectorized lookup is unnecessary there.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 200
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = max(8, n_buckets)
+        self.table = np.zeros((self.n_buckets, self.SLOTS), np.uint16)
+
+    def _fp_and_idx(self, key: str) -> tuple[int, int, int]:
+        h1, h2 = _h2(np.asarray([key], dtype=object))
+        fp = int(h2[0] & np.uint64(0xFFFF)) or 1
+        i1 = int(h1[0] % np.uint64(self.n_buckets))
+        i2 = (i1 ^ (fp * 0x5BD1)) % self.n_buckets
+        return fp, i1, i2
+
+    def add(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_idx(key)
+        for i in (i1, i2):
+            empty = np.where(self.table[i] == 0)[0]
+            if empty.size:
+                self.table[i, empty[0]] = fp
+                return True
+        # displace
+        rng = np.random.default_rng(fp)
+        i = i1
+        for _ in range(self.MAX_KICKS):
+            slot = int(rng.integers(0, self.SLOTS))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = (i ^ (fp * 0x5BD1)) % self.n_buckets
+            empty = np.where(self.table[i] == 0)[0]
+            if empty.size:
+                self.table[i, empty[0]] = fp
+                return True
+        return False  # table overfull
+
+    def contains(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_idx(key)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def remove(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_idx(key)
+        for i in (i1, i2):
+            hit = np.where(self.table[i] == fp)[0]
+            if hit.size:
+                self.table[i, hit[0]] = 0
+                return True
+        return False

@@ -1,0 +1,114 @@
+"""WaveStore — snapshot-committed parquet tables (Iceberg-style ACID).
+
+The north rule requires Iceberg tables with snapshot-isolated resume;
+the Iceberg Spark runtime jar is not available in this sandbox (no
+network), so this module provides the same *semantics* on plain
+parquet: every wave commits atomically via a manifest-file rename, a
+reader only ever sees fully committed waves, and a killed job resumes
+from the last committed snapshot with an identical table state.  On a
+real cluster each call maps 1:1 onto Iceberg:
+
+    commit_wave(appends)   -> df.writeTo(tbl).append() in one txn
+    commit_wave(replaces)  -> df.writeTo(tbl).overwritePartitions()
+    read(tbl)              -> spark.table(tbl)
+    last_wave()            -> snapshot summary property
+
+Layout:
+    root/
+      data/<table>/w<wave>-<nonce>/part-*.parquet   (append tables)
+      data/<table>/w<wave>-<nonce>/...              (replace tables: latest dir only)
+      snapshots/v<N>.json    — cumulative manifest {table: [dirs]}
+      snapshots/CURRENT      — atomic pointer (os.replace) to v<N>.json
+
+Data directories not referenced by CURRENT's manifest are invisible —
+that is exactly snapshot isolation for a mid-wave crash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class WaveStore:
+    def __init__(self, spark: SparkSession, root: str, schemas: dict[str, T.StructType],
+                 replace_tables: frozenset[str] = frozenset()):
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas
+        self.replace_tables = replace_tables
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ----------------------------------------------------------- snapshot io
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "snapshots", "CURRENT")
+
+    def _load_snapshot(self) -> dict:
+        cur = self._current_path()
+        if not os.path.exists(cur):
+            return {"version": 0, "wave": -1, "tables": {}}
+        with open(cur) as fh:
+            pointer = fh.read().strip()
+        with open(os.path.join(self.root, "snapshots", pointer)) as fh:
+            return json.load(fh)
+
+    def last_wave(self) -> int:
+        return self._load_snapshot()["wave"]
+
+    # --------------------------------------------------------------- commit
+
+    def commit_wave(self, wave: int, appends: dict[str, DataFrame] | None = None,
+                    replaces: dict[str, DataFrame] | None = None) -> None:
+        """Write all tables' data, then publish ONE manifest atomically."""
+        snap = self._load_snapshot()
+        tables = {k: list(v) for k, v in snap["tables"].items()}
+
+        for name, df in (appends or {}).items():
+            rel = self._write(name, df, wave)
+            if rel is not None:
+                tables.setdefault(name, []).append(rel)
+        for name, df in (replaces or {}).items():
+            rel = self._write(name, df, wave)
+            tables[name] = [rel] if rel is not None else []
+
+        version = snap["version"] + 1
+        manifest = {"version": version, "wave": wave, "tables": tables}
+        fname = f"v{version}.json"
+        path = os.path.join(self.root, "snapshots", fname)
+        with open(path, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(fname)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._current_path())  # the atomic commit point
+
+    def _write(self, name: str, df: DataFrame, wave: int) -> str | None:
+        if df is None:
+            return None
+        rel = os.path.join("data", name, f"w{wave:05d}-{uuid.uuid4().hex[:8]}")
+        # wave appends are small relative to cluster width; cap file count
+        df.coalesce(max(1, min(df.rdd.getNumPartitions(), 8))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.root, rel))
+        return rel
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, name: str) -> DataFrame:
+        snap = self._load_snapshot()
+        dirs = snap["tables"].get(name, [])
+        schema = self.schemas[name]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, d) for d in dirs]
+        return self.spark.read.schema(schema).parquet(*paths)
