@@ -1,0 +1,56 @@
+"""Bloom/cuckoo seen-set: zero false negatives (property), low FP."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cianparser_spark.engine.bloom import BloomFilter, CuckooBucket, PartitionedBloom
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_bloom_never_false_negative(keys):
+    bf = BloomFilter.build(keys)
+    assert bf.contains(np.asarray(keys, dtype=object)).all()
+
+
+def test_bloom_fp_rate_bounded():
+    keys = [f"k{i}" for i in range(20000)]
+    bf = BloomFilter.build(keys, bits_per_key=12)
+    other = np.asarray([f"x{i}" for i in range(20000)], dtype=object)
+    assert bf.contains(other).mean() < 0.01
+
+
+def test_bloom_serialization_roundtrip():
+    bf = BloomFilter.build(["a", "b", "c"])
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.contains(np.asarray(["a", "b", "c"], dtype=object)).all()
+
+
+def test_partitioned_bloom():
+    keys = [f"url/{i}" for i in range(5000)]
+    pb = PartitionedBloom.build(keys, n_buckets=8)
+    assert pb.contains(keys).all()
+    pb2 = PartitionedBloom.from_blobs(pb.to_blobs())
+    assert pb2.contains(keys).all()
+
+
+def test_bloom_incremental_or_merge():
+    # fixed-size filters OR-merge associatively (the store's update path)
+    a = BloomFilter(1 << 12)
+    b = BloomFilter(1 << 12)
+    a.add(np.asarray(["one", "two"], dtype=object))
+    b.add(np.asarray(["three"], dtype=object))
+    a.bits |= b.bits
+    assert a.contains(np.asarray(["one", "two", "three"], dtype=object)).all()
+
+
+def test_cuckoo_supports_delete():
+    ck = CuckooBucket(2048)
+    keys = [f"u{i}" for i in range(1000)]
+    for k in keys:
+        assert ck.add(k)
+    assert all(ck.contains(k) for k in keys)
+    assert ck.remove("u7")
+    assert not ck.contains("u7")
+    assert ck.contains("u8")

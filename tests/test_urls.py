@@ -1,0 +1,99 @@
+"""URL compiler golden tests (reference grammar equality)."""
+
+import pytest
+
+from cianparser_spark.semantics import urls
+
+
+def test_golden_url_from_reference_readme():
+    # exact string the reference prints for get_flats(deal_type="sale",
+    # rooms=(1,2)) in Москва (reference: README.md:27)
+    tpl = urls.build_list_url_template("1", "sale", "flat", rooms=(1, 2))
+    assert (
+        urls.format_page_url(tpl, 1)
+        == "https://cian.ru/cat.php?engine_version=2&p=1&with_neighbors=0"
+        "&region=1&deal_type=sale&offer_type=flat&room1=1&room2=1"
+    )
+
+
+def test_rooms_variants():
+    assert urls.rooms_params(1) == "&room1=1"
+    assert urls.rooms_params("studio") == "&room9=1"
+    assert urls.rooms_params("all") == ""
+    assert urls.rooms_params((1, 3, "studio")) == "&room1=1&room3=1&room9=1"
+    # invalid values silently dropped (reference: url_builder.py:28-47)
+    assert urls.rooms_params((0, 6, "penthouse")) == ""
+    assert urls.rooms_params(7) == ""
+
+
+def test_deal_type_rewrite():
+    assert urls.rewrite_deal_type("rent_long") == ("rent", 4)
+    assert urls.rewrite_deal_type("rent_short") == ("rent", 2)
+    assert urls.rewrite_deal_type("sale") == ("sale", None)
+
+
+def test_rent_url_includes_period_type():
+    tpl = urls.build_list_url_template("1", "rent", "flat", rooms=2, rent_period_type=4)
+    assert "&deal_type=rent" in tpl and "&type=4" in tpl and "&room2=1" in tpl
+
+
+def test_suburban_and_newobject_paths():
+    sub = urls.build_list_url_template("4777", "sale", "suburban", suburban_type="townhouse")
+    assert "/cat.php?" in sub and "&object_type%5B0%5D=4" in sub
+    new = urls.build_list_url_template("1", "sale", "newobject")
+    assert new.startswith("https://cian.ru/newobjects/list/?engine_version=2&p={}")
+
+
+def test_additional_settings_order_and_formats():
+    tpl = urls.build_list_url_template(
+        "1", "sale", "flat",
+        additional_settings={
+            "max_price": 10_000_000,
+            "min_price": 1_000_000,
+            "is_by_homeowner": True,
+            "min_floor": 2,
+            "sort_by": "price_from_min_to_max",
+            "metro": "Московский",
+            "metro_station": "Бауманская",
+        },
+    )
+    # serialization order is fixed by the grammar regardless of dict order
+    # (reference: url_builder.py:55-120)
+    tail = tpl.split("&offer_type=flat")[1]
+    assert tail == (
+        "&is_by_homeowner=1&minprice=1000000&maxprice=10000000&minfloor=2"
+        "&metro%5B0%5D=13&sort=price_object_order"
+    )
+
+
+def test_deal_url_id_quirks():
+    # (reference: cianparser/helpers.py:27-34)
+    assert urls.deal_url_id("https://cian.ru/sale/flat/123456789/") == "123456789"
+    assert urls.deal_url_id("https://cian.ru/sale/flat/123456789") == "123456789"
+    assert urls.deal_url_id("a/b") == "-1"
+    assert urls.deal_url_id("ab/c/") == "-1"
+    # trailing slash → last segment "" → falls back to penultimate
+    assert urls.deal_url_id("x/pen_ultimate/") == "pen_ultimate"
+
+
+def test_unknown_location_raises():
+    # deliberate fix of the reference's never-raised ValueError
+    # (reference: cianparser/cianparser.py:184-186)
+    from cianparser_spark.dims import location_id
+
+    with pytest.raises(ValueError):
+        location_id("Нарния")
+    assert location_id("Москва") == "1"
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        urls.validate_flats_args("buy", 1)
+    with pytest.raises(ValueError):
+        urls.validate_flats_args("sale", 6)
+    with pytest.raises(ValueError):
+        urls.validate_flats_args("sale", (1, "loft"))
+    urls.validate_flats_args("sale", (1, 5, "studio"))
+    urls.validate_flats_args("rent_long", "all")
+    with pytest.raises(ValueError):
+        urls.validate_suburban_args("castle", "sale")
