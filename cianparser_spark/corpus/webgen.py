@@ -95,29 +95,38 @@ def caption_text(idx: int) -> str:
     return f"{f['rooms_label']}, {meters} м², {f['floor']}/{f['floors_count']} этаж"
 
 
+def image_pixels(i: int, dup_rate_mod: int = 20):
+    """Decoded pixels of image #i.  ~1/dup_rate_mod images duplicate
+    their predecessor's pixels (same phash, new id) to exercise phash
+    dedup; the chain-walk makes this a pure function of i, so
+    partition-parallel generation equals sequential generation."""
+    j = i
+    while j > 0 and stable_hash(f"imgpx|{j}") % dup_rate_mod == 0:
+        j -= 1
+    h = stable_hash(f"imgpx|{j}")
+    return imaging.gen_pixels(h, (64, 96, 128)[h % 3], (64, 96, 128)[(h >> 4) % 3])
+
+
+def image_row(i: int, dup_rate_mod: int = 20) -> dict:
+    fmt = "png" if i % 2 == 0 else "jpeg"
+    pixels = image_pixels(i, dup_rate_mod)
+    return {
+        "image_id": f"img{i:08d}",
+        "bytes": imaging.encode(pixels, fmt),
+        "w": int(pixels.shape[1]),
+        "h": int(pixels.shape[0]),
+        "fmt": fmt,
+        "caption": caption_text(i),
+        "phash": imaging.phash64(pixels),
+    }
+
+
 def images_rows(n: int, dup_rate_mod: int = 20):
-    """Payload table rows per BASELINE.json input_hint; ~1/dup_rate_mod
-    rows duplicate the previous row's pixels (same phash, new id)."""
-    prev_pixels = None
+    """Payload table rows per BASELINE.json input_hint."""
     for i in range(n):
-        h = stable_hash(f"imgpx|{i}")
-        w = (64, 96, 128)[h % 3]
-        ht = (64, 96, 128)[(h >> 4) % 3]
-        fmt = "png" if i % 2 == 0 else "jpeg"
-        if prev_pixels is not None and h % dup_rate_mod == 0:
-            pixels = prev_pixels
-        else:
-            pixels = imaging.gen_pixels(h, w, ht)
-        prev_pixels = pixels
-        yield {
-            "image_id": f"img{i:08d}",
-            "bytes": imaging.encode(pixels, fmt),
-            "w": int(pixels.shape[1]),
-            "h": int(pixels.shape[0]),
-            "fmt": fmt,
-            "caption": caption_text(i),
-            "phash": imaging.phash64(pixels),
-        }
+        yield image_row(i, dup_rate_mod)
+
+
 
 
 # ------------------------------------------------------------ query model

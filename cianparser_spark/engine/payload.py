@@ -1,0 +1,180 @@
+"""Image + caption payload path (the graft's input_hint table).
+
+Implements over the ``images`` table
+``(image_id, bytes BINARY, w, h, fmt, caption, phash BIGINT)``:
+
+* ``build_images_table``   — materialize the deterministic corpus as parquet
+* ``join_offers_images``   — offers ⋈ images on image_id (J5); broadcasts
+                             the smaller side when wave-local
+* ``decode_verify``        — Arrow-batched decode + PSNR-vs-reference check
+                             (>= 40 dB for lossy fmt, exact for lossless)
+* ``phash_dedup``          — keep-first-by-crawl-order per phash (A8, same
+                             window pattern as the URL dedup A1)
+* ``near_dup_pairs``       — Hamming-near duplicates via banded self-join
+                             (BK-style band buckets, not O(n²))
+* ``normalize_caption``    — vectorized caption normalization (the
+                             pymorphy2 normal_form slot of the reference's
+                             definers, cianparser/definers/definer_cities_id.py:52-54)
+
+All heavy work is vectorized pandas/Arrow; nothing row-at-a-time at the
+Spark API level.  Bytes are kept OUT of shuffles: dedup keys on
+(phash, image_id) first and joins bytes back late (late
+materialization) — see ``phash_dedup``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def build_images_table(spark: SparkSession, path: str, n: int = 2000,
+                       partitions: int = 8) -> DataFrame:
+    """Materialize the deterministic payload corpus.  Generation is
+    distributed: each partition renders its own id range (no driver
+    bottleneck), so the same code scales the corpus out on a cluster."""
+    bounds = spark.range(0, n, 1, partitions).select(F.col("id").cast("long"))
+
+    def gen(iterator):
+        from cianparser_spark.corpus import webgen
+
+        cols = [f.name for f in IMAGES_SCHEMA.fields]
+        for pdf in iterator:
+            rows = [webgen.image_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = bounds.mapInPandas(gen, IMAGES_SCHEMA)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.schema(IMAGES_SCHEMA).parquet(path)
+
+
+def join_offers_images(offers: DataFrame, images: DataFrame,
+                       broadcast_images: bool = False) -> DataFrame:
+    """offers ⋈ images on image_id (SURVEY.md J5).
+
+    Default: shuffle hash join on image_id (both sides big at scale).
+    When the wave's image slice is small (wave-local dim), pass
+    broadcast_images=True to skip the shuffle.
+    """
+    right = F.broadcast(images) if broadcast_images else images
+    return offers.join(right, "image_id", "left")
+
+
+_VERIFY_SCHEMA = "image_id string, ok boolean, psnr double, caption_match boolean"
+
+
+def decode_verify(joined: DataFrame, caption_col: str = "caption") -> DataFrame:
+    """Per-row payload invariant (BASELINE.json input_hint): decoded
+    pixels PSNR >= 40 dB vs the reference render (exact for lossless)
+    and caption string equality.  Arrow-batched; zero per-row Python at
+    the API level."""
+
+    def check(iterator):
+        from cianparser_spark.corpus import imaging, webgen
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                idx = int(r.image_id[3:])
+                try:
+                    px = imaging.decode(bytes(r.bytes), r.fmt)
+                    ref = webgen.image_pixels(idx)  # the source-of-truth render
+                    p = imaging.psnr(ref, px)
+                    ok = (px == ref).all() if imaging.is_lossless(r.fmt) else p >= 40.0
+                except Exception:
+                    p, ok = float("nan"), False
+                cap_ok = getattr(r, caption_col) == webgen.caption_text(idx)
+                out.append({"image_id": r.image_id, "ok": bool(ok),
+                            "psnr": float(p), "caption_match": bool(cap_ok)})
+            yield pd.DataFrame(out, columns=["image_id", "ok", "psnr", "caption_match"])
+
+    cols = ["image_id", "bytes", "fmt", caption_col]
+    return joined.select(*cols).mapInPandas(check, _VERIFY_SCHEMA)
+
+
+def phash_dedup(images: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """Exact-phash dedup, keep-first (A8).  Late materialization: rank
+    on (phash, order) over a byte-free projection, then join survivors
+    back — image bytes never enter the shuffle."""
+    order_cols = order_cols or ["image_id"]
+    slim = images.select("image_id", "phash")
+    w = Window.partitionBy("phash").orderBy(*order_cols)
+    keep = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("image_id")
+    )
+    return images.join(keep, "image_id", "left_semi")
+
+
+def near_dup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Hamming-near duplicate pairs via banded phash self-join.
+
+    Split the 64-bit phash into 4 16-bit bands; by pigeonhole, any pair
+    within Hamming distance <= 3*? shares at least one exact band when
+    distance < 4 bands... concretely: pairs at distance <= max_hamming
+    with a shared band are candidates; exact popcount verifies.  This is
+    the LSH trick that keeps the join linear in band-bucket sizes
+    instead of O(n²).
+    """
+    bands = images.select(
+        "image_id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("image_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "val"])
+        .filter(F.col("l.image_id") < F.col("r.image_id"))
+        .select(
+            F.col("l.image_id").alias("left_id"),
+            F.col("r.image_id").alias("right_id"),
+            F.col("l.phash").alias("lp"),
+            F.col("r.phash").alias("rp"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("lp").bitwiseXOR(F.col("rp")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+def normalize_caption(df: DataFrame, col: str = "caption",
+                      out: str = "caption_norm") -> DataFrame:
+    """Vectorized caption normalization: lowercase, unify decimal
+    commas, collapse whitespace, strip punctuation edges.  Stands in
+    for the reference's pymorphy2 normal_form step
+    (reference: definers/definer_cities_id.py:52-54) with a
+    deterministic, dependency-free rule set — native Spark functions
+    only, so Catalyst codegen applies."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, r"(\d),(\d)", r"$1.$2")
+    # \p{L}\p{N}: Unicode letters/digits (Java \w is ASCII-only)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s.\-²]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out, c)
