@@ -1,0 +1,241 @@
+"""Document deduplication operators (exact and near-duplicate).
+
+All operate on a documents table ``(doc_id, text, ...)``:
+
+* exact            — hash-groupBy keep-min (one shuffle on the hash)
+* ngram Jaccard    — shingle explode → pair join → set-overlap ratio
+* MinHash + LSH    — shingle → minhash signature → band buckets →
+                     bucket join → verified Jaccard (linear, not O(n²))
+* SimHash          — 64-bit sign-of-weighted-sum fingerprint; near-dups
+                     share bands (Hamming-banded join like phash)
+* embedding cosine — near-dup pairs over an embedding column
+
+Scale notes: every near-dup operator is candidate-generation via an
+equi-join on a derived key (band/bucket), never a cross join; exact
+verification runs only on candidates.  Shingling/minhash run in
+vectorized pandas UDFs (Arrow), hashing via stable 64-bit mixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical text (hash-groupBy).
+
+    At scale: groupBy on xxhash64(text) (fixed width) rather than the
+    full text; candidate collisions verified by the exact text join.
+    """
+    hashed = docs.withColumn("_h", F.xxhash64(F.col(text_col)))
+    w = Window.partitionBy("_h", text_col).orderBy(id_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+# ------------------------------------------------------------ shingling
+
+def _shingles(texts: pd.Series, k: int) -> pd.Series:
+    out = []
+    for t in texts:
+        words = t.split()
+        if len(words) < k:
+            out.append([" ".join(words)] if words else [])
+        else:
+            out.append([" ".join(words[i : i + k]) for i in range(len(words) - k + 1)])
+    return pd.Series(out)
+
+
+def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    sh = F.pandas_udf(lambda s: _shingles(s, k), "array<string>")
+    return (
+        docs.select(id_col, sh(F.col(text_col)).alias("shingles"))
+        .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.6,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All pairs with k-word-shingle Jaccard >= threshold.
+
+    Candidate pairs come from the shingle equi-join (docs sharing at
+    least one shingle); |A∩B| is the join count, |A∪B| = |A|+|B|−∩.
+    """
+    sh = shingle_df(docs, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("left_id"), F.col(f"r.{id_col}").alias("right_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("n", "nl")), "left_id")
+        .join(F.broadcast(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("n", "nr")), "right_id")
+        .withColumn("jaccard", F.col("inter") / (F.col("nl") + F.col("nr") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+    # splitmix64 finalizer — stable across processes; numpy uint64
+    # arithmetic wraps mod 2^64, constants pre-masked to fit C uint64
+    with np.errstate(over="ignore"):
+        z = x + np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc -> array<bigint> of n minhash values over k-word shingles."""
+
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingles(pd.Series([t]), k)[0]
+            if not sh:
+                out.append([0] * n_hashes)
+                continue
+            base = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+            mins = [int(_mix64(base, i).min() & np.uint64(0x7FFFFFFFFFFFFFFF)) for i in range(n_hashes)]
+            out.append(mins)
+        return pd.Series(out)
+
+    return docs.select(id_col, F.pandas_udf(sig, "array<bigint>")(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
+                      bands: int = 16, threshold: float = 0.6,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs: minhash → band buckets → bucket equi-join →
+    exact Jaccard verification of the candidates only."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket").distinct()
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("left_id"), F.col(f"r.{id_col}").alias("right_id"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, k, 0.0, text_col, id_col)
+    return (
+        cand.join(exact, ["left_id", "right_id"], "inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens (sign of per-bit weighted sums)."""
+
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = t.split()
+            if not words:
+                out.append(0)
+                continue
+            hs = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            h = 0
+            for i in range(64):
+                if v[i] > 0:
+                    h |= 1 << i
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return pd.Series(out)
+
+    return docs.select(id_col, F.pandas_udf(sh, "long")(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hamming-banded self-join over simhash (4×16-bit bands)."""
+    sh = simhash(docs, text_col, id_col)
+    bands = sh.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.val")
+    pairs = (
+        bands.alias("l").join(bands.alias("r"), ["band", "val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("left_id"), F.col(f"r.{id_col}").alias("right_id"),
+                F.col("l.simhash").alias("lh"), F.col("r.simhash").alias("rh"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("lh").bitwiseXOR(F.col("rh"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+
+def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      buckets: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold.
+
+    Baseline path: self-join (bounded inputs / verification); at scale
+    pass ``buckets`` to pre-bucket by sign-LSH so the join is per-bucket.
+    Dot products run JVM-side via ``aggregate``/``zip_with`` — no UDF.
+    """
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    d = emb.select(id_col, vec_col, norm.alias("_n"))
+    if buckets:
+        from cianparser_spark.ops.similarity import signature_bucket
+
+        d = signature_bucket(d, vec_col, n_planes=int(np.log2(buckets)))
+        join_on = ["bucket"]
+        left, right = d.alias("l"), d.alias("r")
+        joined = left.join(right, join_on)
+    else:
+        joined = d.alias("l").crossJoin(d.alias("r"))
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return (
+        joined.filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("cosine", dot / (F.col("l._n") * F.col("r._n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"l.{id_col}").alias("left_id"),
+                F.col(f"r.{id_col}").alias("right_id"), "cosine")
+    )
