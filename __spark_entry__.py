@@ -202,7 +202,9 @@ def q_dedup_cosine_topk(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     return (
-        cosine_near_pairs(emb, threshold=-1.0)
+        # per-block prune keeps 4x the final k: rounding to 6 decimals can
+        # tie values near the cut, and the global tiebreak is on ids
+        cosine_near_pairs(emb, threshold=-1.0, top_k=200)
         .withColumn("cosine", F.round("cosine", 6))
         .orderBy(F.col("cosine").desc(), "left_id", "right_id")
         .limit(50)

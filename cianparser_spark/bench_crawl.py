@@ -1,0 +1,107 @@
+"""Crawl throughput benchmark (one parallelism level per process).
+
+Runs a fixed synthetic-web crawl workload — N seeds × 54 list pages
+each, full politeness/dedup/finalization machinery — on
+``local[cpus]`` and prints one JSON line:
+
+    {"cpus": 8, "wall_s": ..., "pages_fetched": ..., "frontier_urls": ...,
+     "offers": ..., "pages_per_sec": ..., "urls_per_sec": ...}
+
+Invoked twice by bench.py (local[8] vs local[32], same input) to
+evidence the north rule's two-cluster-size scaling criterion in this
+single-node sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def build_seeds(n_seeds: int, end_page: int):
+    from cianparser_spark.dims import CITIES
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    cities = list(CITIES)
+    seeds = []
+    for i in range(n_seeds):
+        seeds.append(
+            CrawlSeed(
+                seed_id=i + 1,
+                location=cities[i % len(cities)],
+                accommodation_type="flat",
+                deal_type="sale" if i % 2 == 0 else "rent_long",
+                rooms="all",  # full result set → every list page is full
+                additional_settings={"end_page": end_page},
+            )
+        )
+    return seeds
+
+
+def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine.crawler import CrawlEngine
+    from cianparser_spark.engine.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_crawl_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    # full 54-page queries; faults off so both runs do identical work
+    cfg = dataclasses.replace(
+        webgen.DEFAULT_CONFIG,
+        universe_base=webgen.SITE_PAGE_CAP * webgen.PAGE_SIZE,
+        universe_span=1,
+        fail_500_mod=10**9,
+        fail_429_mod=10**9,
+        faults_on_details=False,
+    )
+    seeds = build_seeds(n_seeds, end_page)
+    run_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{cpus}_")
+    # warm-up: JIT the JVM, init the parquet committer, pre-spawn the
+    # Python worker pool — so the measurement sees steady-state costs
+    spark.range(0, 1_000_000, 1, cpus).selectExpr("sum(id)").collect()
+    warm = spark.range(0, cpus * 4, 1, cpus)
+    warm.mapInPandas(lambda it: it, "id long").count()
+    try:
+        eng = CrawlEngine(spark, run_dir, seeds, cfg, host_tokens=host_tokens)
+        t0 = time.time()
+        offers = eng.run()
+        n_offers = offers.count()
+        wall = time.time() - t0
+        pages = eng.store.read("metrics").agg(F.sum("pages_fetched")).collect()[0][0] or 0
+        urls = eng.store.read("lineage").agg(F.sum("input_rows")).collect()[0][0] or 0
+        return {
+            "cpus": cpus,
+            "wall_s": round(wall, 2),
+            "pages_fetched": int(pages),
+            "frontier_urls": int(urls),
+            "offers": int(n_offers),
+            "pages_per_sec": round(pages / wall, 2),
+            "urls_per_sec": round(urls / wall, 2),
+        }
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--seeds", type=int, default=24)
+    ap.add_argument("--pages", type=int, default=54)
+    ap.add_argument("--host-tokens", type=int, default=1_000_000)
+    args = ap.parse_args()
+    print(json.dumps(run(args.cpus, args.seeds, args.pages, args.host_tokens)))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,18 @@ wave (the 10 s penalty, cianparser/cianparser.py:54-55).  Selection is
 two-phase so one dominant host cannot skew a single partition: a
 salted window pre-selects ≤ budget per (host, salt), then the exact
 per-host rank runs over that much smaller survivor set.
+
+Driver economy (scale + wall-clock): exactly TWO small collects per
+wave — the politeness/selection stats and the page-outcome stats — and
+everything the driver decides (captcha stops, retries, 429 debt,
+watermarks, metrics, lineage, which tables are even non-empty) derives
+from them.  Collected rows are O(pages-per-wave), bounded by the
+politeness budget, never O(cards).  Empty tables are never written;
+Bloom blobs, stop map, and host debt live in driver memory and are
+rebuilt from the committed snapshot on resume.
 """
 
 from __future__ import annotations
-
-import json
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -45,6 +52,7 @@ from cianparser_spark.semantics.simulator import CrawlSeed
 
 MAX_ATTEMPTS = 3  # (reference: cianparser/cianparser.py:73)
 _BLOOM_BITS = 1 << 20  # per-bucket fixed size so blobs OR-merge
+_429_DEBT = 5  # 10 s penalty / 2 s-per-list-token
 
 
 class CrawlEngine:
@@ -58,6 +66,7 @@ class CrawlEngine:
         detail_cost: int = 2,
         salt_buckets: int = 4,
         bloom_buckets: int = 16,
+        verbose: bool = False,
     ):
         self.spark = spark
         self.seeds = seeds
@@ -66,25 +75,89 @@ class CrawlEngine:
         self.detail_cost = detail_cost
         self.salt_buckets = salt_buckets
         self.bloom_buckets = bloom_buckets
+        self.verbose = verbose
+        self._t0 = 0.0
         self.runtimes = {s.seed_id: model.seed_runtime(s) for s in seeds}
         self.store = WaveStore(spark, run_dir, model.TABLE_SCHEMAS, model.REPLACE_TABLES)
+        # driver-cached state, rebuilt from the snapshot on resume
+        self._stopped: dict[int, int] | None = None
+        self._debt: dict[str, int] = {}
+        self._bloom: dict[int, BloomFilter] | None = None
+        self._staged_nonempty: bool | None = None
+        self._next_pending: int | None = None
+
+    def _tick(self, label: str) -> None:
+        if self.verbose:
+            import time
+
+            now = time.time()
+            if self._t0:
+                print(f"    [{label}] +{now - self._t0:.2f}s", flush=True)
+            self._t0 = now
 
     # ------------------------------------------------------------ seeding
 
     def _initial_frontier(self) -> DataFrame:
         """All list-page rows for every seed — the frontier generates
         only pages in [start, end] (limit pushdown at generation,
-        reference: cianparser/base_list.py:27-28)."""
-        from cianparser_spark.semantics import urls as U
-
+        reference: cianparser/base_list.py:27-28).  Page expansion runs
+        JVM-side (``explode(sequence(...))``): the driver ships one row
+        per SEED, so seeding 10^6-seed frontiers never serializes page
+        rows through the driver."""
         rows = []
+        total = 0
         for s in self.seeds:
             rt = self.runtimes[s.seed_id]
-            for p in range(rt["start_page"], rt["end_page"] + 1):
-                url = U.format_page_url(rt["template"], p)
-                host = url.split("/")[2]
-                rows.append((url, "list", host, None, s.seed_id, p, -1, 0, 1))
-        return self.spark.createDataFrame(rows, model.FRONTIER_SCHEMA)
+            prefix, suffix = rt["template"].split("{}", 1)
+            host = rt["template"].split("/")[2]
+            rows.append((s.seed_id, prefix, suffix, host, rt["start_page"], rt["end_page"]))
+            total += rt["end_page"] - rt["start_page"] + 1
+        self._next_pending = total
+        seeds_df = self.spark.createDataFrame(
+            rows, "seed_id long, prefix string, suffix string, host string, start long, end long"
+        )
+        return seeds_df.select(
+            "seed_id", "prefix", "suffix", "host",
+            F.explode(F.sequence("start", "end")).alias("page_number"),
+        ).select(
+            F.concat("prefix", F.col("page_number").cast("string"), "suffix").alias("url"),
+            F.lit("list").alias("kind"),
+            "host",
+            F.lit(None).cast("string").alias("card_json"),
+            "seed_id",
+            "page_number",
+            F.lit(-1).cast("long").alias("card_index"),
+            F.lit(0).cast("long").alias("attempt"),
+            F.lit(1).cast("long").alias("wave"),
+        ).repartition(self.spark.sparkContext.defaultParallelism)
+
+    # ------------------------------------------------------- resume state
+
+    def _load_state(self) -> None:
+        """Rebuild driver caches from the last committed snapshot."""
+        if self._stopped is None:
+            self._stopped = {
+                int(r["seed_id"]): int(r["captcha_page"])
+                for r in self.store.read("stopped").collect()
+            }
+        if self._bloom is None:
+            self._bloom = {
+                int(r["bucket"]): BloomFilter.from_bytes(bytes(r["blob"]))
+                for r in self.store.read("bloom").collect()
+            }
+        if self._staged_nonempty is None:
+            last = self.store.last_wave()
+            self._staged_nonempty = (
+                last > 0 and self.store.read("staged").limit(1).count() > 0
+            )
+            if last > 0:
+                self._debt = {
+                    r["host"]: int(r["n_429"]) * _429_DEBT
+                    for r in self.store.read("metrics")
+                    .filter(F.col("wave") == last)
+                    .collect()
+                    if r["n_429"]
+                }
 
     # ---------------------------------------------------------- politeness
 
@@ -124,40 +197,26 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- helpers
 
-    def _stopped_map(self) -> dict[int, int]:
-        return {
-            int(r["seed_id"]): int(r["captcha_page"])
-            for r in self.store.read("stopped").collect()
-        }
-
-    def _apply_stop_filter(self, df: DataFrame, stopped: dict[int, int], page_col="page_number") -> DataFrame:
-        """Drop rows of stopped seeds beyond their captcha page."""
-        if not stopped:
+    def _apply_stop_filter(self, df: DataFrame, page_col="page_number") -> DataFrame:
+        """Drop rows of stopped seeds at/beyond their captcha page."""
+        if not self._stopped:
             return df
         cond = None
-        for sid, p in stopped.items():
+        for sid, p in self._stopped.items():
             c = (F.col("seed_id") == sid) & (F.col(page_col) >= p)
             cond = c if cond is None else cond | c
         return df.filter(~cond)
 
-    def _debt_from_metrics(self, wave: int) -> dict[str, int]:
-        rows = (
-            self.store.read("metrics")
-            .filter(F.col("wave") == wave)
-            .select("host", "n_429")
-            .collect()
-        )
-        return {r["host"]: int(r["n_429"]) * 5 for r in rows if r["n_429"]}
-
-    def _bloom_blobs(self) -> dict[int, BloomFilter]:
-        rows = self.store.read("bloom").collect()
-        return {int(r["bucket"]): BloomFilter.from_bytes(bytes(r["blob"])) for r in rows}
+    def _stop_ok(self, sid: int, page: int) -> bool:
+        p = self._stopped.get(sid)
+        return p is None or page < p
 
     # ------------------------------------------------------------ main loop
 
     def run(self, max_waves: int = 10_000) -> DataFrame:
         if self.store.last_wave() < 0:
             self.store.commit_wave(0, appends={"frontier": self._initial_frontier()})
+        self._load_state()
         wave = self.store.last_wave() + 1
         for _ in range(max_waves):
             if not self._run_wave(wave):
@@ -169,192 +228,298 @@ class CrawlEngine:
         return self.store.read("offers").orderBy(*model.ORDER_COLS)
 
     def _run_wave(self, wave: int) -> bool:
-        stopped = self._stopped_map()
-        pending = self.store.read("frontier").filter(F.col("wave") == wave)
-        pending = self._apply_stop_filter(pending, stopped)
-        if pending.limit(1).count() == 0:
+        self._tick("wave_start")
+        if self._next_pending == 0:
             return False
+        pending = self._apply_stop_filter(
+            self.store.read("frontier").filter(F.col("wave") == wave)
+        )
+        marked = self._select_budget(pending, self._debt).persist()
 
-        debt = self._debt_from_metrics(wave - 1)
-        marked = self._select_budget(pending, debt).persist()
+        # --- driver collect #1: selection stats (O(seeds × kinds))
+        mstats = (
+            marked.groupBy("_selected", "kind", "seed_id")
+            .agg(F.count("*").alias("n"), F.min("page_number").alias("min_page"))
+            .collect()
+        )
+        self._tick("select_stats")
+        n_selected = sum(r["n"] for r in mstats if r["_selected"])
+        n_deferred = sum(r["n"] for r in mstats if not r["_selected"])
+        if n_selected == 0 and n_deferred == 0:
+            marked.unpersist()
+            self._next_pending = 0
+            return False
+        if n_selected == 0:
+            # budget fully eaten by 429 debt: roll everything to w+1
+            deferred = marked.withColumn("wave", F.lit(wave + 1).cast("long")) \
+                .select(*[f.name for f in model.FRONTIER_SCHEMA.fields])
+            self._debt = {}
+            self.store.commit_wave(wave, appends={"frontier": deferred})
+            marked.unpersist()
+            self._next_pending = n_deferred
+            return True
+
         selected = marked.filter(F.col("_selected")).drop("_selected")
-        deferred = (
+        deferred_df = (
             marked.filter(~F.col("_selected"))
             .drop("_selected")
             .withColumn("wave", F.lit(wave + 1).cast("long"))
+            .select(*[f.name for f in model.FRONTIER_SCHEMA.fields])
         )
 
-        par = self.spark.sparkContext.defaultParallelism
+        par = min(self.spark.sparkContext.defaultParallelism, max(1, n_selected))
         stage = (
             selected.repartition(par, "host", "url")
             .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg), model.STAGE_SCHEMA)
             .persist()
         )
 
-        pages = stage.filter(F.col("row_type") == "page")
-        cards = stage.filter(F.col("row_type") == "card")
-        detail_offers = stage.filter(F.col("row_type") == "offer")
-        detail_errs = stage.filter(F.col("row_type") == "detail_err")
-
-        # --- captcha circuit breaker (per seed = per reference run)
-        new_captcha = pages.filter(F.col("outcome") == "captcha") \
-            .groupBy("seed_id").agg(F.min("page_number").alias("p")).collect()
-        for r in new_captcha:
-            sid, p = int(r["seed_id"]), int(r["p"])
-            stopped[sid] = min(stopped.get(sid, 1 << 30), p)
-        stopped_df = self.spark.createDataFrame(
-            [(k, v) for k, v in stopped.items()], model.STOPPED_SCHEMA
-        ) if stopped else self.spark.createDataFrame([], model.STOPPED_SCHEMA)
-
-        # --- retry / dead-letter for failed list fetches
-        fails = pages.filter(F.col("outcome").isin("http_error", "http_429", "noheader"))
-        retry_list = (
-            fails.filter(F.col("attempt") + 1 < MAX_ATTEMPTS)
-            .select(
-                F.col("fetch_url").alias("url"), F.lit("list").alias("kind"),
-                "host", F.lit(None).cast("string").alias("card_json"),
-                "seed_id", "page_number",
-                F.lit(-1).cast("long").alias("card_index"),
-                (F.col("attempt") + 1).alias("attempt"),
-                F.lit(wave + 1).cast("long").alias("wave"),
-            )
-        )
-        dead_list = fails.filter(F.col("attempt") + 1 >= MAX_ATTEMPTS).select(
-            F.col("fetch_url").alias("url"), F.lit("list").alias("kind"),
-            "seed_id", "page_number", (F.col("attempt") + 1).alias("attempt"),
-            F.lit(wave).cast("long").alias("wave"),
-        )
-
-        # --- detail retries
-        retry_detail = (
-            detail_errs.filter(F.col("attempt") + 1 < MAX_ATTEMPTS)
-            .select(
-                F.col("fetch_url").alias("url"), F.lit("detail").alias("kind"),
-                "host", "card_json", "seed_id", "page_number", "card_index",
-                (F.col("attempt") + 1).alias("attempt"),
-                F.lit(wave + 1).cast("long").alias("wave"),
-            )
-        )
-        dead_detail = detail_errs.filter(F.col("attempt") + 1 >= MAX_ATTEMPTS).select(
-            F.col("fetch_url").alias("url"), F.lit("detail").alias("kind"),
-            "seed_id", "page_number", (F.col("attempt") + 1).alias("attempt"),
-            F.lit(wave).cast("long").alias("wave"),
-        )
-
-        frontier_next = retry_list.unionByName(
-            deferred.select(*[f.name for f in model.FRONTIER_SCHEMA.fields])
-        ).unionByName(retry_detail)
-        frontier_next = self._apply_stop_filter(frontier_next, stopped).persist()
-
-        # --- staged cards: previous leftovers + this wave's cards
-        new_cards = self._apply_stop_filter(
-            cards.select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
-            .withColumn("wave", F.lit(wave).cast("long")),
-            stopped,
-        )
-        staged = self.store.read("staged").unionByName(new_cards)
-        staged = self._apply_stop_filter(staged, stopped).persist()
-
-        # --- per-seed watermarks: all pages below the smallest pending
-        # list page are resolved → their cards may finalize in order
-        pending_pages = (
-            frontier_next.filter(F.col("kind") == "list")
-            .groupBy("seed_id").agg(F.min("page_number").alias("min_pending"))
+        # --- driver collect #2: page/detail outcomes (O(pages-per-wave))
+        pinfo = (
+            stage.filter(F.col("row_type") != "card")
+            .groupBy("row_type", "outcome", "host", "seed_id", "page_number",
+                     "attempt", "partition_id")
+            .agg(F.count("*").alias("n"), F.sum(F.coalesce(F.col("n_cards"), F.lit(0))).alias("cards"))
             .collect()
         )
-        min_pending = {int(r["seed_id"]): int(r["min_pending"]) for r in pending_pages}
-        wm_rows = [
-            (rt["seed_id"], min_pending.get(rt["seed_id"], 1 << 30) - 1)
-            for rt in self.runtimes.values()
-        ]
-        wm_df = self.spark.createDataFrame(wm_rows, "seed_id long, wm long")
-        staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
-        finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
-        leftover = staged.filter(F.col("page_number") > F.col("wm")).drop("wm")
+        self._tick("fetch_parse+outcomes")
 
-        accepted = self._dedup(finalize).persist()
+        # captcha circuit breaker (per seed = per reference run)
+        for r in pinfo:
+            if r["outcome"] == "captcha":
+                sid, p = int(r["seed_id"]), int(r["page_number"])
+                self._stopped[sid] = min(self._stopped.get(sid, 1 << 30), p)
 
-        # --- split: emit now vs enqueue detail fetch
-        extra_ids = [sid for sid, rt in self.runtimes.items() if rt["with_extra"]]
-        need_detail = accepted.filter(F.col("seed_id").isin(extra_ids)) if extra_ids \
-            else accepted.limit(0)
-        emit_now = accepted.filter(~F.col("seed_id").isin(extra_ids)) if extra_ids \
-            else accepted
+        def live(r) -> bool:
+            return self._stop_ok(int(r["seed_id"]), int(r["page_number"]))
 
-        detail_rows = need_detail.select(
-            F.col("url"),
-            F.lit("detail").alias("kind"),
-            F.parse_url("url", F.lit("HOST")).alias("host"),
-            F.to_json(F.struct(*model.OFFER_COLS)).alias("card_json"),
-            "seed_id", "page_number", "card_index",
-            F.lit(0).cast("long").alias("attempt"),
+        page_rows = [r for r in pinfo if r["row_type"] == "page"]
+        fail_rows = [r for r in page_rows
+                     if r["outcome"] in ("http_error", "http_429", "noheader")]
+        retry_pages = [r for r in fail_rows if r["attempt"] + 1 < MAX_ATTEMPTS and live(r)]
+        dead_pages = [r for r in fail_rows if r["attempt"] + 1 >= MAX_ATTEMPTS]
+        detail_err_rows = [r for r in pinfo if r["row_type"] == "detail_err"]
+        retry_details = [r for r in detail_err_rows if r["attempt"] + 1 < MAX_ATTEMPTS and live(r)]
+        dead_details = [r for r in detail_err_rows if r["attempt"] + 1 >= MAX_ATTEMPTS]
+        n_detail_ok = sum(r["n"] for r in pinfo if r["row_type"] == "offer" and live(r))
+        n_cards = sum(r["cards"] for r in page_rows if r["outcome"] == "ok" and live(r))
+
+        # 429 debt for next wave's budget
+        self._debt = {}
+        for r in page_rows + detail_err_rows:
+            if r["outcome"] == "http_429":
+                self._debt[r["host"]] = self._debt.get(r["host"], 0) + _429_DEBT * int(r["n"])
+
+        # lineage per partition: inputs = fetched urls, outputs = cards + merged offers
+        lin: dict[int, list[int]] = {}
+        for r in pinfo:
+            pid = int(r["partition_id"])
+            io = lin.setdefault(pid, [0, 0])
+            io[0] += int(r["n"])
+            io[1] += int(r["cards"]) + (int(r["n"]) if r["row_type"] == "offer" else 0)
+
+        # --- lazy retry/dead frames (recompute from cached stage only)
+        fails = stage.filter(
+            (F.col("row_type") == "page")
+            & F.col("outcome").isin("http_error", "http_429", "noheader")
+            & (F.col("attempt") + 1 < MAX_ATTEMPTS)
+        )
+        retry_list_df = self._apply_stop_filter(fails).select(
+            F.col("fetch_url").alias("url"), F.lit("list").alias("kind"),
+            "host", F.lit(None).cast("string").alias("card_json"),
+            "seed_id", "page_number", F.lit(-1).cast("long").alias("card_index"),
+            (F.col("attempt") + 1).alias("attempt"),
             F.lit(wave + 1).cast("long").alias("wave"),
         )
-        frontier_next = frontier_next.unionByName(detail_rows)
-
-        seen_new = accepted.select(
-            "deal_url_id", "seed_id",
-            F.xxhash64(F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("key_hash"),
+        retry_detail_df = self._apply_stop_filter(
+            stage.filter((F.col("row_type") == "detail_err")
+                         & (F.col("attempt") + 1 < MAX_ATTEMPTS))
+        ).select(
+            F.col("fetch_url").alias("url"), F.lit("detail").alias("kind"),
+            "host", "card_json", "seed_id", "page_number", "card_index",
+            (F.col("attempt") + 1).alias("attempt"),
+            F.lit(wave + 1).cast("long").alias("wave"),
+        )
+        dead_df = stage.filter(
+            F.col("row_type").isin("page", "detail_err")
+            & F.col("outcome").isin("http_error", "http_429", "noheader")
+            & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
+        ).select(
+            F.col("fetch_url").alias("url"),
+            F.when(F.col("row_type") == "detail_err", "detail").otherwise("list").alias("kind"),
+            "seed_id", "page_number", (F.col("attempt") + 1).alias("attempt"),
             F.lit(wave).cast("long").alias("wave"),
         )
 
-        offers_new = emit_now.select(
-            *model.OFFER_COLS, "seed_id", "page_number", "card_index"
-        ).withColumn("wave", F.lit(wave).cast("long")).unionByName(
-            detail_offers.select(
-                *model.OFFER_COLS, "seed_id", "page_number", "card_index"
-            ).withColumn("wave", F.lit(wave).cast("long"))
-        )
+        # --- per-seed watermarks from driver stats (min unresolved list page)
+        min_pending: dict[int, int] = {}
+        for r in mstats:
+            if not r["_selected"] and r["kind"] == "list" and r["min_page"] is not None:
+                sid = int(r["seed_id"])
+                if self._stop_ok(sid, int(r["min_page"])):
+                    min_pending[sid] = min(min_pending.get(sid, 1 << 30), int(r["min_page"]))
+        for r in retry_pages:
+            sid = int(r["seed_id"])
+            min_pending[sid] = min(min_pending.get(sid, 1 << 30), int(r["page_number"]))
+        wm = {
+            rt["seed_id"]: min_pending.get(rt["seed_id"], 1 << 30) - 1
+            for rt in self.runtimes.values()
+        }
 
-        # --- metrics / lineage
-        metrics = (
-            pages.groupBy("host")
-            .agg(
-                F.sum(F.when(F.col("outcome") == "ok", 1).otherwise(0)).alias("pages_fetched"),
-                F.sum(F.coalesce(F.col("n_cards"), F.lit(0))).alias("cards_parsed"),
-                F.sum(F.when(F.col("outcome") == "http_429", 1).otherwise(0)).alias("n_429"),
-                F.sum(F.when(F.col("outcome").isin("http_error", "noheader"), 1).otherwise(0)).alias("n_errors"),
-                F.max((F.col("outcome") == "captcha").cast("boolean")).alias("captcha"),
+        # --- staged cards: previous leftovers + this wave's cards
+        have_staged_input = n_cards > 0 or self._staged_nonempty
+        accepted = None
+        n_accepted = 0
+        leftover_df = None
+        if have_staged_input:
+            new_cards = self._apply_stop_filter(
+                stage.filter(F.col("row_type") == "card")
+                .select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
+                .withColumn("wave", F.lit(wave).cast("long"))
             )
-            .withColumn("wave", F.lit(wave).cast("long"))
-            .withColumn("offers_emitted", F.lit(None).cast("long"))
-            .withColumn("details_fetched", F.lit(None).cast("long"))
-            .withColumn("avg_price", F.lit(None).cast("double"))
-            .select(*[f.name for f in model.METRICS_SCHEMA.fields])
-        )
-        lineage = (
-            stage.groupBy("partition_id")
-            .agg(
-                F.sum(F.when(F.col("row_type").isin("page", "offer", "detail_err"), 1).otherwise(0)).alias("input_rows"),
-                F.sum(F.when(F.col("row_type").isin("card", "offer"), 1).otherwise(0)).alias("output_rows"),
+            staged = self._apply_stop_filter(
+                self.store.read("staged").unionByName(new_cards)
             )
-            .withColumn("wave", F.lit(wave).cast("long"))
-            .select("wave", "partition_id", "input_rows", "output_rows")
-        )
+            wm_df = self.spark.createDataFrame(
+                [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
+            )
+            staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
+            finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
+            leftover_df = staged.filter(F.col("page_number") > F.col("wm")).drop("wm") \
+                .select(*[f.name for f in model.STAGED_SCHEMA.fields])
+            accepted = self._dedup(finalize).persist()
+            n_accepted = accepted.count()
+            self._tick("finalize_dedup")
 
-        bloom_df = self._update_bloom(seen_new)
+        # --- split accepted: emit now vs enqueue detail
+        extra_ids = [sid for sid, rt in self.runtimes.items() if rt["with_extra"]]
+        appends: dict[str, DataFrame] = {}
+        frontier_parts = []
+        n_details_enqueued = 0
+        if n_deferred:
+            frontier_parts.append(deferred_df)
+        if retry_pages:
+            frontier_parts.append(retry_list_df)
+        if retry_details:
+            frontier_parts.append(retry_detail_df)
 
-        self.store.commit_wave(
-            wave,
-            appends={
-                "frontier": frontier_next,
-                "offers": offers_new,
-                "seen": seen_new,
-                "dead": dead_list.unionByName(dead_detail),
-                "metrics": metrics,
-                "lineage": lineage,
-            },
-            replaces={
-                "staged": leftover.select(*[f.name for f in model.STAGED_SCHEMA.fields]),
-                "stopped": stopped_df,
-                "bloom": bloom_df,
-            },
-        )
+        offers_parts = []
+        if n_accepted:
+            if extra_ids:
+                need_detail = accepted.filter(F.col("seed_id").isin(extra_ids))
+                emit_now = accepted.filter(~F.col("seed_id").isin(extra_ids))
+                detail_rows = need_detail.select(
+                    F.col("url"), F.lit("detail").alias("kind"),
+                    F.parse_url("url", F.lit("HOST")).alias("host"),
+                    F.to_json(F.struct(*model.OFFER_COLS)).alias("card_json"),
+                    "seed_id", "page_number", "card_index",
+                    F.lit(0).cast("long").alias("attempt"),
+                    F.lit(wave + 1).cast("long").alias("wave"),
+                )
+                frontier_parts.append(detail_rows)
+            else:
+                emit_now = accepted
+            offers_parts.append(
+                emit_now.select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
+                .withColumn("wave", F.lit(wave).cast("long"))
+            )
+            appends["seen"] = accepted.select(
+                "deal_url_id", "seed_id",
+                F.xxhash64(F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("key_hash"),
+                F.lit(wave).cast("long").alias("wave"),
+            )
+        if n_detail_ok:
+            offers_parts.append(
+                self._apply_stop_filter(stage.filter(F.col("row_type") == "offer"))
+                .select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
+                .withColumn("wave", F.lit(wave).cast("long"))
+            )
+        if offers_parts:
+            out = offers_parts[0]
+            for p in offers_parts[1:]:
+                out = out.unionByName(p)
+            appends["offers"] = out
+        if dead_pages or dead_details:
+            appends["dead"] = dead_df
+
+        frontier_next = None
+        n_frontier_next = 0
+        if frontier_parts:
+            frontier_next = frontier_parts[0]
+            for p in frontier_parts[1:]:
+                frontier_next = frontier_next.unionByName(p)
+            frontier_next = frontier_next.persist()
+            n_frontier_next = frontier_next.count()
+            if n_frontier_next:
+                appends["frontier"] = frontier_next
+            self._tick("frontier_count")
+
+        # --- metrics/lineage built driver-side from pinfo (no extra jobs)
+        mrows = {}
+        for r in page_rows:
+            h = r["host"]
+            m = mrows.setdefault(h, dict(pages_fetched=0, cards_parsed=0, n_429=0,
+                                         n_errors=0, captcha=False, details=0))
+            if r["outcome"] == "ok":
+                m["pages_fetched"] += int(r["n"])
+                m["cards_parsed"] += int(r["cards"])
+            elif r["outcome"] == "http_429":
+                m["n_429"] += int(r["n"])
+            elif r["outcome"] == "captcha":
+                m["captcha"] = True
+            else:
+                m["n_errors"] += int(r["n"])
+        for r in pinfo:
+            if r["row_type"] == "offer":
+                mrows.setdefault(r["host"], dict(pages_fetched=0, cards_parsed=0, n_429=0,
+                                                 n_errors=0, captcha=False, details=0))["details"] += int(r["n"])
+        metrics_rows = [
+            (h, wave, m["pages_fetched"], m["cards_parsed"],
+             n_accepted + n_detail_ok if i == 0 else None,
+             m["n_429"], m["n_errors"], m["details"], None, m["captcha"])
+            for i, (h, m) in enumerate(sorted(mrows.items()))
+        ]
+        if metrics_rows:
+            appends["metrics"] = self.spark.createDataFrame(
+                [
+                    {"host": h, "wave": w, "pages_fetched": pf, "cards_parsed": cp,
+                     "offers_emitted": oe, "n_429": n4, "n_errors": ne,
+                     "details_fetched": dt, "avg_price": ap, "captcha": ca}
+                    for (h, w, pf, cp, oe, n4, ne, dt, ap, ca) in metrics_rows
+                ],
+                model.METRICS_SCHEMA,
+            )
+        if lin:
+            appends["lineage"] = self.spark.createDataFrame(
+                [(wave, pid, io[0], io[1]) for pid, io in sorted(lin.items())],
+                model.LINEAGE_SCHEMA,
+            )
+
+        replaces: dict[str, DataFrame] = {}
+        if have_staged_input:
+            leftover_df = leftover_df.persist()
+            replaces["staged"] = leftover_df
+            self._staged_nonempty = leftover_df.limit(1).count() > 0
+        if self._stopped:
+            replaces["stopped"] = self.spark.createDataFrame(
+                [(k, v) for k, v in sorted(self._stopped.items())], model.STOPPED_SCHEMA
+            )
+        if n_accepted:
+            replaces["bloom"] = self._update_bloom(appends["seen"])
+            self._tick("bloom_update")
+
+        self.store.commit_wave(wave, appends=appends, replaces=replaces)
+        self._tick("commit")
+        self._next_pending = n_frontier_next
+
         marked.unpersist()
         stage.unpersist()
-        staged.unpersist()
-        accepted.unpersist()
-        frontier_next.unpersist()
+        if accepted is not None:
+            accepted.unpersist()
+        if leftover_df is not None:
+            leftover_df.unpersist()
+        if frontier_next is not None:
+            frontier_next.unpersist()
         return True
 
     # ------------------------------------------------------------- dedup
@@ -371,7 +536,7 @@ class CrawlEngine:
             .drop("_rn")
         )
 
-        blobs = self._bloom_blobs()
+        blobs = self._bloom or {}
         if blobs:
             blob_bytes = {b: f.to_bytes() for b, f in blobs.items()}
             n_buckets = self.bloom_buckets
@@ -403,17 +568,15 @@ class CrawlEngine:
                 "left_anti",
             )
             return fresh.unionByName(checked)
-        return batch_first.join(
-            self.store.read("seen").select("seed_id", "deal_url_id"),
-            ["seed_id", "deal_url_id"],
-            "left_anti",
-        )
+        return batch_first
 
     def _update_bloom(self, seen_new: DataFrame) -> DataFrame:
         """Merge this wave's accepted keys into fixed-size per-bucket
         Bloom blobs.  Partial filters are built per bucket with
         applyInPandas (UDAF-shaped), then OR-merged driver-side —
         blobs are small and fixed-size by construction."""
+        import numpy as np
+
         n_buckets = self.bloom_buckets
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -423,11 +586,9 @@ class CrawlEngine:
                 bf.add(keys)
             return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "blob": [bf.to_bytes()]})
 
-        import numpy as np
-
         @F.pandas_udf("long")
         def bucket_of(keys: pd.Series) -> pd.Series:
-            arr = (keys).to_numpy(dtype=object)
+            arr = keys.to_numpy(dtype=object)
             return pd.Series(
                 (pd.util.hash_array(arr, hash_key="0123456789abcdef") % np.uint64(n_buckets)).astype("int64")
             )
@@ -440,7 +601,7 @@ class CrawlEngine:
             .applyInPandas(build, "bucket long, blob binary")
             .collect()
         )
-        merged = self._bloom_blobs()
+        merged = self._bloom
         for r in partial:
             b = int(r["bucket"])
             incoming = BloomFilter.from_bytes(bytes(r["blob"]))

@@ -96,10 +96,10 @@ class WaveStore:
         if df is None:
             return None
         rel = os.path.join("data", name, f"w{wave:05d}-{uuid.uuid4().hex[:8]}")
-        # wave appends are small relative to cluster width; cap file count
-        df.coalesce(max(1, min(df.rdd.getNumPartitions(), 8))).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.root, rel))
+        # write at the plan's own parallelism — coalescing here would cap
+        # the write of large appends (offers/seen) at a handful of tasks;
+        # AQE already right-sizes post-shuffle partition counts
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
     # ----------------------------------------------------------------- read
