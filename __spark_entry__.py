@@ -231,6 +231,37 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, qvec, k=15, multiprobe=1).withColumn("cosine", F.round("cosine", 6))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: deterministic k-means-lite centroids, probe the
+    nearest nprobe lists (rows-only; recall vs brute force unit-tested)."""
+    from cianparser_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return ivf_topk(emb, qvec, k=15, nprobe=8).withColumn("cosine", F.round("cosine", 6))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode → visual features over the deterministic images
+    corpus (rows-only: binary codec path is not SQL-expressible)."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+    from cianparser_spark.ops.multimodal import decode_features
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    return (
+        decode_features(images)
+        .withColumn("mean_luma", F.round("mean_luma", 4))
+        .withColumn("std_luma", F.round("std_luma", 4))
+        .withColumn("edge_energy", F.round("edge_energy", 4))
+        .orderBy("image_id")
+    )
+
+
 def q_text_token_count(spark, sf_dir):
     from cianparser_spark.ops.text import token_count
 
@@ -353,6 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_topk": q_dedup_cosine_topk,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_features": q_multimodal_features,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -515,8 +548,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "a8_label_dedup": "SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label",
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh, crawl_flagship,
-        # payload_verify, payload_phash_dedup: rows-only by design
-        # (signature/LSH internals, the crawl engine, and image decode
-        # are not ANSI-SQL-expressible).
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
+        # multimodal_features, crawl_flagship, payload_verify,
+        # payload_phash_dedup: rows-only by design (signature/LSH/IVF
+        # internals, the crawl engine, and image decode are not
+        # ANSI-SQL-expressible).
     }

@@ -44,7 +44,8 @@ HEADLINE = [
     "t1_ordered_limit", "p12_projection", "a7_union", "u6_sort_pushdown",
     "u7_filter_pushdown", "dedup_exact", "dedup_ngram_topk",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cosine_topk",
-    "ann_topk", "ann_lsh", "text_token_count", "text_quality",
+    "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",
+    "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "a8_label_dedup",
     "crawl_flagship", "payload_verify", "payload_phash_dedup",
 ]

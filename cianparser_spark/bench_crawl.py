@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -54,6 +55,11 @@ def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int) -> dict:
         app_name=f"bench_crawl_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
+    # scratch on tmpfs when available: on a real cluster every executor
+    # brings its own local SSD for spools/shuffle; on this single box
+    # the one virtio disk would serialize exactly the I/O that machine
+    # parallelism is supposed to scale, so tmpfs is the honest analog
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
     # full 54-page queries; faults off so both runs do identical work
     cfg = dataclasses.replace(
         webgen.DEFAULT_CONFIG,
@@ -64,7 +70,7 @@ def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int) -> dict:
         faults_on_details=False,
     )
     seeds = build_seeds(n_seeds, end_page)
-    run_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{cpus}_")
+    run_dir = tempfile.mkdtemp(prefix=f"bench_crawl_{cpus}_", dir=scratch_root)
     # warm-up: JIT the JVM, init the parquet committer, pre-spawn the
     # Python worker pool — so the measurement sees steady-state costs
     spark.range(0, 1_000_000, 1, cpus).selectExpr("sum(id)").collect()

@@ -39,6 +39,9 @@ rebuilt from the committed snapshot on resume.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -164,10 +167,35 @@ class CrawlEngine:
     def _select_budget(self, pending: DataFrame, debt: dict[str, int]) -> DataFrame:
         """Two-phase salted per-host token selection; adds bool
         ``_selected``.  Deterministic priority:
-        (page_number, detail-before-next-list, seed, card, url)."""
+        (page_number, detail-before-next-list, seed, card, url).
+
+        Fast path: per-host token demand is a cheap aggregate
+        (O(hosts) rows to the driver); every host whose whole demand
+        fits its budget selects ALL its rows with no window at all —
+        the serial exact-rank window only ever runs over the rows of
+        genuinely over-budget hosts."""
         cost = F.when(F.col("kind") == "detail", F.lit(self.detail_cost)).otherwise(F.lit(1))
         kind_rank = F.when(F.col("kind") == "detail", F.lit(0)).otherwise(F.lit(1))
         df = pending.withColumn("_cost", cost).withColumn("_krank", kind_rank)
+
+        demand = df.groupBy("host").agg(F.sum("_cost").alias("_dem")).collect()
+        over = [
+            r["host"] for r in demand
+            if int(r["_dem"]) > max(0, self.host_tokens - debt.get(r["host"], 0))
+        ]
+        if not over:
+            return df.withColumn("_selected", F.lit(True)).drop("_cost", "_krank"), True
+        if len(over) < len(demand):
+            in_budget = df.filter(~F.col("host").isin(over)) \
+                .withColumn("_selected", F.lit(True)).drop("_cost", "_krank")
+            ranked = self._select_budget_windows(
+                df.filter(F.col("host").isin(over)), debt
+            )
+            return in_budget.unionByName(ranked), False
+        return self._select_budget_windows(df, debt), False
+
+    def _select_budget_windows(self, df: DataFrame, debt: dict[str, int]) -> DataFrame:
+        """Exact two-phase salted selection for over-budget hosts."""
         if debt:
             mapping = F.create_map(*[F.lit(x) for kv in debt.items() for x in kv])
             budget = F.lit(self.host_tokens) - F.coalesce(
@@ -234,17 +262,26 @@ class CrawlEngine:
         pending = self._apply_stop_filter(
             self.store.read("frontier").filter(F.col("wave") == wave)
         )
-        marked = self._select_budget(pending, self._debt).persist()
+        marked, fully_selected = self._select_budget(pending, self._debt)
 
-        # --- driver collect #1: selection stats (O(seeds × kinds))
-        mstats = (
-            marked.groupBy("_selected", "kind", "seed_id")
-            .agg(F.count("*").alias("n"), F.min("page_number").alias("min_page"))
-            .collect()
-        )
+        # --- driver collect #1: selection stats.  When every host fits
+        # its budget (the common wave at scale and the whole fast path)
+        # the only stat needed is the row count — deferred-page
+        # watermark bookkeeping applies to an empty set.
+        if fully_selected:
+            mstats = []
+            n_selected = marked.count()
+            n_deferred = 0
+        else:
+            marked = marked.persist()
+            mstats = (
+                marked.groupBy("_selected", "kind", "seed_id")
+                .agg(F.count("*").alias("n"), F.min("page_number").alias("min_page"))
+                .collect()
+            )
+            n_selected = sum(r["n"] for r in mstats if r["_selected"])
+            n_deferred = sum(r["n"] for r in mstats if not r["_selected"])
         self._tick("select_stats")
-        n_selected = sum(r["n"] for r in mstats if r["_selected"])
-        n_deferred = sum(r["n"] for r in mstats if not r["_selected"])
         if n_selected == 0 and n_deferred == 0:
             marked.unpersist()
             self._next_pending = 0
@@ -267,21 +304,49 @@ class CrawlEngine:
             .select(*[f.name for f in model.FRONTIER_SCHEMA.fields])
         )
 
-        par = min(self.spark.sparkContext.defaultParallelism, max(1, n_selected))
-        stage = (
+        # 2-4 tasks per core for load balance; spool the stage to parquet
+        # instead of caching wide rows on the JVM heap — every downstream
+        # consumer (outcome stats, retry frames, card finalization) then
+        # reads a column-pruned native columnar scan instead of re-walking
+        # 59-field cached objects, and the single-JVM GC pressure that
+        # breaks scaling at high core counts disappears.  On a real
+        # cluster this spool is the per-wave shuffle/staging file.
+        dp = self.spark.sparkContext.defaultParallelism
+        par = max(1, min(4 * dp, (n_selected + 63) // 64))
+        spool = os.path.join(self.store.root, "scratch", f"stage-w{wave:05d}")
+        (
             selected.repartition(par, "host", "url")
             .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg), model.STAGE_SCHEMA)
-            .persist()
+            .write.mode("overwrite").parquet(spool)
         )
+        stage = self.spark.read.schema(model.STAGE_SCHEMA).parquet(spool)
 
-        # --- driver collect #2: page/detail outcomes (O(pages-per-wave))
-        pinfo = (
-            stage.filter(F.col("row_type") != "card")
+        # --- driver collect #2: page/detail outcomes.  Per-page
+        # granularity is only needed for rows the driver must act on
+        # (failures → retry/dead/watermark, captcha → stop); the happy
+        # path collapses to O(hosts × partitions) so the collect stays
+        # tiny even when a wave fetches millions of pages.
+        is_ok_page = (F.col("row_type") == "page") & (F.col("outcome") == "ok")
+        is_offer = F.col("row_type") == "offer"
+        fine = (
+            stage.filter((F.col("row_type") != "card") & ~is_ok_page & ~is_offer)
             .groupBy("row_type", "outcome", "host", "seed_id", "page_number",
                      "attempt", "partition_id")
-            .agg(F.count("*").alias("n"), F.sum(F.coalesce(F.col("n_cards"), F.lit(0))).alias("cards"))
-            .collect()
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.coalesce(F.col("n_cards"), F.lit(0))).alias("cards"))
         )
+        coarse = (
+            stage.filter(is_ok_page | is_offer)
+            .groupBy("row_type", "host", "partition_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.coalesce(F.col("n_cards"), F.lit(0))).alias("cards"))
+            .select("row_type", F.lit("ok").alias("outcome"), "host",
+                    F.lit(-1).cast("long").alias("seed_id"),
+                    F.lit(-1).cast("long").alias("page_number"),
+                    F.lit(0).cast("long").alias("attempt"),
+                    "partition_id", "n", "cards")
+        )
+        pinfo = fine.unionByName(coarse).collect()
         self._tick("fetch_parse+outcomes")
 
         # captcha circuit breaker (per seed = per reference run)
@@ -380,20 +445,38 @@ class CrawlEngine:
             staged = self._apply_stop_filter(
                 self.store.read("staged").unionByName(new_cards)
             )
-            wm_df = self.spark.createDataFrame(
-                [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
-            )
-            staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
-            finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
-            leftover_df = staged.filter(F.col("page_number") > F.col("wm")).drop("wm") \
-                .select(*[f.name for f in model.STAGED_SCHEMA.fields])
-            accepted = self._dedup(finalize).persist()
+            if min_pending:
+                wm_df = self.spark.createDataFrame(
+                    [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
+                )
+                staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
+                finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
+                leftover_df = staged.filter(F.col("page_number") > F.col("wm")).drop("wm") \
+                    .select(*[f.name for f in model.STAGED_SCHEMA.fields])
+            else:
+                # every list page is resolved → the watermark passes ALL
+                # staged cards; skip the join and the (provably empty)
+                # leftover scan outright
+                finalize = staged
+                leftover_df = None
+            # spool the dedup result like the stage: its consumers (offer
+            # emit, seen append, bloom update) each read a pruned column
+            # subset, count() is free parquet metadata, and in the
+            # list-only case the spool files ARE the offers append (the
+            # commit adopts the directory by rename — zero-copy)
+            acc_spool = os.path.join(self.store.root, "scratch", f"accepted-w{wave:05d}")
+            self._dedup(finalize) \
+                .withColumn("wave", F.lit(wave).cast("long")) \
+                .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
+                .write.mode("overwrite").parquet(acc_spool)
+            accepted = self.spark.read.schema(model.STAGED_SCHEMA).parquet(acc_spool)
             n_accepted = accepted.count()
             self._tick("finalize_dedup")
 
         # --- split accepted: emit now vs enqueue detail
         extra_ids = [sid for sid, rt in self.runtimes.items() if rt["with_extra"]]
         appends: dict[str, DataFrame] = {}
+        adopt: dict[str, str] = {}
         frontier_parts = []
         n_details_enqueued = 0
         if n_deferred:
@@ -417,12 +500,15 @@ class CrawlEngine:
                     F.lit(wave + 1).cast("long").alias("wave"),
                 )
                 frontier_parts.append(detail_rows)
+                offers_parts.append(
+                    emit_now.select(*[f.name for f in model.STAGED_SCHEMA.fields])
+                )
             else:
-                emit_now = accepted
-            offers_parts.append(
-                emit_now.select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
-                .withColumn("wave", F.lit(wave).cast("long"))
-            )
+                # zero-copy: the accepted spool already holds exactly the
+                # offers rows (wave stamped at spool write) — the commit
+                # renames the directory into the table instead of
+                # rewriting 100% of the wave's output
+                adopt["offers"] = acc_spool
             appends["seen"] = accepted.select(
                 "deal_url_id", "seed_id",
                 F.xxhash64(F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("key_hash"),
@@ -438,7 +524,8 @@ class CrawlEngine:
             out = offers_parts[0]
             for p in offers_parts[1:]:
                 out = out.unionByName(p)
-            appends["offers"] = out
+            appends["offers"] = out.select(*model.OFFER_COLS, "seed_id",
+                                           "page_number", "card_index", "wave")
         if dead_pages or dead_details:
             appends["dead"] = dead_df
 
@@ -497,43 +584,65 @@ class CrawlEngine:
 
         replaces: dict[str, DataFrame] = {}
         if have_staged_input:
-            leftover_df = leftover_df.persist()
-            replaces["staged"] = leftover_df
-            self._staged_nonempty = leftover_df.limit(1).count() > 0
+            if leftover_df is None:
+                # watermark proved the leftover empty — only clear the
+                # table if a previous wave actually left rows in it
+                if self._staged_nonempty:
+                    replaces["staged"] = self.spark.createDataFrame([], model.STAGED_SCHEMA)
+                self._staged_nonempty = False
+            else:
+                leftover_df = leftover_df.persist()
+                replaces["staged"] = leftover_df
+                self._staged_nonempty = leftover_df.limit(1).count() > 0
         if self._stopped:
             replaces["stopped"] = self.spark.createDataFrame(
                 [(k, v) for k, v in sorted(self._stopped.items())], model.STOPPED_SCHEMA
             )
-        if n_accepted:
+        if n_accepted and n_frontier_next:
+            # the Bloom sidecar only exists to pre-filter FUTURE waves'
+            # dedup; on the final wave (empty frontier) nothing will
+            # ever read it — don't build the index nobody consults
             replaces["bloom"] = self._update_bloom(appends["seen"])
             self._tick("bloom_update")
 
-        self.store.commit_wave(wave, appends=appends, replaces=replaces)
+        self.store.commit_wave(wave, appends=appends, replaces=replaces, adopt=adopt)
         self._tick("commit")
         self._next_pending = n_frontier_next
 
-        marked.unpersist()
-        stage.unpersist()
-        if accepted is not None:
-            accepted.unpersist()
+        if not fully_selected:
+            marked.unpersist()
         if leftover_df is not None:
             leftover_df.unpersist()
         if frontier_next is not None:
             frontier_next.unpersist()
+        # scratch spools are dead once the wave is committed
+        shutil.rmtree(os.path.join(self.store.root, "scratch"), ignore_errors=True)
         return True
 
     # ------------------------------------------------------------- dedup
 
     def _dedup(self, finalize: DataFrame) -> DataFrame:
-        """First-wins dedup in crawl order: window rank inside the
-        batch, then Bloom-prefiltered anti-join against the seen set
-        (A1/J4 in SURVEY.md §2.6) — maybe-seen rows take the exact
-        join; definitely-unseen rows bypass it."""
-        w = Window.partitionBy("seed_id", "deal_url_id").orderBy("page_number", "card_index")
+        """First-wins dedup in crawl order: keep-first inside the batch,
+        then Bloom-prefiltered anti-join against the seen set (A1/J4 in
+        SURVEY.md §2.6) — maybe-seen rows take the exact join;
+        definitely-unseen rows bypass it.
+
+        Keep-first is ``min_by`` over the (page_number, card_index)
+        crawl-order key — a hash aggregate with map-side partial
+        aggregation, NOT a window: a window would shuffle the same wide
+        rows and then sort every partition, and the sort buys nothing
+        because only the minimum is kept.  (page_number, card_index) is
+        unique per (seed_id, deal_url_id) group, so the result is
+        deterministic."""
+        keys = ["seed_id", "deal_url_id"]
+        payload = [c for c in finalize.columns if c not in keys]
         batch_first = (
-            finalize.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            finalize.groupBy(*keys)
+            .agg(F.min_by(
+                F.struct(*payload),
+                F.struct("page_number", "card_index"),
+            ).alias("_f"))
+            .select(*keys, "_f.*")
         )
 
         blobs = self._bloom or {}

@@ -32,10 +32,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller Arrow batches: the fetch+parse stage fans one frontier
+        # row out to ~28 wide card rows, so 10k-row default input batches
+        # become 280k-row output allocations — 2k keeps peak memory flat
+        # and pipelines Python→JVM transfer
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # shuffle/spill scratch on tmpfs when present — the single-box
+    # analog of per-executor local SSDs (each real executor brings its
+    # own spill device; one shared virtio disk would serialize them)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -64,8 +64,16 @@ class WaveStore:
     # --------------------------------------------------------------- commit
 
     def commit_wave(self, wave: int, appends: dict[str, DataFrame] | None = None,
-                    replaces: dict[str, DataFrame] | None = None) -> None:
-        """Write all tables' data, then publish ONE manifest atomically."""
+                    replaces: dict[str, DataFrame] | None = None,
+                    adopt: dict[str, str] | None = None) -> None:
+        """Write all tables' data, then publish ONE manifest atomically.
+
+        ``adopt`` maps table → an already-written parquet directory
+        (a scratch spool) that becomes an append by rename — zero-copy
+        commit of data the wave already materialized.  Writes run first
+        so any plan that still reads a to-be-adopted spool executes
+        before the directory moves.
+        """
         snap = self._load_snapshot()
         tables = {k: list(v) for k, v in snap["tables"].items()}
 
@@ -76,6 +84,12 @@ class WaveStore:
         for name, df in (replaces or {}).items():
             rel = self._write(name, df, wave)
             tables[name] = [rel] if rel is not None else []
+        for name, src in (adopt or {}).items():
+            rel = os.path.join("data", name, f"w{wave:05d}-{uuid.uuid4().hex[:8]}")
+            dst = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            tables.setdefault(name, []).append(rel)
 
         version = snap["version"] + 1
         manifest = {"version": version, "wave": wave, "tables": tables}
