@@ -154,6 +154,52 @@ def q_u7_filter_pushdown(spark, sf_dir):
     )
 
 
+def q_p10_deal_url_id(spark, sf_dir):
+    """P10: the reference's canonical deal-url-id (last path segment if
+    len>3, else second-to-last if len>3, else '-1' — trailing-slash
+    quirk included) as a pure native Catalyst expression over
+    synthesized offer URLs (reference: cianparser/helpers.py:27-34)."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://www.cian.ru/sale/flat/"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    s = F.split(url, "/")
+    deal_id = (
+        F.when(F.length(F.element_at(s, -1)) > 3, F.element_at(s, -1))
+        .when(F.length(F.element_at(s, -2)) > 3, F.element_at(s, -2))
+        .otherwise(F.lit("-1"))
+    )
+    return o.select("o_orderkey", url.alias("url"), deal_id.alias("deal_url_id"))
+
+
+def q_d4_phone_regex(spark, sf_dir):
+    """D4: phone extraction — regex over raw text, native regexp_extract
+    + strip of spaces/dashes (reference: cianparser/flat/page.py:65-68)."""
+    c = _t(spark, sf_dir, "customer")
+    digits = F.lpad(((F.col("c_custkey") * 37) % 10_000_000_000).cast("string"), 10, "0")
+    raw = F.concat(
+        F.lit('tel:"+7 '), F.substring(digits, 1, 3), F.lit(" "),
+        F.substring(digits, 4, 3), F.lit("-"), F.substring(digits, 7, 4),
+        F.lit('" html'),
+    )
+    phone = F.regexp_replace(
+        F.regexp_extract(raw, r'(\+7[^"]{0,14})', 1), r"[ -]", ""
+    )
+    return c.select("c_custkey", phone.alias("phone"))
+
+
+def q_a6_dedup_sort(spark, sf_dir):
+    """A6: definer-style dedup-by-name keep-min + ORDER BY name
+    (reference: cianparser/definers/definer_cities_id.py:57-72)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment").agg(F.min("c_custkey").alias("c_custkey"))
+        .orderBy("c_mktsegment")
+    )
+
+
 # ------------------------------------------------- training-data pipeline
 
 def q_dedup_exact(spark, sf_dir):
@@ -377,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_union": q_a7_union,
         "u6_sort_pushdown": q_u6_sort_pushdown,
         "u7_filter_pushdown": q_u7_filter_pushdown,
+        "p10_deal_url_id": q_p10_deal_url_id,
+        "d4_phone_regex": q_d4_phone_regex,
+        "a6_dedup_sort": q_a6_dedup_sort,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_topk": q_dedup_ngram_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -481,6 +530,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem WHERE l_quantity >= 10 AND l_discount <= 0.05
+        """,
+        "p10_deal_url_id": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     'https://www.cian.ru/sale/flat/' || CAST(o_orderkey AS VARCHAR)
+                     || (CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END) AS url
+              FROM orders
+            ), s AS (
+              SELECT o_orderkey, url, string_split(url, '/') AS parts
+              FROM u
+            )
+            SELECT o_orderkey, url,
+                   CASE WHEN length(parts[-1]) > 3 THEN parts[-1]
+                        WHEN length(parts[-2]) > 3 THEN parts[-2]
+                        ELSE '-1' END AS deal_url_id
+            FROM s
+        """,
+        "d4_phone_regex": """
+            WITH p AS (
+              SELECT c_custkey,
+                     lpad(CAST((c_custkey * 37) % 10000000000 AS VARCHAR), 10, '0') AS d
+              FROM customer
+            )
+            SELECT c_custkey,
+                   regexp_replace(
+                     regexp_extract('tel:"+7 ' || substr(d, 1, 3) || ' '
+                                    || substr(d, 4, 3) || '-' || substr(d, 7, 4)
+                                    || '" html',
+                                    '(\\+7[^"]{0,14})', 1),
+                     '[ -]', '', 'g') AS phone
+            FROM p
+        """,
+        "a6_dedup_sort": """
+            SELECT c_mktsegment, min(c_custkey) AS c_custkey
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_ngram_topk": """

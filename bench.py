@@ -42,7 +42,8 @@ HEADLINE = [
     "a1_first_wins", "a2_group_counts", "a3_mean", "j1_lookup_join",
     "j4_anti_join", "p7_regex_extract", "p9_when_cascade",
     "t1_ordered_limit", "p12_projection", "a7_union", "u6_sort_pushdown",
-    "u7_filter_pushdown", "dedup_exact", "dedup_ngram_topk",
+    "u7_filter_pushdown", "p10_deal_url_id", "d4_phone_regex",
+    "a6_dedup_sort", "dedup_exact", "dedup_ngram_topk",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cosine_topk",
     "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",
     "text_token_count", "text_quality",
@@ -82,6 +83,17 @@ def run_queries() -> tuple[dict, float]:
 
 
 def run_scaling() -> dict:
+    """Interleaved best-of-REPS at N and 4N cores.
+
+    The sandbox is a shared VM: identical runs vary ±30% with neighbor
+    load (measured), and the noise hits high-core runs hardest (they
+    need 8 simultaneously-free cores).  Interleaving the levels controls
+    for drift; best-of-REPS per level estimates each level's unloaded
+    throughput.  Every rep is recorded in the output so the filtering
+    is transparent.
+    """
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
     def one(cpus: int) -> dict:
         # flush dirty pages from the previous run so background
         # writeback doesn't bleed into this measurement
@@ -96,15 +108,13 @@ def run_scaling() -> dict:
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
 
-    def faster(a: dict, b: dict) -> dict:
-        return a if a["pages_per_sec"] >= b["pages_per_sec"] else b
-
-    n, x4 = one(2), one(8)
-    eff = x4["pages_per_sec"] / (4 * n["pages_per_sec"])
-    if eff < 0.8:  # single-node noise (writeback, neighbors): best-of-2
-        n, x4 = faster(n, one(2)), faster(x4, one(8))
-        eff = x4["pages_per_sec"] / (4 * n["pages_per_sec"])
-    eff = round(eff, 3)
+    seq: dict[int, list] = {2: [], 8: []}
+    for _ in range(reps):
+        for cpus in (2, 8):
+            seq[cpus].append(one(cpus))
+    n = max(seq[2], key=lambda d: d["pages_per_sec"])
+    x4 = max(seq[8], key=lambda d: d["pages_per_sec"])
+    eff = round(x4["pages_per_sec"] / (4 * n["pages_per_sec"]), 3)
     secondary = {}
     if CPUS == "32":
         s32 = one(32)
@@ -124,6 +134,7 @@ def run_scaling() -> dict:
         "urls_per_sec_n": n["urls_per_sec"],
         "urls_per_sec_4n": x4["urls_per_sec"],
         "scaling_efficiency": eff,
+        "reps_pages_per_sec": {str(c): [d["pages_per_sec"] for d in seq[c]] for c in seq},
         "secondary": secondary,
     }
 

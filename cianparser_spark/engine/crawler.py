@@ -69,6 +69,7 @@ class CrawlEngine:
         detail_cost: int = 2,
         salt_buckets: int = 4,
         bloom_buckets: int = 16,
+        dedup_broadcast_rows: int = 100_000,
         verbose: bool = False,
     ):
         self.spark = spark
@@ -78,6 +79,7 @@ class CrawlEngine:
         self.detail_cost = detail_cost
         self.salt_buckets = salt_buckets
         self.bloom_buckets = bloom_buckets
+        self.dedup_broadcast_rows = dedup_broadcast_rows
         self.verbose = verbose
         self._t0 = 0.0
         self.runtimes = {s.seed_id: model.seed_runtime(s) for s in seeds}
@@ -465,7 +467,7 @@ class CrawlEngine:
             # list-only case the spool files ARE the offers append (the
             # commit adopts the directory by rename — zero-copy)
             acc_spool = os.path.join(self.store.root, "scratch", f"accepted-w{wave:05d}")
-            self._dedup(finalize) \
+            self._dedup(finalize, approx_rows=n_cards) \
                 .withColumn("wave", F.lit(wave).cast("long")) \
                 .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
                 .write.mode("overwrite").parquet(acc_spool)
@@ -621,29 +623,48 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- dedup
 
-    def _dedup(self, finalize: DataFrame) -> DataFrame:
+    def _dedup(self, finalize: DataFrame, approx_rows: int = 0) -> DataFrame:
         """First-wins dedup in crawl order: keep-first inside the batch,
         then Bloom-prefiltered anti-join against the seen set (A1/J4 in
         SURVEY.md §2.6) — maybe-seen rows take the exact join;
         definitely-unseen rows bypass it.
 
-        Keep-first is ``min_by`` over the (page_number, card_index)
-        crawl-order key — a hash aggregate with map-side partial
-        aggregation, NOT a window: a window would shuffle the same wide
-        rows and then sort every partition, and the sort buys nothing
-        because only the minimum is kept.  (page_number, card_index) is
-        unique per (seed_id, deal_url_id) group, so the result is
-        deterministic."""
+        Keep-first never shuffles the wide card rows when it can avoid
+        it: winner selection runs on FOUR narrow columns
+        (seed_id, deal_url_id, page_number, card_index) — a min-struct
+        hash aggregate with map-side partial aggregation — and the wide
+        rows are then kept by a broadcast left-semi join on the winning
+        (seed_id, page_number, card_index), which uniquely identifies
+        one card.  Broadcast pays a serial driver-side hash-relation
+        build, so it only wins for politeness-bounded waves
+        (≲10^5 cards); above ``dedup_broadcast_rows`` a ``min_by`` hash
+        aggregate carrying the whole row through one shuffle — still no
+        sort (a window would shuffle the same rows AND sort every
+        partition to keep only the minimum).  Both paths are
+        deterministic: (page_number, card_index) is unique per
+        (seed_id, deal_url_id) group."""
         keys = ["seed_id", "deal_url_id"]
-        payload = [c for c in finalize.columns if c not in keys]
-        batch_first = (
-            finalize.groupBy(*keys)
-            .agg(F.min_by(
-                F.struct(*payload),
-                F.struct("page_number", "card_index"),
-            ).alias("_f"))
-            .select(*keys, "_f.*")
-        )
+        if approx_rows <= self.dedup_broadcast_rows:
+            winners = (
+                finalize.select("seed_id", "deal_url_id", "page_number", "card_index")
+                .groupBy(*keys)
+                .agg(F.min(F.struct("page_number", "card_index")).alias("_w"))
+                .select("seed_id", F.col("_w.page_number").alias("page_number"),
+                        F.col("_w.card_index").alias("card_index"))
+            )
+            batch_first = finalize.join(
+                F.broadcast(winners), ["seed_id", "page_number", "card_index"], "left_semi"
+            )
+        else:
+            payload = [c for c in finalize.columns if c not in keys]
+            batch_first = (
+                finalize.groupBy(*keys)
+                .agg(F.min_by(
+                    F.struct(*payload),
+                    F.struct("page_number", "card_index"),
+                ).alias("_f"))
+                .select(*keys, "_f.*")
+            )
 
         blobs = self._bloom or {}
         if blobs:

@@ -44,6 +44,16 @@ def test_bitmatch_multiseed_with_faults(spark, tmp_run_dir):
     _bit_match(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=16)
 
 
+def test_bitmatch_minby_dedup_path(spark, tmp_run_dir):
+    """dedup_broadcast_rows=0 forces the large-wave min_by fallback;
+    it must produce the identical crawl-ordered output as the
+    broadcast-semi winner join the small waves take."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
+                       additional_settings={"end_page": 3})]
+    _bit_match(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=16,
+               dedup_broadcast_rows=0)
+
+
 def test_bitmatch_extra_data_and_newobject(spark, tmp_run_dir):
     seeds = [
         CrawlSeed(1, "Москва", "flat", "sale", rooms=1, with_extra_data=True,
