@@ -338,6 +338,67 @@ def q_a8_label_dedup(spark, sf_dir):
     return emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
 
 
+# ------------------------------------------------------------- streaming
+
+def _stream_events_dir(sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="evstream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def _drain(df, name: str, spark, mode: str):
+    import tempfile
+
+    q = (
+        df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def q_stream_first_wins(spark, sf_dir):
+    """Structured Streaming keyed-state dedup (applyInPandasWithState):
+    first event per (user_id, event_type) over a file stream — the
+    URL-seen set as a streaming state store, oracle-checked."""
+    from cianparser_spark.streaming import first_wins_stream
+
+    out = _drain(first_wins_stream(spark, _stream_events_dir(sf_dir)),
+                 "q_stream_fw", spark, "append")
+    return out.select("user_id", "event_type", "event_id")
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """Structured Streaming event-time window aggregation drained in
+    complete mode (all windows emitted) — oracle = time_bucket SQL."""
+    from pyspark.sql import functions as SF
+
+    from cianparser_spark.streaming import EVENTS_SCHEMA
+
+    s = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(_stream_events_dir(sf_dir))
+    )
+    agg = (
+        s.groupBy(SF.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(SF.count("*").alias("n"), SF.round(SF.avg("value"), 6).alias("avg_value"))
+        .select(
+            # string timestamps: timestamp physical units (ns vs us)
+            # differ between Arrow readers and would break value hashing
+            SF.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "avg_value",
+        )
+    )
+    return _drain(agg, "q_stream_win", spark, "complete")
+
+
 # ---------------------------------------------------- crawl-native (rows-only)
 
 def q_crawl_flagship(spark, sf_dir):
@@ -440,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "a8_label_dedup": q_a8_label_dedup,
+        "stream_first_wins": q_stream_first_wins,
+        "stream_window_counts": q_stream_window_counts,
         "crawl_flagship": q_crawl_flagship,
         "payload_verify": q_payload_verify,
         "payload_phash_dedup": q_payload_phash_dedup,
@@ -632,6 +695,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "a8_label_dedup": "SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label",
+        "stream_first_wins": """
+            SELECT user_id, event_type, event_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "stream_window_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
         # dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
         # multimodal_features, crawl_flagship, payload_verify,
         # payload_phash_dedup: rows-only by design (signature/LSH/IVF

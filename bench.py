@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "a8_label_dedup",
+    "stream_first_wins", "stream_window_counts",
     "crawl_flagship", "payload_verify", "payload_phash_dedup",
 ]
 

@@ -46,6 +46,7 @@ class WebConfig:
     fail_429_mod: int = 41          # 429 on attempt 0
     dead_mod: int = 0               # permanent 500 when > 0
     noheader_mod: int = 0           # header-less 200 list page when > 0
+    robots_disallow: tuple = ()     # path(-prefix) patterns served in robots.txt
     # The reference couples a detail-fetch failure to the PAGE retry
     # counter (an exception aborts parse_list_offers_page mid-loop,
     # cianparser/cianparser.py:81-87), so cards after a failing detail
@@ -508,6 +509,18 @@ CAPTCHA_HTML = "<html><body><div>Проверка: Captcha</div><span>Подтв
 
 def is_list_url(url: str) -> bool:
     return "/cat.php?" in url or "/newobjects/list/?" in url
+
+
+def robots_txt(host: str, cfg: WebConfig = DEFAULT_CONFIG) -> str:
+    """The synthetic ``GET /robots.txt`` for a host — deterministic in
+    cfg.  A real deployment fetches this once per host; the engine does
+    the same against this resolver."""
+    lines = ["User-agent: *"]
+    if cfg.robots_disallow:
+        lines += [f"Disallow: {p}" for p in cfg.robots_disallow]
+    else:
+        lines.append("Disallow:")  # allow all
+    return "\n".join(lines) + "\n"
 
 
 def status_for(url: str, attempt: int, cfg: WebConfig = DEFAULT_CONFIG) -> int:

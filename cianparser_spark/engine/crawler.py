@@ -45,12 +45,14 @@ import shutil
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cianparser_spark.corpus import webgen
 from cianparser_spark.engine import model
 from cianparser_spark.engine.bloom import BloomFilter
 from cianparser_spark.engine.stage import make_fetch_parse
 from cianparser_spark.engine.store import WaveStore
+from cianparser_spark.semantics import robots
 from cianparser_spark.semantics.simulator import CrawlSeed
 
 MAX_ATTEMPTS = 3  # (reference: cianparser/cianparser.py:73)
@@ -70,6 +72,7 @@ class CrawlEngine:
         salt_buckets: int = 4,
         bloom_buckets: int = 16,
         dedup_broadcast_rows: int = 100_000,
+        respect_robots: bool = True,
         verbose: bool = False,
     ):
         self.spark = spark
@@ -83,6 +86,17 @@ class CrawlEngine:
         self.verbose = verbose
         self._t0 = 0.0
         self.runtimes = {s.seed_id: model.seed_runtime(s) for s in seeds}
+        # robots.txt fetched ONCE per host at plan time (the real
+        # deployment's GET /robots.txt); at many-host scale this dict
+        # becomes a broadcast (host, prefix) dim table — here rules are
+        # config-uniform so the flattened prefix tuple suffices
+        self.robots_prefixes: tuple = ()
+        if respect_robots:
+            hosts = {rt["template"].split("/")[2] for rt in self.runtimes.values()}
+            prefs: set = set()
+            for h in sorted(hosts):
+                prefs |= set(robots.parse_robots(webgen.robots_txt(h, web_cfg)))
+            self.robots_prefixes = tuple(sorted(prefs))
         self.store = WaveStore(spark, run_dir, model.TABLE_SCHEMAS, model.REPLACE_TABLES)
         # driver-cached state, rebuilt from the snapshot on resume
         self._stopped: dict[int, int] | None = None
@@ -225,6 +239,78 @@ class CrawlEngine:
             "_selected", survivors & (F.col("_cum2") <= F.col("_budget"))
         ).drop("_cost", "_krank", "_salt", "_cum1", "_cum2", "_budget")
 
+    # ------------------------------------------------------------- robots
+
+    def _robots_gate(self, pending: DataFrame, wave: int):
+        """Split the frontier on robots.txt Disallow rules — a native
+        ``startswith`` prune over path+query, no fetch tokens consumed.
+
+        Returns (allowed_frontier, dead_rows|None, offer_rows|None):
+        blocked list pages dead-letter as kind='robots-list'; blocked
+        detail pages degrade gracefully — their offer is emitted from
+        the card fields already staged in ``card_json`` (JVM-side
+        ``from_json``, no Python)."""
+        if not self.robots_prefixes:
+            return pending, None, None
+        q = F.parse_url(F.col("url"), F.lit("QUERY"))
+        pq = F.concat(
+            F.parse_url(F.col("url"), F.lit("PATH")),
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        )
+        cond = None
+        for p in self.robots_prefixes:
+            c = pq.startswith(F.lit(p))
+            cond = c if cond is None else cond | c
+        base = pending.withColumn("_blocked", cond)
+        allowed = base.filter(~F.col("_blocked")).drop("_blocked")
+        blocked = base.filter(F.col("_blocked")).drop("_blocked")
+        stats = {r["kind"]: r["n"] for r in
+                 blocked.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+        dead = None
+        offers = None
+        if stats.get("list"):
+            dead = blocked.filter(F.col("kind") == "list").select(
+                "url", F.lit("robots-list").alias("kind"),
+                "seed_id", "page_number", "attempt",
+                F.lit(wave).cast("long").alias("wave"),
+            )
+        if stats.get("detail"):
+            from cianparser_spark.engine.stage import parse_detail_fields
+
+            offer_struct = T.StructType(
+                [f for f in model.STAGE_SCHEMA.fields if f.name in set(model.OFFER_COLS)]
+            )
+            # reference dict-union: detail fields override card fields
+            # even when the detail page is empty (flat/list.py:69 with
+            # flat/page.py defaults) — replicate the empty-page merge by
+            # nulling each kind's detail-overridable columns
+            null_cols = {
+                k: set(parse_detail_fields("", {"kind": k}).keys())
+                for k in {rt["kind"] for rt in self.runtimes.values()}
+            }
+            kind_seeds: dict[str, list[int]] = {}
+            for sid, rt in self.runtimes.items():
+                kind_seeds.setdefault(rt["kind"], []).append(sid)
+            cols = []
+            for c in model.OFFER_COLS:
+                null_cond = None
+                for k, dropped in null_cols.items():
+                    if c in dropped:
+                        cnd = F.col("seed_id").isin(kind_seeds[k])
+                        null_cond = cnd if null_cond is None else null_cond | cnd
+                e = F.col(f"_c.{c}")
+                if null_cond is not None:
+                    e = F.when(null_cond, F.lit(None)).otherwise(e)
+                cols.append(e.alias(c))
+            offers = (
+                blocked.filter(F.col("kind") == "detail")
+                .select(F.from_json("card_json", offer_struct).alias("_c"),
+                        "seed_id", "page_number", "card_index")
+                .select(*cols, "seed_id", "page_number", "card_index")
+                .withColumn("wave", F.lit(wave).cast("long"))
+            )
+        return allowed, dead, offers
+
     # ------------------------------------------------------------- helpers
 
     def _apply_stop_filter(self, df: DataFrame, page_col="page_number") -> DataFrame:
@@ -264,6 +350,7 @@ class CrawlEngine:
         pending = self._apply_stop_filter(
             self.store.read("frontier").filter(F.col("wave") == wave)
         )
+        pending, robots_dead, robots_offers = self._robots_gate(pending, wave)
         marked, fully_selected = self._select_budget(pending, self._debt)
 
         # --- driver collect #1: selection stats.  When every host fits
@@ -284,7 +371,15 @@ class CrawlEngine:
             n_selected = sum(r["n"] for r in mstats if r["_selected"])
             n_deferred = sum(r["n"] for r in mstats if not r["_selected"])
         self._tick("select_stats")
+        robots_appends: dict[str, DataFrame] = {}
+        if robots_dead is not None:
+            robots_appends["dead"] = robots_dead
+        if robots_offers is not None:
+            robots_appends["offers"] = robots_offers.select(
+                *model.OFFER_COLS, "seed_id", "page_number", "card_index", "wave")
         if n_selected == 0 and n_deferred == 0:
+            if robots_appends:
+                self.store.commit_wave(wave, appends=robots_appends)
             marked.unpersist()
             self._next_pending = 0
             return False
@@ -293,7 +388,7 @@ class CrawlEngine:
             deferred = marked.withColumn("wave", F.lit(wave + 1).cast("long")) \
                 .select(*[f.name for f in model.FRONTIER_SCHEMA.fields])
             self._debt = {}
-            self.store.commit_wave(wave, appends={"frontier": deferred})
+            self.store.commit_wave(wave, appends={"frontier": deferred, **robots_appends})
             marked.unpersist()
             self._next_pending = n_deferred
             return True
@@ -489,6 +584,8 @@ class CrawlEngine:
             frontier_parts.append(retry_detail_df)
 
         offers_parts = []
+        if robots_offers is not None:
+            offers_parts.append(robots_offers)
         if n_accepted:
             if extra_ids:
                 need_detail = accepted.filter(F.col("seed_id").isin(extra_ids))
@@ -530,6 +627,11 @@ class CrawlEngine:
                                            "page_number", "card_index", "wave")
         if dead_pages or dead_details:
             appends["dead"] = dead_df
+        if robots_dead is not None:
+            appends["dead"] = (
+                appends["dead"].unionByName(robots_dead)
+                if "dead" in appends else robots_dead
+            )
 
         frontier_next = None
         n_frontier_next = 0

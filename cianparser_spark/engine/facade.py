@@ -58,12 +58,14 @@ class CianParser:
         run_dir: str | None = None,
         host_tokens: int = 256,
         output_dir: str | None = None,
+        respect_robots: bool = True,
     ):
         self.__location_id__ = location_id(location)  # raises on unknown
         self.__location_name__ = location
         self._proxies = proxies  # modeled as host token budgets, not sockets
         self._web_cfg = web_cfg
         self._host_tokens = host_tokens
+        self._respect_robots = respect_robots
         self._run_dir = run_dir
         self._output_dir = output_dir or str(pathlib.Path.cwd())
         if spark is None:
@@ -120,7 +122,8 @@ class CianParser:
     def _run(self, seed: CrawlSeed, with_saving_csv: bool, file_kind: str) -> list[dict]:
         run_dir = self._run_dir or tempfile.mkdtemp(prefix="cianspark_run_")
         engine = CrawlEngine(self._spark, run_dir, [seed], self._web_cfg,
-                             host_tokens=self._host_tokens)
+                             host_tokens=self._host_tokens,
+                             respect_robots=self._respect_robots)
         offers = engine.run()
         self.result = compat.to_reference_rows(offers, [seed])
         if with_saving_csv and self.result:

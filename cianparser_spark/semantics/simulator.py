@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from cianparser_spark.corpus import webgen
-from cianparser_spark.semantics import extract, urls
+from cianparser_spark.semantics import extract, robots, urls
 
 
 @dataclass
@@ -74,6 +74,7 @@ class SimResult:
     pages_fetched: int = 0
     detail_pages_fetched: int = 0
     failed_pages: list[tuple] = field(default_factory=list)
+    robots_blocked: list[str] = field(default_factory=list)
     virtual_seconds: float = 0.0
 
 
@@ -95,10 +96,21 @@ def _project(row: dict, deal_type: str) -> dict:
 class ReferenceSimulator:
     """Runs seeds sequentially with the reference's exact semantics."""
 
-    def __init__(self, cfg: webgen.WebConfig = webgen.DEFAULT_CONFIG, project_fields: bool = True):
+    def __init__(self, cfg: webgen.WebConfig = webgen.DEFAULT_CONFIG, project_fields: bool = True,
+                 respect_robots: bool = True):
         self.cfg = cfg
         self.project_fields = project_fields
+        self.respect_robots = respect_robots
         self._fetch_counts: dict[str, int] = {}
+        self._robots: dict[str, tuple] = {}
+
+    def _allowed(self, url: str) -> bool:
+        if not self.respect_robots:
+            return True
+        host = url.split("/")[2]
+        if host not in self._robots:
+            self._robots[host] = robots.parse_robots(webgen.robots_txt(host, self.cfg))
+        return robots.is_allowed(url, self._robots[host])
 
     def _fetch(self, url: str) -> tuple[int, str]:
         n = self._fetch_counts.get(url, 0)
@@ -123,6 +135,9 @@ class ReferenceSimulator:
         while page_number < end_page and not end_all:
             page_number += 1
             url = urls.format_page_url(template, page_number)
+            if not self._allowed(url):
+                res.robots_blocked.append(url)
+                continue  # never fetched: no retry, no sleep, no attempt
             attempt = 0
             parsed = False
             while attempt < MAX_ATTEMPTS and not parsed:
@@ -199,7 +214,13 @@ class ReferenceSimulator:
 
         page_data: dict = {}
         if seed.with_extra_data:
-            detail_html = self._detail(url, res)
+            if self._allowed(url):
+                detail_html = self._detail(url, res)
+            else:
+                # blocked detail degrades to "enrichment from an empty
+                # page": the reference extractor's own defaults
+                res.robots_blocked.append(url)
+                detail_html = ""
             page_data = (
                 extract.detail_suburban(detail_html)
                 if kind == "suburban"
@@ -234,7 +255,12 @@ class ReferenceSimulator:
         if common["url"] in res.seen:
             return
         # detail fetch is unconditional for newobjects (newobject/list.py:77-79)
-        detail_html = self._detail(common["url"] + "/", res)
+        durl = common["url"] + "/"
+        if self._allowed(durl):
+            detail_html = self._detail(durl, res)
+        else:
+            res.robots_blocked.append(durl)
+            detail_html = ""
         page_data = extract.detail_newobject(detail_html)
         res.count_parsed_offers += 1
         res.seen.add(common["url"])
