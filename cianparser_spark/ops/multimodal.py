@@ -91,6 +91,57 @@ def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") 
     )
 
 
+def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
+                         seconds: float = 0.5) -> DataFrame:
+    """Synthetic audio rows: raw 16-bit mono PCM (deterministic sine
+    mixes keyed by clip id) with typed metadata — the audio modality's
+    schema/plumbing, no external codec required."""
+    rows = []
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    for i in range(n_clips):
+        f0 = 220.0 + 55.0 * (i % 8)
+        wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+        pcm = (wave * 32767).astype("<i2").tobytes()
+        rows.append((f"aud{i:04d}", pcm, sr, n, "pcm_s16le"))
+    return spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string"
+    )
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode → (rms, zero-crossing rate, dominant
+    frequency via FFT argmax).  Raw PCM decodes for real; compressed
+    formats (mp3/ogg/flac) are STUBBED: this container has no audio
+    codec libraries, so they yield ok=false rows (documented limitation;
+    a real deployment plugs ffmpeg/soundfile into ``_pcm``)."""
+
+    def _pcm(data: bytes, fmt: str, n: int) -> np.ndarray:
+        if fmt != "pcm_s16le":
+            raise NotImplementedError(f"no audio codec for fmt={fmt!r} here")
+        return np.frombuffer(data, dtype="<i2", count=n).astype(np.float64) / 32767.0
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    x = _pcm(bytes(r.bytes), r.fmt, int(r.n_samples))
+                    zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
+                    spec = np.abs(np.fft.rfft(x))
+                    dom = float(np.argmax(spec[1:]) + 1) * r.sample_rate / len(x)
+                    out.append({"audio_id": r.audio_id, "ok": True,
+                                "rms": float(np.sqrt(np.mean(x * x))),
+                                "zcr": zc, "dominant_hz": dom})
+                except NotImplementedError:
+                    out.append({"audio_id": r.audio_id, "ok": False,
+                                "rms": None, "zcr": None, "dominant_hz": None})
+            yield pd.DataFrame(out, columns=["audio_id", "ok", "rms", "zcr", "dominant_hz"])
+
+    return audio.select("audio_id", "bytes", "sample_rate", "n_samples", "fmt") \
+        .mapInPandas(run, "audio_id string, ok boolean, rms double, zcr double, dominant_hz double")
+
+
 def make_synthetic_video(spark, n_videos: int = 8, frames: int = 12,
                          w: int = 32, h: int = 32) -> DataFrame:
     """Synthetic 'video' rows: length-prefixed concatenated PNG frames

@@ -124,6 +124,21 @@ def test_multimodal_features_and_stub(spark):
     assert px.shape == (16, 16, 3)
 
 
+def test_audio_features_and_stub(spark):
+    from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
+
+    aud = make_synthetic_audio(spark, n_clips=8, sr=8000, seconds=0.25)
+    feats = {r["audio_id"]: r for r in audio_features(aud).collect()}
+    assert len(feats) == 8 and all(r["ok"] for r in feats.values())
+    # clip 0 is a 220 Hz fundamental: FFT argmax must land near it
+    assert abs(feats["aud0000"]["dominant_hz"] - 220.0) < 8.0
+    assert 0.3 < feats["aud0000"]["rms"] < 0.7
+    # unknown codec degrades to ok=false rows, not job failure
+    bad = aud.withColumn("fmt", F.lit("mp3"))
+    rows = audio_features(bad).collect()
+    assert all(not r["ok"] for r in rows)
+
+
 def test_video_frame_sampling(spark):
     from cianparser_spark.ops.multimodal import frame_sample, make_synthetic_video
 
