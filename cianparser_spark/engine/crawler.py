@@ -102,6 +102,7 @@ class CrawlEngine:
         self._stopped: dict[int, int] | None = None
         self._debt: dict[str, int] = {}
         self._bloom: dict[int, BloomFilter] | None = None
+        self._seen_nonempty: bool | None = None
         self._staged_nonempty: bool | None = None
         self._next_pending: int | None = None
 
@@ -164,6 +165,8 @@ class CrawlEngine:
                 int(r["bucket"]): BloomFilter.from_bytes(bytes(r["blob"]))
                 for r in self.store.read("bloom").collect()
             }
+        if self._seen_nonempty is None:
+            self._seen_nonempty = self.store.read("seen").limit(1).count() > 0
         if self._staged_nonempty is None:
             last = self.store.last_wave()
             self._staged_nonempty = (
@@ -342,6 +345,57 @@ class CrawlEngine:
 
     def offers(self) -> DataFrame:
         return self.store.read("offers").orderBy(*model.ORDER_COLS)
+
+    # ------------------------------------------------- re-crawl invalidation
+
+    def invalidate_and_recrawl(self, pages: list[tuple[int, int]],
+                               max_waves: int = 10_000) -> DataFrame:
+        """Invalidate specific (seed_id, page_number) list pages and
+        re-crawl them: their offers leave the table, their deal-url-ids
+        leave the seen set, and fresh frontier rows re-fetch the pages.
+
+        Deletes hit the EXACT seen table only.  The Bloom sidecar needs
+        no delete support: a now-stale positive merely routes the key
+        to the exact anti-join, which no longer contains it — the URL
+        is correctly treated as unseen.  (bloom.CuckooFilter remains
+        for deployments that want sidecar-level deletes instead of
+        stale-positive fall-through.)  Offers first seen on OTHER pages
+        keep their seen keys, so a re-crawl never duplicates them."""
+        self._load_state()
+        marker = self.store.last_wave() + 1
+        cond = None
+        for sid, p in pages:
+            c = (F.col("seed_id") == sid) & (F.col("page_number") == p)
+            cond = c if cond is None else cond | c
+        offers_cur = self.store.read("offers")
+        invalid_keys = offers_cur.filter(cond).select("seed_id", "deal_url_id")
+        new_seen = self.store.read("seen").join(
+            invalid_keys, ["seed_id", "deal_url_id"], "left_anti")
+        rows = []
+        for sid, p in pages:
+            rt = self.runtimes[sid]
+            rows.append((rt["template"].format(p), "list",
+                         rt["template"].split("/")[2], None,
+                         sid, p, -1, 0, marker + 1))
+        # the Bloom sidecar may lag the seen table (the final wave of a
+        # completed crawl skips its rebuild) and deletes make it stale
+        # anyway — rebuild it from the post-invalidation seen set so the
+        # re-crawl's prefilter routes every still-seen key to the exact
+        # join (bloom ⊇ seen restored)
+        self._bloom = {}
+        bloom_df = self._update_bloom(new_seen)
+        self.store.commit_wave(
+            marker,
+            appends={"frontier": self.spark.createDataFrame(rows, model.FRONTIER_SCHEMA)},
+            replaces={
+                "offers": offers_cur.filter(~cond),
+                "seen": new_seen,
+                "bloom": bloom_df,
+            },
+        )
+        self._next_pending = len(rows)
+        self._seen_nonempty = None  # recompute from the rewritten table
+        return self.run(max_waves)
 
     def _run_wave(self, wave: int) -> bool:
         self._tick("wave_start")
@@ -712,6 +766,8 @@ class CrawlEngine:
         self.store.commit_wave(wave, appends=appends, replaces=replaces, adopt=adopt)
         self._tick("commit")
         self._next_pending = n_frontier_next
+        if "seen" in appends:
+            self._seen_nonempty = True
 
         if not fully_selected:
             marked.unpersist()
@@ -800,6 +856,16 @@ class CrawlEngine:
                 "left_anti",
             )
             return fresh.unionByName(checked)
+        if self._seen_nonempty:
+            # no Bloom sidecar but a non-empty seen table (e.g. a
+            # re-crawl after a completed run whose final wave skipped
+            # the bloom rebuild): plain exact anti-join — correctness
+            # never depends on the sidecar existing
+            return batch_first.join(
+                self.store.read("seen").select("seed_id", "deal_url_id"),
+                ["seed_id", "deal_url_id"],
+                "left_anti",
+            )
         return batch_first
 
     def _update_bloom(self, seen_new: DataFrame) -> DataFrame:

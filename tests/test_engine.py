@@ -152,6 +152,47 @@ def test_lineage_and_metrics_written(spark, tmp_run_dir):
     assert m == 2
 
 
+def test_invalidate_and_recrawl_idempotent(spark, tmp_run_dir):
+    """Re-crawl invalidation: drop page 2's offers + seen keys, re-fetch
+    the page — the final table must be bit-identical to the original
+    crawl (stale Bloom positives fall through to the exact join, so no
+    re-accepted URL is lost and none duplicates)."""
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     additional_settings={"end_page": 3})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG, host_tokens=2,
+                      bloom_buckets=4)
+    before = compat.to_reference_rows(eng.run(), [seed])
+    n_seen_before = eng.store.read("seen").count()
+
+    after = compat.to_reference_rows(
+        eng.invalidate_and_recrawl([(1, 2)]), [seed])
+    assert after == before
+    assert eng.store.read("seen").count() == n_seen_before
+    # no (seed, page, card) duplicates snuck in
+    off = eng.store.read("offers")
+    assert off.count() == off.select("seed_id", "page_number", "card_index").distinct().count()
+    # and the invalidation alone really removes page 2 (fresh engine view)
+    e2 = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG, host_tokens=2)
+    page2 = e2.store.read("offers").filter(F.col("page_number") == 2).count()
+    assert page2 > 0  # re-crawled rows are back
+
+
+def test_invalidate_recrawl_single_wave_adjacent_dups(spark, tmp_run_dir):
+    """Regression: a single-wave crawl skips the final bloom rebuild, so
+    a later re-crawl must fall back to the exact seen anti-join —
+    otherwise adjacent-page duplicates owned by page 1 get re-admitted
+    when page 2 is re-crawled."""
+    seed = CrawlSeed(1, "Казань", "flat", "sale", rooms=(1, 2),
+                     additional_settings={"end_page": 3})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG, host_tokens=4)
+    before = compat.to_reference_rows(eng.run(), [seed])
+    after = compat.to_reference_rows(eng.invalidate_and_recrawl([(1, 2)]), [seed])
+    assert after == before
+    # no-op invalidation of a page beyond the universe is harmless
+    after2 = compat.to_reference_rows(eng.invalidate_and_recrawl([(1, 99)]), [seed])
+    assert after2 == before
+
+
 def test_bloom_prefilter_never_drops_unseen(spark, tmp_run_dir):
     # run a crawl large enough that waves 2+ consult a non-empty bloom;
     # equality with the oracle implies no false drops

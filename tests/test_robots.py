@@ -5,6 +5,7 @@ applied identically by both worlds, see semantics/robots.py)."""
 
 import dataclasses
 
+import pytest
 from pyspark.sql import functions as F
 
 from cianparser_spark.corpus import webgen as W
@@ -28,6 +29,26 @@ def test_parse_robots_subset():
     assert robots.is_allowed("https://h.ru/x", ())
     # allow-all robots.txt (empty Disallow value) parses to no rules
     assert robots.parse_robots(W.robots_txt("h.ru", BASE_CFG)) == ()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_robots_roundtrip_property(seed):
+    """webgen serves rules → parser recovers them exactly → is_allowed
+    agrees with a naive prefix check, for randomized rule/url sets."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = ["/sale/", "/rent/", "/cat.php?", "/flat/", "/x", "/y/z"]
+    rules = tuple(rng.choice(alphabet) + str(rng.randrange(10))
+                  for _ in range(rng.randrange(1, 5)))
+    cfg = dataclasses.replace(BASE_CFG, robots_disallow=rules)
+    parsed = robots.parse_robots(W.robots_txt("h.ru", cfg))
+    assert parsed == rules
+    for _ in range(50):
+        path = rng.choice(alphabet) + str(rng.randrange(12))
+        url = "https://h.ru" + path
+        naive = not any(path.startswith(r) for r in rules)
+        assert robots.is_allowed(url, parsed) == naive
 
 
 def test_engine_bitmatch_blocked_list_page(spark, tmp_run_dir):
