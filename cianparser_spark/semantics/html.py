@@ -52,20 +52,31 @@ def _balanced_end(html: str, tag: str, open_end: int) -> int:
     return len(html)
 
 
-def blocks(html: str, tag: str, attr: str, value: str) -> list[str]:
-    """All ``<tag attr="value">...</tag>`` blocks (outer HTML, in order)."""
+@lru_cache(maxsize=64)
+def _blocks_cached(html: str, tag: str, attr: str, value: str) -> tuple[str, ...]:
     out: list[str] = []
     pos = 0
     pat = _open_tag_re(tag, attr, value)
     while True:
         m = pat.search(html, pos)
         if m is None:
-            return out
+            return tuple(out)
         end = _balanced_end(html, tag, m.end())
         out.append(html[m.start():end])
         pos = end
 
 
+def blocks(html: str, tag: str, attr: str, value: str) -> list[str]:
+    """All ``<tag attr="value">...</tag>`` blocks (outer HTML, in order).
+
+    Several extractors query the SAME card with the same selector
+    (LinkArea, GeneralInfoSectionRowComponent …), so the scan is
+    memoized on the fragment string; the cached tuple is copied to a
+    fresh list per call."""
+    return list(_blocks_cached(html, tag, attr, value))
+
+
+@lru_cache(maxsize=64)
 def first_block(html: str, tag: str, attr: str, value: str) -> str | None:
     m = _open_tag_re(tag, attr, value).search(html)
     if m is None:
@@ -81,12 +92,18 @@ def text(fragment: str) -> str:
 _SPAN_RE = re.compile(r"<span\b[^>]*>(.*?)</span>", re.S)
 
 
+@lru_cache(maxsize=64)
+def _span_texts_cached(fragment: str) -> tuple[str, ...]:
+    return tuple(text(m.group(1)) for m in _SPAN_RE.finditer(fragment))
+
+
 def span_texts(fragment: str) -> list[str]:
     """Text of every non-nested ``<span>`` in document order.
 
     The synthetic web never nests spans, so a non-greedy scan is exact.
+    Memoized on the fragment (extractors re-query the same card).
     """
-    return [text(m.group(1)) for m in _SPAN_RE.finditer(fragment)]
+    return list(_span_texts_cached(fragment))
 
 
 _A_RE = re.compile(r"<a\b[^>]*\bhref=\"([^\"]*)\"[^>]*>", re.S)
