@@ -465,10 +465,37 @@ class CrawlEngine:
         dp = self.spark.sparkContext.defaultParallelism
         par = max(1, min(4 * dp, (n_selected + 63) // 64))
         spool = os.path.join(self.store.root, "scratch", f"stage-w{wave:05d}")
-        (
+        parsed = (
             selected.repartition(par, "host", "url")
             .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg), model.STAGE_SCHEMA)
-            .write.mode("overwrite").parquet(spool)
+        )
+        # fused first-wins dedup: the wave's ONE wide shuffle rides the
+        # parse job itself (map side pipelines with the Arrow output),
+        # keyed (seed, deal_url_id) for cards and a unique key for
+        # page/detail rows (singleton groups pass through min_by
+        # untouched).  The spool is then written partitioned by
+        # row_type, so every consumer — outcome stats, retry frames,
+        # card finalization — partition-prunes, and on a cold-start
+        # wave the card partition IS the offers append (adopted by
+        # rename).  Net wide-data movement per wave: parse → shuffle →
+        # one write.
+        is_card = F.col("row_type") == "card"
+        gkey = F.when(
+            is_card,
+            F.concat_ws("|", F.lit("C"), F.col("seed_id"),
+                        F.coalesce(F.col("deal_url_id"),
+                                   F.concat_ws("#", F.lit("NUL"),
+                                               F.col("page_number"), F.col("card_index")))),
+        ).otherwise(
+            F.concat_ws("|", F.lit("O"), F.col("row_type"), F.col("seed_id"),
+                        F.col("page_number"), F.col("card_index"), F.col("fetch_url"))
+        )
+        payload = F.struct(*[f.name for f in model.STAGE_SCHEMA.fields])
+        (
+            parsed.groupBy(gkey.alias("_g"))
+            .agg(F.min_by(payload, F.struct("page_number", "card_index")).alias("_f"))
+            .select("_f.*")
+            .write.partitionBy("row_type").mode("overwrite").parquet(spool)
         )
         stage = self.spark.read.schema(model.STAGE_SCHEMA).parquet(spool)
 
@@ -587,41 +614,53 @@ class CrawlEngine:
         accepted = None
         n_accepted = 0
         leftover_df = None
+        acc_adopt_dir = None
         if have_staged_input:
             new_cards = self._apply_stop_filter(
                 stage.filter(F.col("row_type") == "card")
                 .select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
                 .withColumn("wave", F.lit(wave).cast("long"))
             )
-            staged = self._apply_stop_filter(
-                self.store.read("staged").unionByName(new_cards)
-            )
-            if min_pending:
-                wm_df = self.spark.createDataFrame(
-                    [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
-                )
-                staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
-                finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
-                leftover_df = staged.filter(F.col("page_number") > F.col("wm")).drop("wm") \
-                    .select(*[f.name for f in model.STAGED_SCHEMA.fields])
+            cold = (not self._staged_nonempty and not min_pending
+                    and not self._stopped and not self._bloom
+                    and not self._seen_nonempty)
+            if cold:
+                # cold-start wave (no leftovers, no seen set, no stops):
+                # the in-stage fused dedup already produced the final
+                # accepted set, so the spool's card partition IS the
+                # offers append — zero further shuffles or writes
+                acc_adopt_dir = os.path.join(spool, "row_type=card")
+                accepted = new_cards
+                n_accepted = accepted.count()
             else:
-                # every list page is resolved → the watermark passes ALL
-                # staged cards; skip the join and the (provably empty)
-                # leftover scan outright
-                finalize = staged
-                leftover_df = None
-            # spool the dedup result like the stage: its consumers (offer
-            # emit, seen append, bloom update) each read a pruned column
-            # subset, count() is free parquet metadata, and in the
-            # list-only case the spool files ARE the offers append (the
-            # commit adopts the directory by rename — zero-copy)
-            acc_spool = os.path.join(self.store.root, "scratch", f"accepted-w{wave:05d}")
-            self._dedup(finalize, approx_rows=n_cards) \
-                .withColumn("wave", F.lit(wave).cast("long")) \
-                .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
-                .write.mode("overwrite").parquet(acc_spool)
-            accepted = self.spark.read.schema(model.STAGED_SCHEMA).parquet(acc_spool)
-            n_accepted = accepted.count()
+                staged = self._apply_stop_filter(
+                    self.store.read("staged").unionByName(new_cards)
+                )
+                if min_pending:
+                    wm_df = self.spark.createDataFrame(
+                        [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
+                    )
+                    staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
+                    finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
+                    leftover_df = staged.filter(F.col("page_number") > F.col("wm")).drop("wm") \
+                        .select(*[f.name for f in model.STAGED_SCHEMA.fields])
+                else:
+                    # every list page is resolved → the watermark passes
+                    # ALL staged cards; skip the join and the (provably
+                    # empty) leftover scan outright
+                    finalize = staged
+                    leftover_df = None
+                # this wave's cards are already keep-first-deduped by the
+                # fused stage aggregate; the in-batch pass is only re-run
+                # when staged leftovers from earlier waves can collide
+                in_batch = bool(self._staged_nonempty) or bool(min_pending)
+                acc_spool = os.path.join(self.store.root, "scratch", f"accepted-w{wave:05d}")
+                self._dedup(finalize, approx_rows=n_cards, in_batch=in_batch) \
+                    .withColumn("wave", F.lit(wave).cast("long")) \
+                    .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
+                    .write.mode("overwrite").parquet(acc_spool)
+                accepted = self.spark.read.schema(model.STAGED_SCHEMA).parquet(acc_spool)
+                n_accepted = accepted.count()
             self._tick("finalize_dedup")
 
         # --- split accepted: emit now vs enqueue detail
@@ -657,11 +696,12 @@ class CrawlEngine:
                     emit_now.select(*[f.name for f in model.STAGED_SCHEMA.fields])
                 )
             else:
-                # zero-copy: the accepted spool already holds exactly the
-                # offers rows (wave stamped at spool write) — the commit
-                # renames the directory into the table instead of
-                # rewriting 100% of the wave's output
-                adopt["offers"] = acc_spool
+                # zero-copy: the accepted data (the spool's card
+                # partition on cold-start waves, the dedup spool
+                # otherwise) already holds exactly the offers rows —
+                # the commit renames the directory into the table
+                # instead of rewriting 100% of the wave's output
+                adopt["offers"] = acc_adopt_dir or acc_spool
             appends["seen"] = accepted.select(
                 "deal_url_id", "seed_id",
                 F.xxhash64(F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("key_hash"),
@@ -781,7 +821,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- dedup
 
-    def _dedup(self, finalize: DataFrame, approx_rows: int = 0) -> DataFrame:
+    def _dedup(self, finalize: DataFrame, approx_rows: int = 0,
+               in_batch: bool = True) -> DataFrame:
         """First-wins dedup in crawl order: keep-first inside the batch,
         then Bloom-prefiltered anti-join against the seen set (A1/J4 in
         SURVEY.md §2.6) — maybe-seen rows take the exact join;
@@ -802,7 +843,12 @@ class CrawlEngine:
         deterministic: (page_number, card_index) is unique per
         (seed_id, deal_url_id) group."""
         keys = ["seed_id", "deal_url_id"]
-        if approx_rows <= self.dedup_broadcast_rows:
+        if not in_batch:
+            # caller guarantees in-batch uniqueness (the fused stage
+            # aggregate already kept first per key this wave); only the
+            # seen-set membership check below applies
+            batch_first = finalize
+        elif approx_rows <= self.dedup_broadcast_rows:
             winners = (
                 finalize.select("seed_id", "deal_url_id", "page_number", "card_index")
                 .groupBy(*keys)

@@ -100,7 +100,7 @@ STAGE_EXTRA = T.StructType(
     _fields(
         strings=["row_type", "fetch_url", "outcome", "host", "card_json"],
         longs=["status", "seed_id", "page_number", "card_index", "attempt",
-               "n_cards", "partition_id"],
+               "n_cards", "partition_id", "wave"],
     )
 )
 STAGE_SCHEMA = T.StructType(

@@ -144,7 +144,8 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
                     host=r.host, card_json=None, status=None,
                     seed_id=int(r.seed_id), page_number=int(r.page_number),
                     card_index=int(r.card_index), attempt=int(r.attempt),
-                    n_cards=None, partition_id=pid, **_blank_offer_fields(),
+                    n_cards=None, partition_id=pid, wave=int(r.wave),
+                    **_blank_offer_fields(),
                 )
                 status, html = resolver.fetch(r.url, attempt=int(r.attempt), cfg=cfg)
                 base["status"] = status
@@ -189,7 +190,8 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
                         host=r.host, card_json=None, status=200,
                         seed_id=int(r.seed_id), page_number=int(r.page_number),
                         card_index=idx, attempt=0, n_cards=None,
-                        partition_id=pid, **parse_card_fields(card, rt),
+                        partition_id=pid, wave=int(r.wave),
+                        **parse_card_fields(card, rt),
                     )
                     out.append(row)
             pdf_out = pd.DataFrame(out, columns=_ALL_COLS)
