@@ -93,7 +93,7 @@ def run_scaling() -> dict:
     throughput.  Every rep is recorded in the output so the filtering
     is transparent.
     """
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
     def one(cpus: int) -> dict:
         # flush dirty pages from the previous run so background
