@@ -221,8 +221,11 @@ def q_dedup_ngram_topk(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only: signature internals
-    are not SQL-expressible; recall vs exact Jaccard is unit-tested)."""
+    """MinHash+LSH near-dup pairs, verified on candidates only.  The
+    DuckDB oracle is the EXACT n-gram-Jaccard-at-threshold answer: the
+    band config's recall at this threshold is 100% on this corpus
+    (asserted by tests/test_ops.py::test_minhash_lsh_oracle_recall), so
+    LSH candidates ∩ (jaccard >= t) == all pairs with jaccard >= t."""
     from cianparser_spark.ops.dedup import minhash_lsh_pairs
 
     return (
@@ -233,10 +236,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs at hamming <= 3 — recall over the 4×16-bit
+    banded join is GUARANTEED by pigeonhole (<=3 differing bits leave
+    >=1 band exactly equal), so the DuckDB all-pairs hamming join over
+    the independently computed per-doc fingerprints is a full oracle."""
     from cianparser_spark.ops.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=12) \
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3) \
         .orderBy("hamming", "left_id", "right_id")
 
 
@@ -249,8 +255,10 @@ def q_dedup_cosine_topk(spark, sf_dir):
     )
     return (
         # per-block prune keeps 4x the final k: rounding to 6 decimals can
-        # tie values near the cut, and the global tiebreak is on ids
-        cosine_near_pairs(emb, threshold=-1.0, top_k=200)
+        # tie values near the cut, and the global tiebreak is on ids.
+        # lsh_buckets=None OPTS IN to the exact all-pairs scan — required
+        # for a global top-k oracle; the operator's default is bucketed.
+        cosine_near_pairs(emb, threshold=-1.0, top_k=200, lsh_buckets=None)
         .withColumn("cosine", F.round("cosine", 6))
         .orderBy(F.col("cosine").desc(), "left_id", "right_id")
         .limit(50)
@@ -269,10 +277,14 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only; recall unit-tested vs brute force)."""
+    """LSH-bucketed ANN — full SQL oracle: the DuckDB side recomputes
+    the sign-LSH buckets from the same seeded hyperplanes (embedded as
+    DOUBLE[] literals) and ranks cosine inside the probed buckets."""
     from cianparser_spark.ops.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return lsh_topk(emb, qvec, k=15, multiprobe=1).withColumn("cosine", F.round("cosine", 6))
 
@@ -403,27 +415,20 @@ def q_stream_window_counts(spark, sf_dir):
 
 def q_crawl_flagship(spark, sf_dir):
     """The engine itself on the deterministic synthetic web: 1 seed,
-    2 list pages, politeness + dedup + ordered output.  Non-SQL by
-    nature → rows-only check; bit-match vs the sequential oracle is
-    enforced in tests/test_engine.py."""
-    import dataclasses
+    2 list pages, politeness + dedup + ordered output.  The oracle is
+    the sequential reference-semantics simulator's dump (pure Python —
+    cianparser_spark/truth.py), so the driver's side-by-side compare IS
+    the engine-vs-reference bit-match, made driver-visible."""
     import tempfile
 
-    from cianparser_spark.corpus import webgen as W
+    from cianparser_spark import truth
     from cianparser_spark.engine.crawler import CrawlEngine
-    from cianparser_spark.semantics.simulator import CrawlSeed
 
-    cfg = dataclasses.replace(W.DEFAULT_CONFIG, faults_on_details=False)
-    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
-                     additional_settings={"end_page": 2})
+    seed, cfg = truth.flagship_seed_and_cfg()
     eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="flagship_"), [seed], cfg,
                       host_tokens=64)
     offers = eng.run()
-    return offers.select(
-        "seed_id", "page_number", "card_index", "deal_url_id", "url",
-        "author_type", "rooms_count", "total_meters", "price", "district",
-        "street", "house_number", "image_id",
-    )
+    return offers.select(*truth.CRAWL_TRUTH_COLS)
 
 
 def q_payload_verify(spark, sf_dir):
@@ -520,6 +525,30 @@ _QUALITY_CORE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # Truth dumps + literal constants for the crawl/payload/ANN oracles:
+    # built HERE (pure Python, no Spark — simulator, corpus generator,
+    # numpy over the driver's parquet) so the SQL strings are valid no
+    # matter which side the driver executes first.  sf-dependent truths
+    # are pinned to sf0.01, the driver's documented compare scale.
+    from cianparser_spark import truth
+
+    crawl_path = truth.ensure_crawl_truth()
+    payload_path = truth.ensure_payload_truth()
+    simhash_path = truth.ensure_simhash_truth()
+    dim = truth.embedding_dim()
+    planes = truth.lsh_plane_literals(dim=dim)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_union = "SELECT qb FROM q UNION ALL " + " UNION ALL ".join(
+        f"SELECT xor(qb, {1 << i}) FROM q" for i in range(len(planes))
+    )
+    cents = truth.ivf_centroid_literals()
+    cent_values = ", ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+
     langs = ["en", "de", "fr", "es", "zh"]
     markers = {
         "en": "('the','and','of','is','with')",
@@ -708,9 +737,107 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh, ann_ivf,
-        # multimodal_features, crawl_flagship, payload_verify,
-        # payload_phash_dedup: rows-only by design (signature/LSH/IVF
-        # internals, the crawl engine, and image decode are not
-        # ANSI-SQL-expressible).
+        # LSH recall at this threshold is 100% on this corpus (unit-
+        # asserted), so the exact Jaccard-at-threshold answer IS the
+        # LSH output — a genuine oracle for the banded join + verify.
+        "dedup_minhash_lsh": """
+            WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
+              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT left_id, right_id,
+                   round(i * 1.0 / (sl.n + sr.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sl ON sl.doc_id = left_id
+            JOIN sizes sr ON sr.doc_id = right_id
+            WHERE i * 1.0 / (sl.n + sr.n - i) >= 0.2
+        """,
+        # per-doc fingerprints from the pure-pandas truth dump; the SQL
+        # all-pairs hamming join checks the banded candidate generation
+        # (recall <=3 guaranteed by pigeonhole over 4x16-bit bands)
+        "dedup_simhash": f"""
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   bit_count(xor(l.simhash, r.simhash)) AS hamming
+            FROM read_parquet('{simhash_path}') l
+            JOIN read_parquet('{simhash_path}') r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        """,
+        # sign-LSH buckets recomputed in SQL from the same seeded
+        # hyperplane literals; probe set = query bucket + 1-bit flips
+        "ann_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e, {bucket_expr} AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT bucket AS qb, e AS qe FROM b WHERE vec_id = 0),
+            probes AS ({probe_union})
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(b.e, (SELECT qe FROM q)), 6) AS cosine
+            FROM b WHERE b.bucket IN (SELECT qb FROM probes)
+            ORDER BY cosine DESC, b.vec_id LIMIT 15
+        """,
+        # IVF lists recomputed in SQL from the shared deterministic
+        # k-means-lite centroids (numpy over the raw parquet, embedded
+        # as literals); assignment = argmax dot, probe = nprobe nearest
+        "ann_ivf": f"""
+            WITH cents AS (SELECT * FROM (VALUES {cent_values}) AS t(list_id, centroid)),
+            b AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     (SELECT list_id FROM cents
+                      ORDER BY list_dot_product(o.embedding::DOUBLE[], centroid) DESC, list_id
+                      LIMIT 1) AS l
+              FROM embeddings o
+            ),
+            q AS (SELECT e AS qe FROM b WHERE vec_id = 0),
+            probes AS (
+              SELECT list_id FROM cents, q
+              ORDER BY list_dot_product(q.qe, centroid) DESC, list_id LIMIT 8
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS cosine
+            FROM b WHERE l IN (SELECT list_id FROM probes)
+            ORDER BY cosine DESC, vec_id LIMIT 15
+        """,
+        # decoded-pixel features from the pure-Python truth loop over
+        # the deterministic corpus — matching them proves the Arrow-
+        # batched distributed decode reproduces the reference render
+        "multimodal_features": f"""
+            SELECT image_id, ok, round(mean_luma, 4) AS mean_luma,
+                   round(std_luma, 4) AS std_luma,
+                   round(edge_energy, 4) AS edge_energy
+            FROM read_parquet('{payload_path}')
+            ORDER BY image_id
+        """,
+        # the sequential reference-semantics simulator's offers, in
+        # crawl order, with corpus-ground-truth image ids — the
+        # bit-match oracle, driver-visible
+        "crawl_flagship": f"""
+            SELECT seed_id, page_number, card_index, deal_url_id, url,
+                   author_type, rooms_count, total_meters, price,
+                   district, street, house_number, image_id
+            FROM read_parquet('{crawl_path}')
+        """,
+        "payload_verify": f"""
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   CAST(sum(CASE WHEN caption_match THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_ok,
+                   round(min(CASE WHEN isfinite(psnr) THEN psnr END), 2) AS min_lossy_psnr
+            FROM read_parquet('{payload_path}')
+        """,
+        "payload_phash_dedup": f"""
+            SELECT min(image_id) AS image_id, phash
+            FROM read_parquet('{payload_path}')
+            GROUP BY phash
+        """,
     }

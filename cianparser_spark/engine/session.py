@@ -41,11 +41,24 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    # shuffle/spill scratch on tmpfs when present — the single-box
-    # analog of per-executor local SSDs (each real executor brings its
-    # own spill device; one shared virtio disk would serialize them)
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
+    # shuffle/spill scratch on tmpfs — the single-box analog of
+    # per-executor local SSDs (each real executor brings its own spill
+    # device; one shared virtio disk would serialize them).  Guarded:
+    # SPARK_GRAFT_SCRATCH overrides explicitly; otherwise tmpfs is used
+    # only when /dev/shm is writable AND has >= 8 GiB free (Docker's
+    # default 64 MB /dev/shm would otherwise fail shuffle spills that
+    # plain disk handles fine, and crashed runs would pin RAM).
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
+    elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            free_bytes = 0
+        if free_bytes >= 8 << 30:
+            builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

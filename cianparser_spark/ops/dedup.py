@@ -63,15 +63,66 @@ def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def _jaccard_of_pairs(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+                      id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs.
+
+    Work is Σ_pairs |shingles(left)| — linear in the candidate set, not
+    in the corpus-wide shingle co-occurrence (the all-pairs blow-up LSH
+    exists to avoid).  Pairs with empty intersection drop out of the
+    count join and are below any positive threshold anyway."""
+    l = sh.select(F.col(id_col).alias("left_id"), "shingle")
+    r = sh.select(F.col(id_col).alias("right_id"), "shingle")
+    inter = (
+        cand.join(l, "left_id")
+        .join(r, ["right_id", "shingle"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("n", "nl")), "left_id")
+        .join(F.broadcast(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("n", "nr")), "right_id")
+        .withColumn("jaccard", F.col("inter") / (F.col("nl") + F.col("nr") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.6,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
     """All pairs with k-word-shingle Jaccard >= threshold.
 
     Candidate pairs come from the shingle equi-join (docs sharing at
     least one shingle); |A∩B| is the join count, |A∪B| = |A|+|B|−∩.
-    """
+
+    ``max_shingle_df`` caps the document frequency of shingles admitted
+    to the CANDIDATE join (Jaccard itself stays exact over full shingle
+    sets): one stop-shingle shared by 10^8 docs makes the self-join
+    quadratic in that bucket, so every production near-dup pipeline
+    drops ubiquitous shingles from candidate generation.  A pair whose
+    ONLY shared shingles are capped ones is missed — acceptable by
+    construction (such pairs share nothing discriminative).  Default
+    ``None`` = exact semantics (the oracle-checked mode)."""
     sh = shingle_df(docs, k, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    cand_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(rare, "shingle", "left_semi")
+        cand = (
+            cand_sh.alias("l")
+            .join(cand_sh.alias("r"), "shingle")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("left_id"),
+                    F.col(f"r.{id_col}").alias("right_id"))
+            .distinct()
+        )
+        return _jaccard_of_pairs(cand, sh, sizes, id_col, threshold)
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), "shingle")
@@ -156,42 +207,56 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
         .select(F.col(f"l.{id_col}").alias("left_id"), F.col(f"r.{id_col}").alias("right_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, k, 0.0, text_col, id_col)
-    return (
-        cand.join(exact, ["left_id", "right_id"], "inner")
-        .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", "jaccard")
-    )
+    # verification runs ONLY on the LSH candidates (never the all-pairs
+    # shingle co-occurrence): join each candidate pair back to its two
+    # shingle sets and compute exact Jaccard per pair — linear in the
+    # candidate count at any corpus size
+    sh = shingle_df(docs, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    return _jaccard_of_pairs(cand, sh, sizes, id_col, threshold)
 
 
 # --------------------------------------------------------------- simhash
+
+def simhash_text(t: str) -> int:
+    """64-bit SimHash of one text (signed two's-complement int64).
+
+    Pure function shared by the Spark UDF below AND the oracle truth
+    dump (truth.ensure_simhash_truth) — the per-doc fingerprint is the
+    shared definition; the DISTRIBUTED pair generation (banding, join,
+    hamming filter) is what the DuckDB all-pairs oracle then verifies."""
+    words = t.split()
+    if not words:
+        return 0
+    hs = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    h = 0
+    for i in range(64):
+        if v[i] > 0:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens (sign of per-bit weighted sums)."""
 
     def sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = t.split()
-            if not words:
-                out.append(0)
-                continue
-            hs = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            h = 0
-            for i in range(64):
-                if v[i] > 0:
-                    h |= 1 << i
-            out.append(h - (1 << 64) if h >= (1 << 63) else h)
-        return pd.Series(out)
+        return pd.Series([simhash_text(t) for t in texts])
 
     return docs.select(id_col, F.pandas_udf(sh, "long")(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Hamming-banded self-join over simhash (4×16-bit bands)."""
+    """Hamming-banded self-join over simhash (4×16-bit bands).
+
+    Recall guarantee by pigeonhole: a pair within hamming distance <= 3
+    differs in <= 3 of the 4 bands, so it MUST agree exactly on at
+    least one band and is always a candidate.  For max_hamming > 3 the
+    band join is a high-recall heuristic (near-dup texts concentrate
+    differing bits), not exhaustive — the oracle-checked contract query
+    uses max_hamming=3."""
     sh = simhash(docs, text_col, id_col)
     bands = sh.select(
         id_col, "simhash",
@@ -219,20 +284,30 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
 
 # ----------------------------------------------------- embedding cosine
 
+ALL_PAIRS = 0  # sentinel: explicit opt-in to the O(n²) scan
+
+
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_blocks: int = 8, lsh_buckets: int | None = None,
+                      n_blocks: int = 8, lsh_buckets: int | None = 16,
                       top_k: int | None = None) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold.
 
-    Blocked-GEMM all-pairs: rows hash into ``n_blocks`` blocks; every
-    block PAIR is one cogroup whose cosine matrix is a single numpy
-    matmul (Arrow-batched) — replaces a per-pair higher-order-function
-    fold that is ~50× slower.  Work is n_blocks*(n_blocks+1)/2 cogroup
-    tasks, each O(|bl|·|br|·dim) BLAS.  At 10^10 scale pass
-    ``lsh_buckets`` to pre-bucket by sign-LSH first, so only same-bucket
-    block pairs materialize (candidate generation, not O(n²)).
+    Blocked-GEMM: rows hash into ``n_blocks`` blocks; every block PAIR
+    is one cogroup whose cosine matrix is a single numpy matmul
+    (Arrow-batched) — replaces a per-pair higher-order-function fold
+    that is ~50× slower.  Work is n_blocks*(n_blocks+1)/2 cogroup
+    tasks, each O(|bl|·|br|·dim) BLAS.
+
+    DEFAULT IS SCALE-SAFE: ``lsh_buckets=16`` pre-buckets rows by
+    sign-LSH so only same-bucket block pairs materialize (candidate
+    generation — near-identical vectors land in one bucket with high
+    probability; cross-bucket pairs are missed by design).  Pass
+    ``lsh_buckets=None`` (or ``ALL_PAIRS``) to opt IN to the exact
+    O(n²) scan — correct for global-top-k oracles, quadratic at scale.
     """
+    if lsh_buckets == ALL_PAIRS:
+        lsh_buckets = None
     d = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("vec"))
     if lsh_buckets:
         from cianparser_spark.ops.similarity import signature_bucket

@@ -40,6 +40,21 @@ _FEAT_SCHEMA = (
 )
 
 
+def image_features(px: np.ndarray) -> dict:
+    """Visual features of decoded pixels — the shared per-image
+    definition used by the Spark operator below and by the oracle truth
+    dump (truth.ensure_payload_truth), so the driver's DuckDB compare
+    verifies the distributed decode+Arrow plumbing end to end."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gx = np.abs(np.diff(luma, axis=1)).mean()
+    gy = np.abs(np.diff(luma, axis=0)).mean()
+    return {
+        "mean_luma": float(luma.mean()),
+        "std_luma": float(luma.std()),
+        "edge_energy": float(gx + gy),
+    }
+
+
 def decode_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Arrow-batched decode + simple visual features; unknown formats
     yield ok=false rows instead of failing the job."""
@@ -50,14 +65,9 @@ def decode_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     px = _decode(bytes(r.bytes), r.fmt)
-                    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                    gx = np.abs(np.diff(luma, axis=1)).mean()
-                    gy = np.abs(np.diff(luma, axis=0)).mean()
                     out.append({
                         "image_id": getattr(r, id_col), "ok": True,
-                        "mean_luma": float(luma.mean()),
-                        "std_luma": float(luma.std()),
-                        "edge_energy": float(gx + gy),
+                        **image_features(px),
                     })
                 except NotImplementedError:
                     out.append({"image_id": getattr(r, id_col), "ok": False,

@@ -1,0 +1,219 @@
+"""Deterministic oracle truth dumps — pure Python, zero Spark.
+
+``__spark_entry__.oracle_sql()`` calls the ``ensure_*`` builders here to
+materialize small parquet files under ``TRUTH_DIR`` that DuckDB then
+reads via ``read_parquet('...')``.  Every builder derives its rows from
+a source *independent of the distributed execution path*:
+
+* crawl truth    — the sequential reference-semantics simulator
+                   (semantics/simulator.py), the same oracle the
+                   bit-match tests use, now driver-visible;
+* payload truth  — the deterministic corpus generator's ground truth
+                   (corpus/webgen.py) run through the pure-Python
+                   encode→decode→verify path in a plain loop;
+* simhash truth  — per-doc 64-bit fingerprints computed straight off
+                   the driver's documents.parquet with pandas/numpy
+                   (the *pair generation* — banding recall, join,
+                   hamming filter — is what the SQL oracle then checks
+                   against an all-pairs DuckDB join).
+
+Builders are idempotent: files are keyed by a version tag and inputs,
+and rebuilt only when absent.  The driver's contract compares at
+sf0.01, so sf-dependent truths are pinned to ``SF001_DIR`` (documented
+in each oracle entry).
+"""
+
+from __future__ import annotations
+
+import os
+
+TRUTH_DIR = "/root/repo/.truth"
+SF001_DIR = "/root/testdata/sf0.01"
+_VERSION = 2  # bump to invalidate previously dumped truth files
+
+
+def _path(name: str) -> str:
+    os.makedirs(TRUTH_DIR, exist_ok=True)
+    return os.path.join(TRUTH_DIR, f"{name}_v{_VERSION}.parquet")
+
+
+def _write_parquet(df, path: str) -> str:
+    """Atomic-ish write: dump to tmp then rename (idempotent rebuilds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# --------------------------------------------------------------- crawl
+
+def flagship_seed_and_cfg():
+    """THE flagship crawl configuration — single source of truth shared
+    by ``q_crawl_flagship`` (Spark engine side) and the simulator dump
+    (oracle side), so both worlds crawl the identical synthetic web."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False)
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
+                     additional_settings={"end_page": 2})
+    return seed, cfg
+
+
+CRAWL_TRUTH_COLS = [
+    "seed_id", "page_number", "card_index", "deal_url_id", "url",
+    "author_type", "rooms_count", "total_meters", "price", "district",
+    "street", "house_number", "image_id",
+]
+
+
+def ensure_crawl_truth() -> str:
+    """Run the sequential simulator on the flagship seed and dump its
+    offers (crawl order + extracted fields).  ``image_id`` comes from
+    the corpus ground truth (webgen.offer_truth) — the engine must
+    *extract* it from HTML, so matching it is a strict check."""
+    path = _path("crawl_flagship")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine import model
+    from cianparser_spark.semantics import urls
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    seed, cfg = flagship_seed_and_cfg()
+    sim = ReferenceSimulator(cfg, project_fields=False).run([seed])
+    out = []
+    for (sid, page, idx), row in zip(sim.order, sim.rows):
+        url = row["url"]
+        oid = int(url.rstrip("/").split("/")[-1])
+        rec = {
+            "seed_id": sid,
+            "page_number": page,
+            "card_index": idx,
+            "deal_url_id": urls.deal_url_id(url),
+            "url": url,
+            "author_type": row.get("author_type"),
+            "rooms_count": row.get("rooms_count"),
+            "total_meters": row.get("total_meters"),
+            "price": row.get("price"),
+            "district": row.get("district"),
+            "street": row.get("street"),
+            "house_number": row.get("house_number"),
+            "image_id": f"img{oid % cfg.n_images:08d}",
+        }
+        out.append({k: model.sentinel_to_null(v, k) if k in model.OFFER_COLS else v
+                    for k, v in rec.items()})
+    return _write_parquet(pd.DataFrame(out, columns=CRAWL_TRUTH_COLS), path)
+
+
+# -------------------------------------------------------------- payload
+
+PAYLOAD_N = 240
+
+
+def ensure_payload_truth(n: int = PAYLOAD_N) -> str:
+    """Per-image ground truth for the payload invariants AND the visual
+    features: encode→decode→PSNR/caption check plus luma/edge features,
+    all in a plain pure-Python loop over the deterministic corpus."""
+    path = _path(f"payload_{n}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import image_features
+
+    out = []
+    for i in range(n):
+        row = webgen.image_row(i)
+        ref = webgen.image_pixels(i)
+        px = imaging.decode(row["bytes"], row["fmt"])
+        psnr = imaging.psnr(ref, px)
+        ok = bool((px == ref).all()) if imaging.is_lossless(row["fmt"]) else bool(psnr >= 40.0)
+        feats = image_features(px)
+        out.append({
+            "image_id": row["image_id"],
+            "fmt": row["fmt"],
+            "phash": row["phash"],
+            "caption": row["caption"],
+            "ok": ok,
+            "psnr": float(psnr),
+            "caption_match": row["caption"] == webgen.caption_text(i),
+            "mean_luma": feats["mean_luma"],
+            "std_luma": feats["std_luma"],
+            "edge_energy": feats["edge_energy"],
+        })
+    return _write_parquet(pd.DataFrame(out), path)
+
+
+# -------------------------------------------------------------- simhash
+
+def ensure_simhash_truth(sf_dir: str = SF001_DIR) -> str:
+    """Per-doc simhash fingerprints computed directly off the parquet
+    (pandas/numpy, no Spark).  The SQL oracle does the all-pairs
+    hamming join over this table; the Spark op must reproduce it via
+    its banded (linear) join — banding recall for hamming <= 3 is
+    guaranteed by pigeonhole over the 4×16-bit bands."""
+    path = _path("simhash_sf001")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cianparser_spark.ops.dedup import simhash_text
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    out = pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "simhash": [simhash_text(t) for t in docs["text"]],
+    })
+    return _write_parquet(out, path)
+
+
+# ------------------------------------------------------------------ ann
+
+def embedding_dim(sf_dir: str = SF001_DIR) -> int:
+    """Vector dimensionality of the driver's embeddings table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    return len(t.column("embedding")[0].as_py())
+
+
+def lsh_plane_literals(dim: int = 64, n_planes: int = 6, seed: int = 42) -> list[str]:
+    """The sign-LSH hyperplanes as DuckDB DOUBLE[] literals — the same
+    seeded planes ``ops.similarity.signature_bucket`` uses, so the SQL
+    oracle recomputes bucket ids from first principles."""
+    from cianparser_spark.ops.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    return ["[" + ",".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+
+def ivf_centroid_literals(sf_dir: str = SF001_DIR, n_lists: int = 16,
+                          iters: int = 5, seed: int = 42) -> list[str]:
+    """IVF centroids as DuckDB DOUBLE[] literals, computed by the
+    shared deterministic k-means-lite over the first ``n_lists*64``
+    vectors by vec_id — read straight from parquet with pyarrow, so the
+    oracle's centroids never touch Spark."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cianparser_spark.ops.similarity import kmeans_lite
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(n_lists * 64)
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_lite(x, n_lists, iters, seed)
+    return ["[" + ",".join(repr(float(v)) for v in c) + "]" for c in cents]

@@ -150,3 +150,118 @@ def test_video_frame_sampling(spark):
     from cianparser_spark.corpus import imaging
 
     assert imaging.png_decode(bytes(rows[0]["bytes"])).shape == (32, 32, 3)
+
+
+def test_minhash_lsh_oracle_recall_sf001(spark):
+    """The contract-query guarantee: at sf0.01 and threshold 0.2 the
+    LSH candidate set covers EVERY pair with exact Jaccard >= 0.2, so
+    minhash_lsh_pairs == ngram_jaccard_pairs at that threshold — which
+    is what licenses the exact-Jaccard DuckDB oracle for
+    ``dedup_minhash_lsh`` (__spark_entry__.py)."""
+    from cianparser_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["left_id"], r["right_id"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(d, threshold=0.2).collect()
+    }
+    got = {
+        (r["left_id"], r["right_id"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(d, threshold=0.2).collect()
+    }
+    assert len(exact) > 0
+    assert got == exact
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """Pigeonhole: every pair with hamming <= 3 over the 4×16-bit bands
+    must appear in the banded join — compare against a brute-force
+    numpy all-pairs scan of the same fingerprints."""
+    import itertools
+
+    import pandas as pd
+
+    from cianparser_spark.ops.dedup import simhash_near_pairs, simhash_text
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pdf = d.select("doc_id", "text").toPandas().sort_values("doc_id")
+    sh = {r.doc_id: simhash_text(r.text) for r in pdf.itertuples()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        ham = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            brute.add((a, b, ham))
+    got = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in simhash_near_pairs(d, max_hamming=3).collect()
+    }
+    assert len(brute) > 0
+    assert got == brute
+
+
+def test_ngram_df_cap_bounds_candidates(spark):
+    """A pathological stop-shingle shared by every doc must not blow up
+    candidate generation when max_shingle_df is set: pairs whose ONLY
+    shared shingle is the ubiquitous one disappear, while truly similar
+    pairs keep their EXACT Jaccard values (full shingle sets)."""
+    from cianparser_spark.ops.dedup import ngram_jaccard_pairs
+
+    stop = "в хорошем состоянии"
+    rows = [(i, f"{stop} вариант {i} уникальный текст номер {i}") for i in range(20)]
+    rows += [(100, f"{stop} редкая фраза про дом у озера"),
+             (101, f"{stop} редкая фраза про дом у озера")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=5).collect()
+    # uncapped: every pair shares the stop-shingle → quadratic pair count
+    assert len(uncapped) == (22 * 21) // 2
+    # capped: only the genuinely-similar pair survives candidate gen
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"] for r in capped}
+    assert set(pairs) == {(100, 101)}
+    # and its Jaccard is the EXACT full-set value (1.0 for identical)
+    assert pairs[(100, 101)] == pytest.approx(1.0)
+
+
+def test_ann_index_reuse_matches_per_query_path(spark, emb):
+    """build_lsh_index / build_ivf_index: one persisted assignment pass
+    serves many queries with identical results to the per-query path."""
+    from cianparser_spark.ops.similarity import (
+        build_ivf_index, build_lsh_index, ivf_topk, lsh_topk)
+
+    q0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    q1 = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+
+    lsh_idx = build_lsh_index(emb)
+    ivf_idx = build_ivf_index(emb)
+    try:
+        for q in (q0, q1):
+            direct = [(r["vec_id"], round(r["cosine"], 9))
+                      for r in lsh_topk(emb, q, k=10).collect()]
+            via_idx = [(r["vec_id"], round(r["cosine"], 9))
+                       for r in lsh_topk(None, q, k=10, index=lsh_idx).collect()]
+            assert direct == via_idx
+            direct = [(r["vec_id"], round(r["cosine"], 9))
+                      for r in ivf_topk(emb, q, k=10, nprobe=8).collect()]
+            via_idx = [(r["vec_id"], round(r["cosine"], 9))
+                       for r in ivf_topk(None, q, k=10, nprobe=8, index=ivf_idx).collect()]
+            assert direct == via_idx
+    finally:
+        lsh_idx.unpersist()
+        ivf_idx[0].unpersist()
+
+
+def test_cosine_near_pairs_bucketed_default_is_subset(spark, emb):
+    """The scale-safe default (lsh_buckets=16) yields a SUBSET of the
+    all-pairs scan, and near-identical vectors still pair up."""
+    from cianparser_spark.ops.dedup import cosine_near_pairs
+
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    allp = {(r["left_id"], r["right_id"]) for r in
+            cosine_near_pairs(both, threshold=0.9999, lsh_buckets=None).collect()}
+    bucketed = {(r["left_id"], r["right_id"]) for r in
+                cosine_near_pairs(both, threshold=0.9999).collect()}
+    assert bucketed <= allp
+    # exact duplicates share every hyperplane sign → always same bucket
+    assert {(i, i + 100000) for i in range(5)} <= bucketed
