@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cianparser_spark.corpus import webgen
-from cianparser_spark.engine import model
+from cianparser_spark.engine import columnar, model
 from cianparser_spark.engine.bloom import BloomFilter
 from cianparser_spark.engine.stage import make_fetch_parse
 from cianparser_spark.engine.store import WaveStore
@@ -98,6 +98,7 @@ class CrawlEngine:
                 prefs |= set(robots.parse_robots(webgen.robots_txt(h, web_cfg)))
             self.robots_prefixes = tuple(sorted(prefs))
         self.store = WaveStore(spark, run_dir, model.TABLE_SCHEMAS, model.REPLACE_TABLES)
+        self._dim: DataFrame | None = None
         # driver-cached state, rebuilt from the snapshot on resume
         self._stopped: dict[int, int] | None = None
         self._debt: dict[str, int] = {}
@@ -105,6 +106,11 @@ class CrawlEngine:
         self._seen_nonempty: bool | None = None
         self._staged_nonempty: bool | None = None
         self._next_pending: int | None = None
+
+    def _seed_dim(self) -> DataFrame:
+        if self._dim is None:
+            self._dim = columnar.seed_dim(self.spark, self.runtimes)
+        return self._dim
 
     def _tick(self, label: str) -> None:
         if self.verbose:
@@ -360,7 +366,18 @@ class CrawlEngine:
         is correctly treated as unseen.  (bloom.CuckooFilter remains
         for deployments that want sidecar-level deletes instead of
         stale-positive fall-through.)  Offers first seen on OTHER pages
-        keep their seen keys, so a re-crawl never duplicates them."""
+        keep their seen keys, so a re-crawl never duplicates them.
+
+        Known limitation (documented, accepted): only the invalidated
+        pages are re-fetched.  An offer that FIRST won on an
+        invalidated page but also appeared (as a suppressed duplicate)
+        on another already-crawled page is recovered only if the
+        re-fetched page still lists it — the loser pages are not
+        re-crawled.  Full recovery would re-enqueue every page known to
+        have contained a duplicate of the invalidated keys, which
+        requires a (key, page) duplicate log the reference has no
+        analog of; deployments that need it can widen ``pages`` to the
+        affected range."""
         self._load_state()
         marker = self.store.last_wave() + 1
         cond = None
@@ -368,7 +385,10 @@ class CrawlEngine:
             c = (F.col("seed_id") == sid) & (F.col("page_number") == p)
             cond = c if cond is None else cond | c
         offers_cur = self.store.read("offers")
-        invalid_keys = offers_cur.filter(cond).select("seed_id", "deal_url_id")
+        invalid_keys = offers_cur.filter(cond).select(
+            "seed_id",
+            F.coalesce(F.col("deal_url_id"), F.lit("-1")).alias("deal_url_id"),
+        )
         new_seen = self.store.read("seen").join(
             invalid_keys, ["seed_id", "deal_url_id"], "left_anti")
         rows = []
@@ -465,10 +485,15 @@ class CrawlEngine:
         dp = self.spark.sparkContext.defaultParallelism
         par = max(1, min(4 * dp, (n_selected + 63) // 64))
         spool = os.path.join(self.store.root, "scratch", f"stage-w{wave:05d}")
-        parsed = (
+        # narrow Python fetch kernel → JVM-side columnar field extraction
+        # (engine/columnar.py); Catalyst pipelines the widen projection
+        # into the same stage, so raw card blocks never hit a shuffle
+        raw = (
             selected.repartition(par, "host", "url")
-            .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg), model.STAGE_SCHEMA)
+            .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg),
+                         model.RAW_STAGE_SCHEMA)
         )
+        parsed = columnar.widen(raw, self._seed_dim())
         # fused first-wins dedup: the wave's ONE wide shuffle rides the
         # parse job itself (map side pipelines with the Arrow output),
         # keyed (seed, deal_url_id) for cards and a unique key for
@@ -480,12 +505,15 @@ class CrawlEngine:
         # rename).  Net wide-data movement per wave: parse → shuffle →
         # one write.
         is_card = F.col("row_type") == "card"
+        # null deal_url_id (extraction fell through) keys as the literal
+        # "-1" — the reference inserts "-1" into its seen set, so ALL
+        # such cards of one seed collapse to the first (helpers.py:27-34
+        # default + flat/list.py:57); the same key is used by _dedup and
+        # the seen table, so every path agrees with the simulator
         gkey = F.when(
             is_card,
             F.concat_ws("|", F.lit("C"), F.col("seed_id"),
-                        F.coalesce(F.col("deal_url_id"),
-                                   F.concat_ws("#", F.lit("NUL"),
-                                               F.col("page_number"), F.col("card_index")))),
+                        F.coalesce(F.col("deal_url_id"), F.lit("-1"))),
         ).otherwise(
             F.concat_ws("|", F.lit("O"), F.col("row_type"), F.col("seed_id"),
                         F.col("page_number"), F.col("card_index"), F.col("fetch_url"))
@@ -513,6 +541,13 @@ class CrawlEngine:
             .agg(F.count("*").alias("n"),
                  F.sum(F.coalesce(F.col("n_cards"), F.lit(0))).alias("cards"))
         )
+        # NB (documented drift): the coarse ok-page/offer aggregate drops
+        # seed/page granularity, so when a captcha stop is discovered in
+        # THIS wave the live() filter cannot exclude the same wave's ok
+        # rows from n_cards/n_detail_ok — wave METRICS may overstate by
+        # the stopped seed's tail.  Table appends stay stop-filtered, so
+        # data is unaffected; per-page metric granularity would make the
+        # driver collect O(pages), which this design deliberately avoids.
         coarse = (
             stage.filter(is_ok_page | is_offer)
             .groupBy("row_type", "host", "partition_id")
@@ -613,6 +648,7 @@ class CrawlEngine:
         have_staged_input = n_cards > 0 or self._staged_nonempty
         accepted = None
         n_accepted = 0
+        avg_price = None
         leftover_df = None
         acc_adopt_dir = None
         if have_staged_input:
@@ -631,7 +667,7 @@ class CrawlEngine:
                 # offers append — zero further shuffles or writes
                 acc_adopt_dir = os.path.join(spool, "row_type=card")
                 accepted = new_cards
-                n_accepted = accepted.count()
+                n_accepted, avg_price = self._accepted_stats(accepted)
             else:
                 staged = self._apply_stop_filter(
                     self.store.read("staged").unionByName(new_cards)
@@ -660,7 +696,7 @@ class CrawlEngine:
                     .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
                     .write.mode("overwrite").parquet(acc_spool)
                 accepted = self.spark.read.schema(model.STAGED_SCHEMA).parquet(acc_spool)
-                n_accepted = accepted.count()
+                n_accepted, avg_price = self._accepted_stats(accepted)
             self._tick("finalize_dedup")
 
         # --- split accepted: emit now vs enqueue detail
@@ -702,9 +738,10 @@ class CrawlEngine:
                 # the commit renames the directory into the table
                 # instead of rewriting 100% of the wave's output
                 adopt["offers"] = acc_adopt_dir or acc_spool
+            seen_dk = F.coalesce(F.col("deal_url_id"), F.lit("-1"))
             appends["seen"] = accepted.select(
-                "deal_url_id", "seed_id",
-                F.xxhash64(F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("key_hash"),
+                seen_dk.alias("deal_url_id"), "seed_id",
+                F.xxhash64(F.concat_ws("|", F.col("seed_id"), seen_dk)).alias("key_hash"),
                 F.lit(wave).cast("long").alias("wave"),
             )
         if n_detail_ok:
@@ -761,7 +798,8 @@ class CrawlEngine:
         metrics_rows = [
             (h, wave, m["pages_fetched"], m["cards_parsed"],
              n_accepted + n_detail_ok if i == 0 else None,
-             m["n_429"], m["n_errors"], m["details"], None, m["captcha"])
+             m["n_429"], m["n_errors"], m["details"],
+             avg_price if i == 0 else None, m["captcha"])
             for i, (h, m) in enumerate(sorted(mrows.items()))
         ]
         if metrics_rows:
@@ -819,6 +857,40 @@ class CrawlEngine:
         shutil.rmtree(os.path.join(self.store.root, "scratch"), ignore_errors=True)
         return True
 
+    def _accepted_stats(self, accepted: DataFrame) -> tuple[int, float | None]:
+        """Count + true-mean price of the wave's accepted cards in ONE
+        tiny aggregate (the count was already paid; the avg rides it).
+        Fills metrics.avg_price (T8/A3 engine side) — the TRUE mean, vs
+        the reference's over-weighted recurrence which the simulator
+        keeps for progress-log parity (base_list.py:43-47; deviation
+        documented in SURVEY.md quirks appendix)."""
+        row = accepted.agg(
+            F.count("*").alias("n"),
+            F.avg(F.coalesce("price", "price_per_month")).alias("avg_price"),
+        ).first()
+        return int(row["n"]), (None if row["avg_price"] is None else float(row["avg_price"]))
+
+    def progress(self) -> DataFrame:
+        """A5: per-wave progress ratio — cumulative offers emitted over
+        the planned total (PAGE_SIZE × planned pages), as the
+        reference's progress bar computes it (base_list.py:49-56:
+        ceil(100·parsed/(offers_per_page·count_of_pages)))."""
+        total_pages = sum(
+            rt["end_page"] - rt["start_page"] + 1 for rt in self.runtimes.values()
+        )
+        cap = max(1, webgen.PAGE_SIZE * total_pages)
+        w = Window.orderBy("wave").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            self.store.read("metrics")
+            .groupBy("wave")
+            .agg(F.sum(F.coalesce("offers_emitted", F.lit(0))).alias("offers_emitted"),
+                 F.max("avg_price").alias("avg_price"))
+            .withColumn("offers_cum", F.sum("offers_emitted").over(w))
+            .withColumn("progress_pct",
+                        F.least(F.lit(100), F.ceil(F.col("offers_cum") * 100 / cap)))
+            .orderBy("wave")
+        )
+
     # ------------------------------------------------------------- dedup
 
     def _dedup(self, finalize: DataFrame, approx_rows: int = 0,
@@ -841,8 +913,16 @@ class CrawlEngine:
         sort (a window would shuffle the same rows AND sort every
         partition to keep only the minimum).  Both paths are
         deterministic: (page_number, card_index) is unique per
-        (seed_id, deal_url_id) group."""
-        keys = ["seed_id", "deal_url_id"]
+        (seed_id, deal_url_id) group.
+
+        Null deal_url_id keys as the literal "-1" in every path (group
+        keys, seen table, Bloom keys) — the reference's extractor
+        default, so all null-key cards of a seed collapse to the first
+        exactly like its seen-set does (helpers.py:34 + flat/list.py:57)."""
+        finalize = finalize.withColumn(
+            "_dk", F.coalesce(F.col("deal_url_id"), F.lit("-1"))
+        )
+        keys = ["seed_id", "_dk"]
         if not in_batch:
             # caller guarantees in-batch uniqueness (the fused stage
             # aggregate already kept first per key this wave); only the
@@ -850,7 +930,7 @@ class CrawlEngine:
             batch_first = finalize
         elif approx_rows <= self.dedup_broadcast_rows:
             winners = (
-                finalize.select("seed_id", "deal_url_id", "page_number", "card_index")
+                finalize.select("seed_id", "_dk", "page_number", "card_index")
                 .groupBy(*keys)
                 .agg(F.min(F.struct("page_number", "card_index")).alias("_w"))
                 .select("seed_id", F.col("_w.page_number").alias("page_number"),
@@ -892,27 +972,29 @@ class CrawlEngine:
                 return pd.Series(out)
 
             keyed = batch_first.withColumn(
-                "_key", F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))
+                "_key", F.concat_ws("|", F.col("seed_id"), F.col("_dk"))
             ).withColumn("_maybe", maybe_seen(F.col("_key")))
             fresh = keyed.filter(~F.col("_maybe")).drop("_key", "_maybe")
             suspect = keyed.filter(F.col("_maybe")).drop("_key", "_maybe")
             checked = suspect.join(
-                self.store.read("seen").select("seed_id", "deal_url_id"),
-                ["seed_id", "deal_url_id"],
+                self.store.read("seen").select(
+                    "seed_id", F.col("deal_url_id").alias("_dk")),
+                ["seed_id", "_dk"],
                 "left_anti",
             )
-            return fresh.unionByName(checked)
+            return fresh.unionByName(checked).drop("_dk")
         if self._seen_nonempty:
             # no Bloom sidecar but a non-empty seen table (e.g. a
             # re-crawl after a completed run whose final wave skipped
             # the bloom rebuild): plain exact anti-join — correctness
             # never depends on the sidecar existing
             return batch_first.join(
-                self.store.read("seen").select("seed_id", "deal_url_id"),
-                ["seed_id", "deal_url_id"],
+                self.store.read("seen").select(
+                    "seed_id", F.col("deal_url_id").alias("_dk")),
+                ["seed_id", "_dk"],
                 "left_anti",
-            )
-        return batch_first
+            ).drop("_dk")
+        return batch_first.drop("_dk")
 
     def _update_bloom(self, seen_new: DataFrame) -> DataFrame:
         """Merge this wave's accepted keys into fixed-size per-bucket

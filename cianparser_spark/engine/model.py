@@ -94,6 +94,18 @@ BLOOM_SCHEMA = T.StructType(
     [T.StructField("bucket", T.LongType()), T.StructField("blob", T.BinaryType())]
 )
 
+# raw fetch-kernel output = discriminated union of page outcomes, raw
+# card blocks and raw detail pages; ``content`` carries the HTML block.
+# Field extraction happens AFTER this, JVM-side (engine/columnar.py) —
+# the kernel stays narrow so Python never assembles wide rows.
+RAW_STAGE_SCHEMA = T.StructType(
+    _fields(
+        strings=["row_type", "fetch_url", "outcome", "host", "card_json", "content"],
+        longs=["status", "seed_id", "page_number", "card_index", "attempt",
+               "n_cards", "partition_id", "wave"],
+    )
+)
+
 # stage output = discriminated union: page outcomes + parsed cards +
 # merged detail offers; one schema so ONE mapInPandas pass covers all.
 STAGE_EXTRA = T.StructType(

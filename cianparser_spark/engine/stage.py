@@ -1,17 +1,23 @@
-"""Fused fetch+parse stage — one Arrow-batched pass per wave.
+"""Fetch kernel — one narrow Arrow-batched pass per wave.
 
-Design: fetching and parsing are deliberately ONE ``mapInPandas``
-stage so the multi-KB page HTML never crosses a shuffle boundary
-(late materialization).  The stage consumes politeness-selected
-frontier rows and emits a discriminated union:
+Fetching stays in Python (it is I/O against the web — here the
+synthetic resolver); EVERYTHING else left this kernel in round 2.  The
+kernel emits a discriminated union of NARROW rows (14 columns, one
+``content`` string for the raw HTML block):
 
-    row_type='page'    fetch outcome per list URL (ok/captcha/noheader/http_error)
-    row_type='card'    one parsed offer card (flat/suburban/newobject)
-    row_type='offer'   a detail fetch merged with its card fields
-    row_type='detail_err'  failed detail fetch (for retry/dead-letter)
+    row_type='page'       fetch outcome per list URL
+    row_type='card'       one raw offer-card block (content=card html)
+    row_type='detail'     a fetched detail page (content=page html,
+                          card_json=the staged card fields)
+    row_type='detail_err' failed detail fetch (for retry/dead-letter)
 
-Per-partition lineage counts ride on the 'page' rows via
-``TaskContext.partitionId()``.
+Field extraction — price, rooms, url-id, author, locations, detail
+label maps, phone — runs downstream as native Catalyst expressions
+(engine/columnar.py), inside the same Spark stage (the projection
+pipelines onto this kernel's output before the dedup shuffle), so the
+per-page Python cost is fetch + captcha/header guard + card split and
+nothing more.  Output assembly is columnar (dict of lists), never
+row-dicts.
 
 The per-executor "session" (the synthetic-web resolver here; an HTTP
 session pool on a real deployment) is created once per partition in
@@ -22,81 +28,19 @@ execution model.
 
 from __future__ import annotations
 
-import json
-
 import pandas as pd
 
 from cianparser_spark.corpus import webgen
 from cianparser_spark.engine import model
-from cianparser_spark.semantics import extract, urls
+from cianparser_spark.semantics import extract
 
-_ALL_COLS = [f.name for f in model.STAGE_SCHEMA.fields]
-
-
-def _row(**kw) -> dict:
-    return kw
-
-
-def _blank_offer_fields() -> dict:
-    return {c: None for c in model.OFFER_COLS}
-
-
-def _set(fields: dict, col: str, value) -> None:
-    fields[col] = model.sentinel_to_null(value, col)
-
-
-def parse_card_fields(card_html: str, rt: dict) -> dict:
-    """One card block -> offer-column dict (nulls for missing).
-
-    Mirrors the reference's per-card pipeline
-    (reference: cianparser/flat/list.py:45-69, suburban/list.py:45-69,
-    newobject/list.py:66-83) including dict-union precedence.
-    """
-    kind = rt["kind"]
-    f = _blank_offer_fields()
-    if kind == "newobject":
-        c = extract.parse_newobject_card(card_html)
-        _set(f, "name", c["name"])
-        _set(f, "location", rt["location"])
-        _set(f, "accommodation_type", "newobject")
-        _set(f, "url", c["url"])
-        _set(f, "full_full_location_address", c["full_full_location_address"])
-        _set(f, "deal_url_id", c["url"])  # newobject dedup key = scheme+host
-        ids = extract.card_image_ids(card_html)
-        _set(f, "image_id", ids[0] if ids else None)
-        return f
-
-    url = extract.card_url(card_html)
-    _set(f, "url", url)
-    _set(f, "location", rt["location"])
-    _set(f, "deal_type", rt["deal"])
-    _set(f, "accommodation_type", kind)
-    _set(f, "deal_url_id", urls.deal_url_id(url))
-    a = extract.author(card_html)
-    _set(f, "author", a["author"])
-    _set(f, "author_type", a["author_type"])
-    p = extract.price(card_html)
-    _set(f, "price", p.get("price"))
-    _set(f, "price_per_month", p.get("price_per_month"))
-    f["commissions"] = p.get("commissions", 0)  # 0 is a value, not missing
-    if kind == "suburban":
-        _set(f, "suburban_type", rt["suburban_type"])
-        loc = extract.location_suburban(card_html)
-    else:
-        s = extract.specification(card_html)
-        _set(f, "floor", s["floor"])
-        _set(f, "floors_count", s["floors_count"])
-        _set(f, "rooms_count", s["rooms_count"])
-        _set(f, "total_meters", s["total_meters"])
-        loc = extract.location_flat(card_html, rt["is_sale"])
-    for k, v in loc.items():
-        _set(f, k, v)
-    ids = extract.card_image_ids(card_html)
-    _set(f, "image_id", ids[0] if ids else None)
-    return f
+_RAW_COLS = [f.name for f in model.RAW_STAGE_SCHEMA.fields]
 
 
 def parse_detail_fields(page_html: str, rt: dict) -> dict:
+    """Detail-page label map → typed offer columns (used by the robots
+    empty-page merge and the columnar equivalence tests; the engine hot
+    path compiles the same semantics to native expressions)."""
     kind = rt["kind"]
     if kind == "newobject":
         d = extract.detail_newobject(page_html)
@@ -119,11 +63,19 @@ def parse_detail_fields(page_html: str, rt: dict) -> dict:
     return out
 
 
+def has_captcha_fast(html: str) -> bool:
+    """Semantics-preserving fast path for extract.has_captcha: the
+    reference strips tags from the WHOLE page then searches (123 µs);
+    a page whose raw HTML lacks the token cannot contain it in text
+    form, so the common case is one C-level substring scan."""
+    return "Captcha" in html and extract.has_captcha(html)
+
+
 def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
-    """Build the mapInPandas function over frontier rows.
+    """Build the mapInPandas fetch kernel over frontier rows.
 
     Input columns: url, kind, host, card_json, seed_id, page_number,
-    card_index, attempt, wave.
+    card_index, attempt, wave.  Output: RAW_STAGE_SCHEMA.
     """
 
     def fetch_parse(iterator):
@@ -135,67 +87,55 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
         resolver = webgen
 
         for pdf in iterator:
-            out: list[dict] = []
+            cols: dict[str, list] = {c: [] for c in _RAW_COLS}
+            (c_rt, c_fu, c_out, c_host, c_cj, c_ct, c_st, c_sid, c_pn,
+             c_ci, c_at, c_nc, c_pid, c_wv) = (cols[c] for c in _RAW_COLS)
+
+            def emit(rt_, fu, out_, host_, cj, ct, st, sid, pn, ci, at, nc, wv):
+                c_rt.append(rt_); c_fu.append(fu); c_out.append(out_)
+                c_host.append(host_); c_cj.append(cj); c_ct.append(ct)
+                c_st.append(st); c_sid.append(sid); c_pn.append(pn)
+                c_ci.append(ci); c_at.append(at); c_nc.append(nc)
+                c_pid.append(pid); c_wv.append(wv)
+
             n_in = len(pdf)
             for r in pdf.itertuples(index=False):
                 rt = seed_runtimes[int(r.seed_id)]
-                base = _row(
-                    row_type="page", fetch_url=r.url, outcome=None,
-                    host=r.host, card_json=None, status=None,
-                    seed_id=int(r.seed_id), page_number=int(r.page_number),
-                    card_index=int(r.card_index), attempt=int(r.attempt),
-                    n_cards=None, partition_id=pid, wave=int(r.wave),
-                    **_blank_offer_fields(),
-                )
-                status, html = resolver.fetch(r.url, attempt=int(r.attempt), cfg=cfg)
-                base["status"] = status
+                sid, pn, ci, at, wv = (int(r.seed_id), int(r.page_number),
+                                       int(r.card_index), int(r.attempt), int(r.wave))
+                status, html = resolver.fetch(r.url, attempt=at, cfg=cfg)
 
                 if r.kind == "detail":
-                    base["row_type"] = "detail_err" if status != 200 else "offer"
-                    base["card_json"] = r.card_json
                     if status != 200:
-                        base["outcome"] = "http_error"
-                        out.append(base)
-                        continue
-                    card_fields = json.loads(r.card_json)
-                    detail_fields = parse_detail_fields(html, rt)
-                    # dict-union precedence: detail overrides card
-                    # (reference: cianparser/flat/list.py:69 union order)
-                    merged = {**card_fields, **detail_fields}
-                    base.update({k: merged.get(k) for k in model.OFFER_COLS})
-                    base["outcome"] = "ok"
-                    out.append(base)
+                        emit("detail_err", r.url, "http_error", r.host,
+                             r.card_json, None, status, sid, pn, ci, at, None, wv)
+                    else:
+                        emit("detail", r.url, "ok", r.host,
+                             r.card_json, html, status, sid, pn, ci, at, None, wv)
                     continue
 
                 # list page
                 if status != 200:
-                    base["outcome"] = "http_429" if status == 429 else "http_error"
-                    out.append(base)
+                    out = "http_429" if status == 429 else "http_error"
+                    emit("page", r.url, out, r.host, None, None,
+                         status, sid, pn, ci, at, None, wv)
                     continue
-                if extract.has_captcha(html):
-                    base["outcome"] = "captcha"
-                    out.append(base)
+                if has_captcha_fast(html):
+                    emit("page", r.url, "captcha", r.host, None, None,
+                         status, sid, pn, ci, at, None, wv)
                     continue
                 if rt["kind"] != "newobject" and not extract.has_header(html):
-                    base["outcome"] = "noheader"
-                    out.append(base)
+                    emit("page", r.url, "noheader", r.host, None, None,
+                         status, sid, pn, ci, at, None, wv)
                     continue
                 cards = extract.list_page_cards(html, rt["kind"])
-                base["outcome"] = "ok"
-                base["n_cards"] = len(cards)
-                out.append(base)
+                emit("page", r.url, "ok", r.host, None, None,
+                     status, sid, pn, ci, at, len(cards), wv)
                 for idx, card in enumerate(cards):
-                    row = _row(
-                        row_type="card", fetch_url=r.url, outcome=None,
-                        host=r.host, card_json=None, status=200,
-                        seed_id=int(r.seed_id), page_number=int(r.page_number),
-                        card_index=idx, attempt=0, n_cards=None,
-                        partition_id=pid, wave=int(r.wave),
-                        **parse_card_fields(card, rt),
-                    )
-                    out.append(row)
-            pdf_out = pd.DataFrame(out, columns=_ALL_COLS)
-            # lineage counts ride along on page rows
+                    emit("card", r.url, None, r.host, None, card,
+                         200, sid, pn, idx, 0, None, wv)
+
+            pdf_out = pd.DataFrame(cols, columns=_RAW_COLS)
             pdf_out.attrs["input_rows"] = n_in
             yield pdf_out
 
