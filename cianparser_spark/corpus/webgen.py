@@ -54,6 +54,12 @@ class WebConfig:
     # independently (documented deviation).  Bit-match tests set this
     # False so both worlds see fault-free detail pages.
     faults_on_details: bool = True
+    # pre-rendered page store (corpus/snapshot.py): when set, 200
+    # responses are served from the mmapped snapshot instead of being
+    # re-rendered — the network-fetch analog.  Rendering is
+    # deterministic, so behavior is bit-identical either way; urls
+    # missing from the snapshot fall through to live rendering.
+    snapshot_path: str | None = None
 
 
 DEFAULT_CONFIG = WebConfig()
@@ -541,6 +547,12 @@ def fetch(url: str, attempt: int = 0, cfg: WebConfig = DEFAULT_CONFIG) -> tuple[
     status = status_for(url, attempt, cfg)
     if status != 200:
         return status, f"<html><body>error {status}</body></html>"
+    if cfg.snapshot_path is not None:
+        from cianparser_spark.corpus import snapshot as _snapshot
+
+        html = _snapshot.open_snapshot(cfg.snapshot_path).get(url)
+        if html is not None:
+            return 200, html
     if is_list_url(url):
         if url in cfg.captcha_pages:
             return 200, CAPTCHA_HTML

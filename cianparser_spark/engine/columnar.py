@@ -209,9 +209,25 @@ _OVERRIDE = {
 }
 
 
-def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
-    """RAW narrow stage rows → the wide STAGE_SCHEMA via layered native
-    projections (see module docstring for why layers)."""
+_PLAN: tuple[list, list, list, list] | None = None
+
+
+def _build_plan() -> tuple[list, list, list, list]:
+    """The four layer select-lists of the widen projection.
+
+    Every expression binds by COLUMN NAME only — no reference to any
+    input DataFrame — so the Column trees are built once per process
+    and reused across waves.  Building them is ~0.9 s of py4j round
+    trips (hundreds of regexp_extract/when nodes); without this cache
+    that cost recurred on every wave as pure driver-side serial time,
+    which is exactly the kind of fixed overhead that erodes N→4N
+    scaling efficiency.
+
+    The extracts deliberately stay ``regexp_extract`` even where a
+    locate/substr chain could express them: java.util.regex compiles a
+    literal-prefix Boyer-Moore node, so one regex scan beats the 2-3
+    full UTF8String copies a substr chain makes per field (measured
+    ~1.5× on the widen eval microbenchmark)."""
     kind = F.col("kind")
     is_card = F.col("row_type") == "card"
     is_detail = F.col("row_type") == "detail"
@@ -223,8 +239,6 @@ def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
     offer_struct = T.StructType(
         [f for f in model.OFFERS_SCHEMA.fields if f.name in set(model.OFFER_COLS)]
     )
-
-    base = raw.join(F.broadcast(dim), "seed_id", "left")
 
     # ---- layer 1: raw extracts off `content` / card_json ------------
     l1 = {
@@ -250,7 +264,7 @@ def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
         **_author_intermediates(is_co),
         **_detail_value_intermediates(is_detail),
     }
-    s1 = base.select("*", *[e.alias(n) for n, e in l1.items()])
+    c1 = [e.alias(n) for n, e in l1.items()]
 
     # ---- layer 2: derived pieces over layer-1 refs -------------------
     addr = F.col("_addr")
@@ -296,7 +310,7 @@ def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
             F.col("_atype"),
             F.when(F.col("_idspan") != "", F.lit("unknown"))),
     }
-    s2 = s1.select("*", *[e.alias(n) for n, e in l2.items()])
+    c2 = [e.alias(n) for n, e in l2.items()]
 
     # ---- layer 3: street/house cascade + deal-url-id pieces ----------
     last, stt = F.col("_last"), F.col("_stt")
@@ -326,7 +340,7 @@ def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
         "_house_f": F.when(is_house, F.trim(last)),
         "_us": F.when(is_card, F.split("_url", "/")),
     }
-    s3 = s2.select("*", *[e.alias(n) for n, e in l3.items()])
+    c3 = [e.alias(n) for n, e in l3.items()]
 
     # ---- layer 4: final wide projection ------------------------------
     us = F.col("_us")
@@ -431,4 +445,22 @@ def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
             F.when(is_card, card[c]).when(is_detail, merged[c])
             .cast(fields[c]).alias(c)
         )
-    return s3.select(*cols)
+    return c1, c2, c3, cols
+
+
+def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
+    """RAW narrow stage rows → the wide STAGE_SCHEMA via layered native
+    projections (see module docstring for why layers).  The select
+    lists come from the process-wide plan cache; per-wave driver cost
+    is just four select() calls and one broadcast-join node."""
+    global _PLAN
+    if _PLAN is None:
+        _PLAN = _build_plan()
+    c1, c2, c3, final = _PLAN
+    return (
+        raw.join(F.broadcast(dim), "seed_id", "left")
+        .select("*", *c1)
+        .select("*", *c2)
+        .select("*", *c3)
+        .select(*final)
+    )

@@ -74,7 +74,11 @@ class CrawlEngine:
         dedup_broadcast_rows: int = 100_000,
         respect_robots: bool = True,
         verbose: bool = False,
+        dedup_strategy: str = "auto",
     ):
+        if dedup_strategy not in ("auto", "map_only", "shuffle"):
+            raise ValueError(f"unknown dedup_strategy: {dedup_strategy!r}")
+        self.dedup_strategy = dedup_strategy
         self.spark = spark
         self.seeds = seeds
         self.web_cfg = web_cfg
@@ -485,46 +489,70 @@ class CrawlEngine:
         dp = self.spark.sparkContext.defaultParallelism
         par = max(1, min(4 * dp, (n_selected + 63) // 64))
         spool = os.path.join(self.store.root, "scratch", f"stage-w{wave:05d}")
-        # narrow Python fetch kernel → JVM-side columnar field extraction
-        # (engine/columnar.py); Catalyst pipelines the widen projection
-        # into the same stage, so raw card blocks never hit a shuffle
-        raw = (
-            selected.repartition(par, "host", "url")
-            .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg),
-                         model.RAW_STAGE_SCHEMA)
-        )
-        parsed = columnar.widen(raw, self._seed_dim())
-        # fused first-wins dedup: the wave's ONE wide shuffle rides the
-        # parse job itself (map side pipelines with the Arrow output),
-        # keyed (seed, deal_url_id) for cards and a unique key for
-        # page/detail rows (singleton groups pass through min_by
-        # untouched).  The spool is then written partitioned by
-        # row_type, so every consumer — outcome stats, retry frames,
-        # card finalization — partition-prunes, and on a cold-start
-        # wave the card partition IS the offers append (adopted by
-        # rename).  Net wide-data movement per wave: parse → shuffle →
-        # one write.
+        # The wave's first-wins dedup has two physical strategies:
+        #
+        # (a) MAP-ONLY (default): partition the NARROW frontier by
+        #     seed_id (politeness bounds each seed's per-wave volume,
+        #     so partitions are budget-bounded by construction), sort
+        #     within partitions by (seed_id, page_number) and let the
+        #     fetch kernel drop in-wave duplicate keys with a local
+        #     seen-set (stage.card_dedup_key).  The wide rows then go
+        #     kernel → columnar widen → spool write in ONE map-side
+        #     stage: zero wide shuffle, no AQE barrier.  The only
+        #     shuffle is the tiny narrow-frontier repartition.
+        # (b) SHUFFLE: groupBy(key).min_by(full row) — the general
+        #     fallback when the wave has too few seeds to spread (a
+        #     single-seed mega-wave would make (a) serial).
+        #
+        # Both produce identical rows: "first key wins in per-seed
+        # page order" == global min_by(page_number, card_index).
         is_card = F.col("row_type") == "card"
-        # null deal_url_id (extraction fell through) keys as the literal
-        # "-1" — the reference inserts "-1" into its seen set, so ALL
-        # such cards of one seed collapse to the first (helpers.py:27-34
-        # default + flat/list.py:57); the same key is used by _dedup and
-        # the seen table, so every path agrees with the simulator
-        gkey = F.when(
-            is_card,
-            F.concat_ws("|", F.lit("C"), F.col("seed_id"),
-                        F.coalesce(F.col("deal_url_id"), F.lit("-1"))),
-        ).otherwise(
-            F.concat_ws("|", F.lit("O"), F.col("row_type"), F.col("seed_id"),
-                        F.col("page_number"), F.col("card_index"), F.col("fetch_url"))
+        n_seeds = len(self.runtimes)
+        map_only = self.dedup_strategy == "map_only" or (
+            self.dedup_strategy == "auto"
+            and (n_seeds >= dp or n_selected <= 256 * dp)
         )
-        payload = F.struct(*[f.name for f in model.STAGE_SCHEMA.fields])
-        (
-            parsed.groupBy(gkey.alias("_g"))
-            .agg(F.min_by(payload, F.struct("page_number", "card_index")).alias("_f"))
-            .select("_f.*")
-            .write.partitionBy("row_type").mode("overwrite").parquet(spool)
-        )
+        if map_only:
+            par_k = max(1, min(4 * dp, n_seeds))
+            raw = (
+                selected.repartition(par_k, "seed_id")
+                .sortWithinPartitions("seed_id", "page_number", "card_index")
+                .mapInPandas(
+                    make_fetch_parse(self.runtimes, self.web_cfg, in_wave_dedup=True),
+                    model.RAW_STAGE_SCHEMA)
+            )
+            (
+                columnar.widen(raw, self._seed_dim())
+                .write.partitionBy("row_type").mode("overwrite").parquet(spool)
+            )
+        else:
+            raw = (
+                selected.repartition(par, "host", "url")
+                .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg),
+                             model.RAW_STAGE_SCHEMA)
+            )
+            parsed = columnar.widen(raw, self._seed_dim())
+            # null deal_url_id (extraction fell through) keys as the
+            # literal "-1" — the reference inserts "-1" into its seen
+            # set, so ALL such cards of one seed collapse to the first
+            # (helpers.py:27-34 default + flat/list.py:57); the same
+            # key is used by _dedup and the seen table, so every path
+            # agrees with the simulator
+            gkey = F.when(
+                is_card,
+                F.concat_ws("|", F.lit("C"), F.col("seed_id"),
+                            F.coalesce(F.col("deal_url_id"), F.lit("-1"))),
+            ).otherwise(
+                F.concat_ws("|", F.lit("O"), F.col("row_type"), F.col("seed_id"),
+                            F.col("page_number"), F.col("card_index"), F.col("fetch_url"))
+            )
+            payload = F.struct(*[f.name for f in model.STAGE_SCHEMA.fields])
+            (
+                parsed.groupBy(gkey.alias("_g"))
+                .agg(F.min_by(payload, F.struct("page_number", "card_index")).alias("_f"))
+                .select("_f.*")
+                .write.partitionBy("row_type").mode("overwrite").parquet(spool)
+            )
         stage = self.spark.read.schema(model.STAGE_SCHEMA).parquet(spool)
 
         # --- driver collect #2: page/detail outcomes.  Per-page

@@ -28,11 +28,13 @@ execution model.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from cianparser_spark.corpus import webgen
 from cianparser_spark.engine import model
-from cianparser_spark.semantics import extract
+from cianparser_spark.semantics import extract, urls
 
 _RAW_COLS = [f.name for f in model.RAW_STAGE_SCHEMA.fields]
 
@@ -71,11 +73,45 @@ def has_captcha_fast(html: str) -> bool:
     return "Captcha" in html and extract.has_captcha(html)
 
 
-def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
+_HREF_RE = re.compile(r'href="([^"]*)"')
+
+
+def card_dedup_key(card_html: str, kind: str) -> str:
+    """The in-wave dedup key for one raw card block, REPLICATING the
+    columnar widen's deal_url_id expressions (engine/columnar.py layer
+    1 ``_href`` + layer 4 ``deal_url_id``) bit-for-bit: first href in
+    the block, then last/penultimate path segment >3 chars, else "-1";
+    newobject keys by scheme+host.  tests/test_engine.py's bit-match
+    plus a dedicated parity test keep the two implementations locked
+    together."""
+    m = _HREF_RE.search(card_html)
+    href = m.group(1) if m else ""
+    if kind == "newobject":
+        if "://" in href:
+            parts = href.split("/")
+            if len(parts) > 2 and parts[2]:
+                return "https://" + parts[2]
+        return "-1"
+    dk = urls.deal_url_id(href)
+    return dk if dk else "-1"
+
+
+def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
+                     in_wave_dedup: bool = False):
     """Build the mapInPandas fetch kernel over frontier rows.
 
     Input columns: url, kind, host, card_json, seed_id, page_number,
     card_index, attempt, wave.  Output: RAW_STAGE_SCHEMA.
+
+    ``in_wave_dedup=True`` performs the wave's first-wins offer dedup
+    INSIDE the kernel with a per-partition seen-set: the caller
+    guarantees every page of a seed lands in this partition sorted by
+    (seed_id, page_number), so "first key wins in partition scan
+    order" equals the shuffle path's global
+    min_by(page_number, card_index) — and the wave then needs NO wide
+    shuffle at all (the spool write becomes map-only).  Politeness
+    bounds a seed's per-wave volume, so the per-partition state is
+    budget-bounded by construction.
     """
 
     def fetch_parse(iterator):
@@ -85,6 +121,7 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
         pid = ctx.partitionId() if ctx is not None else -1
         # per-partition session prologue (one resolver per partition)
         resolver = webgen
+        seen: set = set()  # (seed_id, dedup_key), partition-scoped
 
         for pdf in iterator:
             cols: dict[str, list] = {c: [] for c in _RAW_COLS}
@@ -132,6 +169,11 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig):
                 emit("page", r.url, "ok", r.host, None, None,
                      status, sid, pn, ci, at, len(cards), wv)
                 for idx, card in enumerate(cards):
+                    if in_wave_dedup:
+                        k = (sid, card_dedup_key(card, rt["kind"]))
+                        if k in seen:
+                            continue
+                        seen.add(k)
                     emit("card", r.url, None, r.host, None, card,
                          200, sid, pn, idx, 0, None, wv)
 
