@@ -431,6 +431,37 @@ def q_crawl_flagship(spark, sf_dir):
     return offers.select(*truth.CRAWL_TRUTH_COLS)
 
 
+def q_j2_metro_join(spark, sf_dir):
+    """J2: (network, station) → metro-id lookup as a BROADCAST hash
+    join of the FULL vendored metro dimension (dims_data — 510
+    stations, reference constants.py:233-758) against the crawl
+    engine's extracted ``underground`` column.  Oracle: DuckDB join of
+    the simulator's crawl dump × the same metro parquet."""
+    import tempfile
+
+    from cianparser_spark import dims, truth
+    from cianparser_spark.engine.crawler import CrawlEngine
+
+    seed, cfg = truth.flagship_seed_and_cfg()
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="j2_"), [seed], cfg,
+                      host_tokens=64)
+    offers = eng.run()
+    metro = spark.createDataFrame(
+        [(net, st, mid) for net, stations in dims.METRO_STATIONS.items()
+         for st, mid in stations],
+        "network string, station string, metro_id string",
+    )
+    return (
+        offers.join(
+            F.broadcast(metro.filter(F.col("network") == "Московский")),
+            offers.underground == F.col("station"),
+        )
+        .groupBy("metro_id", "station")
+        .agg(F.count("*").alias("n_offers"),
+             F.round(F.avg("price"), 6).alias("avg_price"))
+    )
+
+
 def q_payload_verify(spark, sf_dir):
     """Payload invariants (PSNR>=40 lossy / exact lossless + caption
     equality) over the deterministic images corpus (rows-only)."""
@@ -509,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_first_wins": q_stream_first_wins,
         "stream_window_counts": q_stream_window_counts,
         "crawl_flagship": q_crawl_flagship,
+        "j2_metro_join": q_j2_metro_join,
         "payload_verify": q_payload_verify,
         "payload_phash_dedup": q_payload_phash_dedup,
     }
@@ -534,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
 
     crawl_path = truth.ensure_crawl_truth()
     payload_path = truth.ensure_payload_truth()
+    metro_path = truth.ensure_metro_truth()
     simhash_path = truth.ensure_simhash_truth()
     dim = truth.embedding_dim()
     planes = truth.lsh_plane_literals(dim=dim)
@@ -825,8 +858,20 @@ def oracle_sql() -> dict[str, str]:
         "crawl_flagship": f"""
             SELECT seed_id, page_number, card_index, deal_url_id, url,
                    author_type, rooms_count, total_meters, price,
-                   district, street, house_number, image_id
+                   district, street, house_number, underground, image_id
             FROM read_parquet('{crawl_path}')
+        """,
+        # J2: the vendored 510-station metro dimension joined against
+        # the simulator's crawl dump (engine side does the same join
+        # broadcast over its own extracted underground column)
+        "j2_metro_join": f"""
+            SELECT m.metro_id AS metro_id, m.station AS station,
+                   count(*) AS n_offers,
+                   round(avg(c.price), 6) AS avg_price
+            FROM read_parquet('{crawl_path}') c
+            JOIN read_parquet('{metro_path}') m
+              ON c.underground = m.station AND m.network = 'Московский'
+            GROUP BY m.metro_id, m.station
         """,
         "payload_verify": f"""
             SELECT count(*) AS n,

@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 2  # bump to invalidate previously dumped truth files
+_VERSION = 3  # bump to invalidate previously dumped truth files
 
 
 def _path(name: str) -> str:
@@ -68,7 +68,7 @@ def flagship_seed_and_cfg():
 CRAWL_TRUTH_COLS = [
     "seed_id", "page_number", "card_index", "deal_url_id", "url",
     "author_type", "rooms_count", "total_meters", "price", "district",
-    "street", "house_number", "image_id",
+    "street", "house_number", "underground", "image_id",
 ]
 
 
@@ -105,12 +105,32 @@ def ensure_crawl_truth() -> str:
             "price": row.get("price"),
             "district": row.get("district"),
             "street": row.get("street"),
+            "underground": row.get("underground"),
             "house_number": row.get("house_number"),
             "image_id": f"img{oid % cfg.n_images:08d}",
         }
         out.append({k: model.sentinel_to_null(v, k) if k in model.OFFER_COLS else v
                     for k, v in rec.items()})
     return _write_parquet(pd.DataFrame(out, columns=CRAWL_TRUTH_COLS), path)
+
+
+def ensure_metro_truth() -> str:
+    """The vendored metro dimension (dims_data.METRO_STATIONS — 7
+    networks / 510 stations, reference constants.py:233-758) as a
+    parquet DuckDB can join against (J2 oracle)."""
+    path = _path("metro_dim")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.dims_data import METRO_STATIONS
+
+    rows = [
+        {"network": net, "station": st, "metro_id": mid}
+        for net, stations in METRO_STATIONS.items()
+        for st, mid in stations
+    ]
+    return _write_parquet(pd.DataFrame(rows), path)
 
 
 # -------------------------------------------------------------- payload

@@ -97,3 +97,37 @@ def test_validation():
     urls.validate_flats_args("rent_long", "all")
     with pytest.raises(ValueError):
         urls.validate_suburban_args("castle", "sale")
+
+
+def test_full_city_table_vendored():
+    """Every reference city resolves (constants.py:69-175); spot-check
+    golden URLs for several non-Moscow cities."""
+    from cianparser_spark import dims
+
+    assert len(dims.CITIES) == 105
+    assert len(dims.OTHER_CITIES) == 51
+    for city, rid in (("Тула", "5020"), ("Сочи", "4998"), ("Калуга", "4780"),
+                      ("Владивосток", "4701")):
+        assert dims.location_id(city) == rid, city
+        tpl = urls.build_list_url_template(rid, "sale", "flat", rooms=1)
+        assert urls.format_page_url(tpl, 2) == (
+            "https://cian.ru/cat.php?engine_version=2&p=2&with_neighbors=0"
+            f"&region={rid}&deal_type=sale&offer_type=flat&room1=1"
+        )
+
+
+def test_full_metro_table_vendored():
+    from cianparser_spark import dims
+
+    assert sum(len(v) for v in dims.METRO_STATIONS.values()) == 510
+    assert set(dims.METRO_STATIONS) == {
+        "Московский", "Казанский", "Петербургский", "Самарский",
+        "Екатеринбургский", "Новосибирский", "Нижегородский"}
+    # metro filter pushes the station id into the URL
+    # (reference: url_builder.py:89-94 + constants METRO_ID_PATH)
+    mid = dims.metro_station_id("Московский", "Таганская")
+    assert mid is not None
+    tpl = urls.build_list_url_template(
+        "1", "sale", "flat", rooms=1,
+        additional_settings={"metro": "Московский", "metro_station": "Таганская"})
+    assert f"&metro%5B0%5D={mid}" in urls.format_page_url(tpl, 1)
