@@ -462,6 +462,31 @@ def q_j2_metro_join(spark, sf_dir):
     )
 
 
+def q_s9_definer_cities(spark, sf_dir):
+    """S9: the cities id-definer pipeline (reference:
+    definers/definer_cities_id.py:29-91) — range probe → title mine →
+    reject cascade → first-wins min(id) per name → ORDER BY name, all
+    post-fetch work native Catalyst.  Oracle: DuckDB re-derives the
+    same result from the raw probe-title dump in SQL."""
+    from cianparser_spark import truth
+    from cianparser_spark.engine import definers
+
+    lo, hi = truth.DEFINER_CITY_RANGE
+    return definers.define_cities(spark, lo, hi)
+
+
+def q_s9_definer_metro(spark, sf_dir):
+    """S9: the metro id-definer pipeline (reference:
+    definers/definer_metro_id.py:29-103) — probe metro[0]=id under
+    region=1, address mine, 7-city when-cascade, first-wins per
+    station."""
+    from cianparser_spark import truth
+    from cianparser_spark.engine import definers
+
+    lo, hi = truth.DEFINER_METRO_RANGE
+    return definers.define_metro(spark, lo, hi)
+
+
 def q_payload_verify(spark, sf_dir):
     """Payload invariants (PSNR>=40 lossy / exact lossless + caption
     equality) over the deterministic images corpus (rows-only)."""
@@ -541,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "crawl_flagship": q_crawl_flagship,
         "j2_metro_join": q_j2_metro_join,
+        "s9_definer_cities": q_s9_definer_cities,
+        "s9_definer_metro": q_s9_definer_metro,
         "payload_verify": q_payload_verify,
         "payload_phash_dedup": q_payload_phash_dedup,
     }
@@ -556,6 +583,16 @@ _QUALITY_CORE = """
 """.format(stop=_STOPWORDS_SQL)
 
 
+def _definer_city_reject_sql() -> str:
+    """The reference's lowercased-city reject substrings
+    (definer_cities_id.py:40-48) as a DuckDB predicate."""
+    from cianparser_spark.engine.definers import CITY_REJECT_SUBSTRINGS
+
+    return " OR ".join(
+        f"contains(lower(location_name), '{s}')" for s in CITY_REJECT_SUBSTRINGS
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # Truth dumps + literal constants for the crawl/payload/ANN oracles:
     # built HERE (pure Python, no Spark — simulator, corpus generator,
@@ -567,6 +604,8 @@ def oracle_sql() -> dict[str, str]:
     crawl_path = truth.ensure_crawl_truth()
     payload_path = truth.ensure_payload_truth()
     metro_path = truth.ensure_metro_truth()
+    defcity_path = truth.ensure_definer_cities_truth()
+    defmetro_path = truth.ensure_definer_metro_truth()
     simhash_path = truth.ensure_simhash_truth()
     dim = truth.embedding_dim()
     planes = truth.lsh_plane_literals(dim=dim)
@@ -872,6 +911,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{metro_path}') m
               ON c.underground = m.station AND m.network = 'Московский'
             GROUP BY m.metro_id, m.station
+        """,
+        # S9 definers: DuckDB independently re-implements extraction,
+        # the reject cascade, first-wins dedup and the sort from the
+        # raw probe dumps (titles / addresses only)
+        "s9_definer_cities": f"""
+            SELECT location_name, min(probe_id) AS city_id
+            FROM (
+                SELECT regexp_extract(title,
+                        'нять квартиру в (.+?) на длительный срок', 1)
+                           AS location_name,
+                       probe_id
+                FROM read_parquet('{defcity_path}')
+                WHERE title IS NOT NULL
+                  AND contains(title, 'АрендаСнять')
+                  AND NOT contains(title, 'в России')
+            )
+            WHERE location_name <> ''
+              AND NOT ({_definer_city_reject_sql()})
+            GROUP BY location_name
+            ORDER BY location_name
+        """,
+        "s9_definer_metro": f"""
+            SELECT city, metro_name, metro_id FROM (
+                SELECT city, metro_name, metro_id,
+                       row_number() OVER (PARTITION BY metro_name
+                                          ORDER BY metro_id) AS rn
+                FROM (
+                    SELECT CASE
+                             WHEN contains(address, 'Москва') THEN 'Москва'
+                             WHEN contains(address, 'Казань') THEN 'Казань'
+                             WHEN contains(address, 'Санкт-Петербург') THEN 'Санкт-Петербург'
+                             WHEN contains(address, 'Самара') THEN 'Самара'
+                             WHEN contains(address, 'Екатеринбург') THEN 'Екатеринбург'
+                             WHEN contains(address, 'Новосибирск') THEN 'Новосибирск'
+                             WHEN contains(address, 'Нижний Новгород') THEN 'Нижний Новгород'
+                             ELSE 'Unknown'
+                           END AS city,
+                           regexp_extract(address, ', м\\. ([^,]*)', 1) AS metro_name,
+                           probe_id AS metro_id
+                    FROM read_parquet('{defmetro_path}')
+                    WHERE address IS NOT NULL AND contains(address, ', м.')
+                )
+            ) WHERE rn = 1
+            ORDER BY city, metro_id
         """,
         "payload_verify": f"""
             SELECT count(*) AS n,

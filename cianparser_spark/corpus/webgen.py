@@ -64,6 +64,41 @@ class WebConfig:
 
 DEFAULT_CONFIG = WebConfig()
 
+def _region_maps():
+    """Lazy reverse maps from the vendored dimension data: region id →
+    city name (CITIES first, OTHER_CITIES fallback) and metro-station
+    id → station name.  The real site obviously knows its own
+    geography; the synthetic one gets it from the same vendored tables
+    the parser ships (dims_data.py)."""
+    global _REGION_CITY, _METRO_NAME
+    if _REGION_CITY is None:
+        from cianparser_spark.dims_data import CITIES, METRO_STATIONS, OTHER_CITIES
+
+        rc = {}
+        for name, rid in OTHER_CITIES.items():
+            rc.setdefault(rid, name)
+        for name, rid in CITIES.items():
+            rc[rid] = name
+        _REGION_CITY = rc
+        _METRO_NAME = {
+            mid: st for stations in METRO_STATIONS.values() for st, mid in stations
+        }
+    return _REGION_CITY, _METRO_NAME
+
+
+_REGION_CITY: dict[str, str] | None = None
+_METRO_NAME: dict[str, str] | None = None
+
+
+def region_city(region: str) -> str | None:
+    """City name for a region id, or None when the id is not a city."""
+    return _region_maps()[0].get(region)
+
+
+def metro_station_name(metro_id: str) -> str | None:
+    return _region_maps()[1].get(metro_id)
+
+
 _DISTRICTS = ["Центральный", "Басманный", "Таганский", "Пресненский", "Академический", "Ленинский"]
 _STREETS = ["Тверская", "Садовая", "Ленина", "Мира", "Пушкина", "Гагарина", "Лесная"]
 _METROS = ["Бауманская", "Киевская", "Тверская", "Театральная", "Алексеевская"]
@@ -159,6 +194,7 @@ def parse_list_url(url: str) -> dict:
         "maxprice": int(q["maxprice"]) if "maxprice" in q else None,
         "is_by_homeowner": q.get("is_by_homeowner") == "1",
         "sort": q.get("sort"),
+        "metro": q.get("metro[0]"),
     }
 
 
@@ -166,11 +202,16 @@ def query_key(url: str) -> str:
     """Canonical query identity: everything except the page number."""
     p = parse_list_url(url)
     rooms = ",".join(map(str, sorted(p["rooms"])))
-    return (
+    key = (
         f"{p['region']}|{p['deal_type']}|{p['offer_type']}|{rooms}|"
         f"{p['rent_period']}|{p['suburban_type']}|{p['minprice']}|{p['maxprice']}|"
         f"{p['is_by_homeowner']}|{p['sort']}|{int(p['newobject'])}"
     )
+    # appended only when present so every metro-less query keeps its
+    # pre-existing identity (and dup-injection hashes)
+    if p["metro"]:
+        key += f"|metro={p['metro']}"
+    return key
 
 
 def _universe_key(p: dict) -> str:
@@ -281,6 +322,12 @@ def _query_oids(url_sans_page: str, cfg: WebConfig = DEFAULT_CONFIG) -> tuple[in
             continue
         if p["is_by_homeowner"] and t["author_type"] != "homeowner":
             continue
+        if p["metro"] is not None:
+            # pushed metro filter over the SAME universe (the site
+            # filters listings by station; it does not re-seed them)
+            station = metro_station_name(p["metro"])
+            if station is None or not t["with_metro"] or t["underground"] != station:
+                continue
         survivors.append((oid, t))
 
     sort = p["sort"]
@@ -346,13 +393,14 @@ def _price_str(v: int) -> str:
     return f"{v:,}".replace(",", " ")
 
 
-def _render_card_flat(host: str, deal: str, t: dict, is_sale: bool) -> str:
+def _render_card_flat(host: str, deal: str, t: dict, is_sale: bool,
+                      city: str = "Город") -> str:
     url = _offer_url(host, deal, "flat", t)
     title = t["caption"]
     if t["with_metro"]:
-        addr = f"Город, р-н {t['district']}, м. {t['underground']}, {t['street']}, {t['house_number']}"
+        addr = f"{city}, р-н {t['district']}, м. {t['underground']}, {t['street']}, {t['house_number']}"
     else:
-        addr = f"Город, р-н {t['district']}, {t['street']}, {t['house_number']}"
+        addr = f"{city}, р-н {t['district']}, {t['street']}, {t['house_number']}"
     rows = [f'<div data-name="GeneralInfoSectionRowComponent"><span>{title}</span></div>']
     if t["with_complex"]:
         rows.append(
@@ -385,9 +433,10 @@ def _render_card_flat(host: str, deal: str, t: dict, is_sale: bool) -> str:
     )
 
 
-def _render_card_suburban(host: str, deal: str, t: dict, is_sale: bool) -> str:
+def _render_card_suburban(host: str, deal: str, t: dict, is_sale: bool,
+                          city: str = "Город") -> str:
     url = _offer_url(host, deal, "suburban", t)
-    geo = [f'<a data-name="GeoLabel" href="#">Город</a>']
+    geo = [f'<a data-name="GeoLabel" href="#">{city}</a>']
     geo.append(f'<a data-name="GeoLabel" href="#">{t["district"]} р-н</a>')
     if t["with_metro"]:
         geo.append(f'<a data-name="GeoLabel" href="#">м. {t["underground"]}</a>')
@@ -418,9 +467,9 @@ def _render_card_suburban(host: str, deal: str, t: dict, is_sale: bool) -> str:
     )
 
 
-def _render_card_newobject(host: str, t: dict) -> str:
+def _render_card_newobject(host: str, t: dict, city: str = "Город") -> str:
     url = _offer_url(host, "sale", "newobject", t)
-    addr = f"Город, р-н {t['district']}, {t['street']}, {t['house_number']}"
+    addr = f"{city}, р-н {t['district']}, {t['street']}, {t['house_number']}"
     return (
         '<div data-mark="GKCard">'
         f'<a data-mark="Link" href="{url}?from=card"><span data-mark="Text">ЖК «{t["complex_name"]}»</span></a>'
@@ -430,21 +479,52 @@ def _render_card_newobject(host: str, t: dict) -> str:
     )
 
 
+def header_title(region: str, deal_type: str) -> str | None:
+    """Region-aware HeaderDefault title (what the city definer mines,
+    reference: definers/definer_cities_id.py:35-48).
+
+    A known city id yields the rent-long form the definer's extraction
+    markers expect; an unknown id yields — deterministically — either
+    no header at all (the definer's empty-``offers`` skip) or a
+    region-level title that trips one of its reject substrings.  The
+    synthetic titles carry the city name in NOMINATIVE case, so the
+    reference's pymorphy2 normal-form step is the identity here
+    (documented deviation: real-site titles are prepositional)."""
+    name = region_city(region)
+    if name is not None:
+        if deal_type == "sale":
+            return f"ПродажаКупить квартиру в {name}"
+        return f"АрендаСнять квартиру в {name} на длительный срок"
+    h = stable_hash(f"headertitle|{region}")
+    if h % 4 == 0:
+        return None
+    flavors = (
+        "Московской области", "Краснодарском крае", "Республике Татарстан",
+        "Ямало-Ненецком автономном округе", "России",
+    )
+    return f"АрендаСнять квартиру в {flavors[h % len(flavors)]} на длительный срок"
+
+
 def render_list_page(url: str, cfg: WebConfig = DEFAULT_CONFIG, with_header: bool = True) -> str:
     p = parse_list_url(url)
     deal = "sale" if p["deal_type"] == "sale" else "rent"
     kind = "newobject" if p["newobject"] else ("suburban" if p["offer_type"] == "suburban" else "flat")
     is_sale = deal == "sale"
+    city = region_city(p["region"]) or "Город"
     cards = []
     for oid in page_oids(url, cfg):
         t = offer_truth(oid, deal, kind, cfg)
         if kind == "newobject":
-            cards.append(_render_card_newobject(p["host"], t))
+            cards.append(_render_card_newobject(p["host"], t, city))
         elif kind == "suburban":
-            cards.append(_render_card_suburban(p["host"], deal, t, is_sale))
+            cards.append(_render_card_suburban(p["host"], deal, t, is_sale, city))
         else:
-            cards.append(_render_card_flat(p["host"], deal, t, is_sale))
-    header = '<div data-name="HeaderDefault"><span>Каталог объявлений</span></div>' if with_header else ""
+            cards.append(_render_card_flat(p["host"], deal, t, is_sale, city))
+    title = header_title(p["region"], p["deal_type"]) if with_header else None
+    header = (
+        f'<div data-name="HeaderDefault"><span>{title}</span></div>'
+        if title is not None else ""
+    )
     return f"<html><body>{header}<div data-name='SearchResults'>{''.join(cards)}</div></body></html>"
 
 

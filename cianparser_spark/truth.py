@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 3  # bump to invalidate previously dumped truth files
+_VERSION = 4  # bump to invalidate previously dumped truth files
 
 
 def _path(name: str) -> str:
@@ -131,6 +131,50 @@ def ensure_metro_truth() -> str:
         for st, mid in stations
     ]
     return _write_parquet(pd.DataFrame(rows), path)
+
+
+# ------------------------------------------------------------- definers
+
+# the contract probe ranges (S9): cities over the densest city-id band,
+# metro over the low Moscow band
+DEFINER_CITY_RANGE = (4630, 4830)
+DEFINER_METRO_RANGE = (1, 160)
+
+
+def ensure_definer_cities_truth() -> str:
+    """Raw city-definer probe results ``(probe_id, title)`` — titles
+    only; the DuckDB oracle re-implements extraction, the reject
+    cascade, first-wins dedup and the sort in SQL, independently of the
+    Catalyst plan (engine/definers.py:city_rows)."""
+    path = _path("definer_cities")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine.definers import probe_city_title
+
+    lo, hi = DEFINER_CITY_RANGE
+    rows = [{"probe_id": i, "title": probe_city_title(i, webgen.DEFAULT_CONFIG)}
+            for i in range(lo, hi + 1)]
+    return _write_parquet(pd.DataFrame(rows, columns=["probe_id", "title"]), path)
+
+
+def ensure_definer_metro_truth() -> str:
+    """Raw metro-definer probe results ``(probe_id, address)`` for the
+    DuckDB-side extraction + first-wins oracle."""
+    path = _path("definer_metro")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine.definers import probe_metro_address
+
+    lo, hi = DEFINER_METRO_RANGE
+    rows = [{"probe_id": i, "address": probe_metro_address(i, webgen.DEFAULT_CONFIG)}
+            for i in range(lo, hi + 1)]
+    return _write_parquet(pd.DataFrame(rows, columns=["probe_id", "address"]), path)
 
 
 # -------------------------------------------------------------- payload
