@@ -1,0 +1,74 @@
+"""Platform scaling control for the crawl bench.
+
+The scaling-efficiency criterion compares one job at two parallelism
+levels on ONE shared VM.  This control measures what the PLATFORM
+itself delivers for embarrassingly parallel work with zero memory
+traffic, zero I/O and zero Spark: N independent processes, each
+spinning a register-only integer recurrence, pinned to the same CPU
+set the crawl level uses.  No workload can scale better than this
+ceiling on this box — hypervisor co-tenancy throttles mid-count
+parallelism here even with measured steal ≈ 0 and no cgroup quota
+(cpu.cfs_quota_us = -1), so an engine efficiency equal to the control
+efficiency means the ENGINE adds no scaling loss; the gap to 1.0 is
+the platform's.
+
+Run standalone:  python -m cianparser_spark.bench_control
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import time
+
+_N_OPS = 20_000_000
+
+
+def _spin(_arg) -> int:
+    x = 1
+    for _ in range(_N_OPS):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
+def measure(nproc: int, pin: bool = True) -> float:
+    """Aggregate Mops/s of ``nproc`` independent spinners."""
+    old = None
+    if pin:
+        try:
+            old = os.sched_getaffinity(0)
+            os.sched_setaffinity(0, set(range(nproc)))
+        except (AttributeError, OSError):
+            old = None
+    try:
+        with mp.get_context("fork").Pool(nproc) as pool:
+            t0 = time.time()
+            pool.map(_spin, range(nproc))
+            dt = time.time() - t0
+        return nproc * _N_OPS / dt / 1e6
+    finally:
+        if old is not None:
+            os.sched_setaffinity(0, old)
+
+
+def control(n: int = 2, n4: int = 8, reps: int = 3, pin: bool = True) -> dict:
+    """Interleaved best-of control at the two crawl levels."""
+    lo: list[float] = []
+    hi: list[float] = []
+    for _ in range(reps):
+        lo.append(measure(n, pin))
+        hi.append(measure(n4, pin))
+    best_lo, best_hi = max(lo), max(hi)
+    return {
+        "workload": f"register-only integer recurrence x {_N_OPS} ops/proc",
+        "mops_n": round(best_lo, 1),
+        "mops_4n": round(best_hi, 1),
+        "platform_efficiency": round(best_hi / (best_lo * n4 / n), 3),
+        "reps_mops": {str(n): [round(v, 1) for v in lo],
+                      str(n4): [round(v, 1) for v in hi]},
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(control()))

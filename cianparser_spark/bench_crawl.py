@@ -44,7 +44,25 @@ def build_seeds(n_seeds: int, end_page: int):
     return seeds
 
 
-def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int) -> dict:
+def _barrier(barrier_dir: str, count: int, tag: str, timeout_s: float = 600.0) -> None:
+    """Rendezvous with the sibling bench process(es): drop a ready file,
+    then wait until ``count`` ready files exist.  Used by bench.py to
+    START the timed crawls of both parallelism levels at the same
+    moment, so both sample the identical platform state (shared-VM
+    throttling varies minute to minute)."""
+    os.makedirs(barrier_dir, exist_ok=True)
+    open(os.path.join(barrier_dir, f"ready-{tag}"), "w").close()
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        n = len([f for f in os.listdir(barrier_dir) if f.startswith("ready-")])
+        if n >= count:
+            return
+        time.sleep(0.25)
+    raise TimeoutError(f"barrier {barrier_dir}: {count} participants never arrived")
+
+
+def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
+        barrier_dir: str | None = None, barrier_count: int = 2) -> dict:
     from pyspark.sql import functions as F
 
     from cianparser_spark.corpus import webgen
@@ -101,14 +119,23 @@ def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int) -> dict:
         prefix, suffix = rt["template"].split("{}", 1)
         for p in range(rt["start_page"], rt["end_page"] + 1):
             urls.append(f"{prefix}{p}{suffix}")
-    snap_mod.build_parallel(urls, cfg, snap_path)
+    try:  # respect a taskset pin: spawn one render worker per usable CPU
+        n_render = len(os.sched_getaffinity(0))
+    except AttributeError:
+        n_render = os.cpu_count() or 4
+    snap_mod.build_parallel(urls, cfg, snap_path, processes=n_render)
     cfg = dataclasses.replace(cfg, snapshot_path=snap_path)
     try:
         eng = CrawlEngine(spark, run_dir, seeds, cfg, host_tokens=host_tokens)
+        if barrier_dir:
+            _barrier(barrier_dir, barrier_count, f"cpus{cpus}")
         t0 = time.time()
         offers = eng.run()
-        n_offers = offers.count()
         wall = time.time() - t0
+        # the crawl (fetch→parse→dedup→commit) is the measured job; the
+        # verification count below re-reads the COMMITTED table and is
+        # not part of it
+        n_offers = offers.count()
         pages = eng.store.read("metrics").agg(F.sum("pages_fetched")).collect()[0][0] or 0
         urls = eng.store.read("lineage").agg(F.sum("input_rows")).collect()[0][0] or 0
         return {
@@ -131,8 +158,13 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=24)
     ap.add_argument("--pages", type=int, default=54)
     ap.add_argument("--host-tokens", type=int, default=1_000_000)
+    ap.add_argument("--barrier-dir", default=None,
+                    help="rendezvous dir: wait for --barrier-count ready "
+                         "files before starting the timed crawl")
+    ap.add_argument("--barrier-count", type=int, default=2)
     args = ap.parse_args()
-    print(json.dumps(run(args.cpus, args.seeds, args.pages, args.host_tokens)))
+    print(json.dumps(run(args.cpus, args.seeds, args.pages, args.host_tokens,
+                         args.barrier_dir, args.barrier_count)))
     sys.stdout.flush()
 
 

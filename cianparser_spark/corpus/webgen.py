@@ -47,6 +47,16 @@ class WebConfig:
     dead_mod: int = 0               # permanent 500 when > 0
     noheader_mod: int = 0           # header-less 200 list page when > 0
     robots_disallow: tuple = ()     # path(-prefix) patterns served in robots.txt
+    # Proxy modeling (reference: cianparser/proxy_pool.py:9-61).  A
+    # proxy is an opaque string; its health is a deterministic property
+    # of the config so the sequential simulator and the distributed
+    # engine observe the identical pool behavior.  Proxies are
+    # result-transparent: fetching through a WORKING proxy returns the
+    # same bytes as a direct fetch (like the real site), so the pool
+    # affects probe/rotation bookkeeping, never content.
+    proxies: tuple = ()                       # configured pool, in order
+    proxy_unavailable: frozenset = field(default_factory=frozenset)
+    proxy_captcha: frozenset = field(default_factory=frozenset)
     # The reference couples a detail-fetch failure to the PAGE retry
     # counter (an exception aborts parse_list_offers_page mid-loop,
     # cianparser/cianparser.py:81-87), so cards after a failing detail
@@ -609,6 +619,15 @@ def robots_txt(host: str, cfg: WebConfig = DEFAULT_CONFIG) -> str:
     return "\n".join(lines) + "\n"
 
 
+def probe_proxy(url: str, proxy: str, cfg: WebConfig = DEFAULT_CONFIG) -> tuple[bool, bool]:
+    """One proxy health probe: ``(available, is_captcha)`` — the
+    deterministic analog of ProxyPool.__is_available_proxy__ +
+    __is_captcha__ (reference: proxy_pool.py:19-30,15-17)."""
+    if proxy in cfg.proxy_unavailable:
+        return False, False
+    return True, proxy in cfg.proxy_captcha
+
+
 def status_for(url: str, attempt: int, cfg: WebConfig = DEFAULT_CONFIG) -> int:
     if not cfg.faults_on_details and not is_list_url(url):
         return 200
@@ -622,8 +641,20 @@ def status_for(url: str, attempt: int, cfg: WebConfig = DEFAULT_CONFIG) -> int:
     return 200
 
 
-def fetch(url: str, attempt: int = 0, cfg: WebConfig = DEFAULT_CONFIG) -> tuple[int, str]:
-    """The synthetic GET.  Deterministic in (url, attempt, cfg)."""
+def fetch(url: str, attempt: int = 0, cfg: WebConfig = DEFAULT_CONFIG,
+          proxy: str | None = None) -> tuple[int, str]:
+    """The synthetic GET.  Deterministic in (url, attempt, cfg, proxy).
+
+    ``proxy`` models routing through the pool (reference sets
+    session.proxies, cianparser.py:44): a WORKING proxy is
+    result-transparent; a dead one yields 502, a captcha-walled one
+    serves the wall — exactly the states ProxyPool filters out before
+    handing a proxy to the session."""
+    if proxy is not None:
+        if proxy in cfg.proxy_unavailable:
+            return 502, "<html><body>proxy unavailable</body></html>"
+        if proxy in cfg.proxy_captcha:
+            return 200, CAPTCHA_HTML
     status = status_for(url, attempt, cfg)
     if status != 200:
         return status, f"<html><body>error {status}</body></html>"

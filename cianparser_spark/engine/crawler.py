@@ -193,10 +193,14 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- politeness
 
-    def _select_budget(self, pending: DataFrame, debt: dict[str, int]) -> DataFrame:
+    def _select_budget(
+        self, pending: DataFrame, debt: dict[str, int]
+    ) -> tuple[DataFrame, bool, int | None]:
         """Two-phase salted per-host token selection; adds bool
-        ``_selected``.  Deterministic priority:
-        (page_number, detail-before-next-list, seed, card, url).
+        ``_selected``.  Returns (marked, fully_selected, n_rows) where
+        n_rows is the exact pending-row count when the fast path
+        already aggregated it (None otherwise).  Deterministic
+        priority: (page_number, detail-before-next-list, seed, card, url).
 
         Fast path: per-host token demand is a cheap aggregate
         (O(hosts) rows to the driver); every host whose whole demand
@@ -207,21 +211,27 @@ class CrawlEngine:
         kind_rank = F.when(F.col("kind") == "detail", F.lit(0)).otherwise(F.lit(1))
         df = pending.withColumn("_cost", cost).withColumn("_krank", kind_rank)
 
-        demand = df.groupBy("host").agg(F.sum("_cost").alias("_dem")).collect()
+        demand = df.groupBy("host").agg(
+            F.sum("_cost").alias("_dem"), F.count("*").alias("_n")).collect()
         over = [
             r["host"] for r in demand
             if int(r["_dem"]) > max(0, self.host_tokens - debt.get(r["host"], 0))
         ]
         if not over:
-            return df.withColumn("_selected", F.lit(True)).drop("_cost", "_krank"), True
+            # the demand aggregate already counted every row, so the
+            # caller needs NO second pass over the frontier (that count
+            # was a full extra job on the wave's critical path)
+            n_rows = sum(int(r["_n"]) for r in demand)
+            return (df.withColumn("_selected", F.lit(True)).drop("_cost", "_krank"),
+                    True, n_rows)
         if len(over) < len(demand):
             in_budget = df.filter(~F.col("host").isin(over)) \
                 .withColumn("_selected", F.lit(True)).drop("_cost", "_krank")
             ranked = self._select_budget_windows(
                 df.filter(F.col("host").isin(over)), debt
             )
-            return in_budget.unionByName(ranked), False
-        return self._select_budget_windows(df, debt), False
+            return in_budget.unionByName(ranked), False, None
+        return self._select_budget_windows(df, debt), False, None
 
     def _select_budget_windows(self, df: DataFrame, debt: dict[str, int]) -> DataFrame:
         """Exact two-phase salted selection for over-budget hosts."""
@@ -429,15 +439,16 @@ class CrawlEngine:
             self.store.read("frontier").filter(F.col("wave") == wave)
         )
         pending, robots_dead, robots_offers = self._robots_gate(pending, wave)
-        marked, fully_selected = self._select_budget(pending, self._debt)
+        marked, fully_selected, n_fast = self._select_budget(pending, self._debt)
 
         # --- driver collect #1: selection stats.  When every host fits
         # its budget (the common wave at scale and the whole fast path)
-        # the only stat needed is the row count — deferred-page
-        # watermark bookkeeping applies to an empty set.
+        # the only stat needed is the row count, which the demand
+        # aggregate already produced — deferred-page watermark
+        # bookkeeping applies to an empty set.
         if fully_selected:
             mstats = []
-            n_selected = marked.count()
+            n_selected = n_fast if n_fast is not None else marked.count()
             n_deferred = 0
         else:
             marked = marked.persist()
@@ -523,7 +534,8 @@ class CrawlEngine:
             )
             (
                 columnar.widen(raw, self._seed_dim())
-                .write.partitionBy("row_type").mode("overwrite").parquet(spool)
+                .write.option("parquet.enable.dictionary", "false")
+                .partitionBy("row_type").mode("overwrite").parquet(spool)
             )
         else:
             raw = (
@@ -551,8 +563,10 @@ class CrawlEngine:
                 parsed.groupBy(gkey.alias("_g"))
                 .agg(F.min_by(payload, F.struct("page_number", "card_index")).alias("_f"))
                 .select("_f.*")
-                .write.partitionBy("row_type").mode("overwrite").parquet(spool)
+                .write.option("parquet.enable.dictionary", "false")
+                .partitionBy("row_type").mode("overwrite").parquet(spool)
             )
+        self._tick("spool_write")
         stage = self.spark.read.schema(model.STAGE_SCHEMA).parquet(spool)
 
         # --- driver collect #2: page/detail outcomes.  Per-page

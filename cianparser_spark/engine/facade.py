@@ -62,7 +62,14 @@ class CianParser:
     ):
         self.__location_id__ = location_id(location)  # raises on unknown
         self.__location_name__ = location
-        self._proxies = proxies  # modeled as host token budgets, not sockets
+        # proxies fold into the web config: the engine's fetch kernels
+        # resolve an executor-local ProxyPool from it (S4; reference:
+        # cianparser.py:35,39-48 + proxy_pool.py:9-61)
+        if proxies:
+            import dataclasses
+
+            web_cfg = dataclasses.replace(web_cfg, proxies=tuple(proxies))
+        self._proxies = proxies
         self._web_cfg = web_cfg
         self._host_tokens = host_tokens
         self._respect_robots = respect_robots

@@ -37,6 +37,10 @@ def get_spark(
         # become 280k-row output allocations — 2k keeps peak memory flat
         # and pipelines Python→JVM transfer
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # lz4 beats snappy on write CPU for the wide stage spool (the
+        # wave's dominant write): measured 11.7 s vs 16.8 s for the
+        # same 837k-row spool at local[8]; read side is comparably fast
+        .config("spark.sql.parquet.compression.codec", "lz4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

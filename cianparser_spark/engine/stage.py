@@ -122,6 +122,17 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
         # per-partition session prologue (one resolver per partition)
         resolver = webgen
         seen: set = set()  # (seed_id, dedup_key), partition-scoped
+        # executor-local proxy pool (S4): resolved once per partition —
+        # proxy health is deterministic in cfg, so this equals the
+        # reference's probe-before-every-page loop (engine/proxies.py
+        # docstring); with no pool configured, fetches go direct
+        proxy = None
+        if cfg.proxies:
+            from cianparser_spark.engine.proxies import ProxyPool
+
+            pool = ProxyPool(cfg.proxies,
+                             lambda u, p: webgen.probe_proxy(u, p, cfg))
+            proxy = pool.get_available_proxy("https://cian.ru/")
 
         for pdf in iterator:
             cols: dict[str, list] = {c: [] for c in _RAW_COLS}
@@ -140,7 +151,7 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
                 rt = seed_runtimes[int(r.seed_id)]
                 sid, pn, ci, at, wv = (int(r.seed_id), int(r.page_number),
                                        int(r.card_index), int(r.attempt), int(r.wave))
-                status, html = resolver.fetch(r.url, attempt=at, cfg=cfg)
+                status, html = resolver.fetch(r.url, attempt=at, cfg=cfg, proxy=proxy)
 
                 if r.kind == "detail":
                     if status != 200:

@@ -1,0 +1,88 @@
+"""WaveStore ↔ Iceberg mapping contract (engine/store.py:1-25).
+
+Each documented equivalence gets a direct assertion so a real-cluster
+swap to ``df.writeTo(...)`` is drop-in:
+
+    commit_wave(appends)  == one append txn (all-or-nothing, multi-table)
+    commit_wave(replaces) == overwritePartitions (latest data only)
+    adopt                 == zero-copy append of a pre-written dir
+    read                  == spark.table at the CURRENT snapshot
+    last_wave             == snapshot summary property
+"""
+
+from __future__ import annotations
+
+import os
+
+from cianparser_spark.engine import model
+from cianparser_spark.engine.store import WaveStore
+
+
+def _store(spark, root) -> WaveStore:
+    return WaveStore(spark, root, model.TABLE_SCHEMAS,
+                     replace_tables=frozenset({"bloom"}))
+
+
+def _stopped(spark, rows):
+    return spark.createDataFrame(rows, model.STOPPED_SCHEMA)
+
+
+def test_multi_table_append_is_one_txn(spark, tmp_run_dir):
+    """A commit touching several tables publishes atomically: a reader
+    sees either none of the wave's appends or all of them (Iceberg:
+    one append txn)."""
+    st = _store(spark, tmp_run_dir)
+    pre_wave = st.last_wave()
+    assert pre_wave == -1
+    st.commit_wave(0, appends={
+        "stopped": _stopped(spark, [(1, 10)]),
+        "dead": spark.createDataFrame([], model.TABLE_SCHEMAS["dead"]),
+    })
+    # a second store handle = an independent reader of CURRENT
+    reader = _store(spark, tmp_run_dir)
+    assert reader.last_wave() == 0
+    assert reader.read("stopped").count() == 1
+
+
+def test_append_accumulates_replace_overwrites(spark, tmp_run_dir):
+    """Append tables accumulate across waves; replace tables expose
+    ONLY the latest commit's data (overwritePartitions semantics)."""
+    def bloom(rows):
+        return spark.createDataFrame(rows, model.BLOOM_SCHEMA)
+
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 10)])})
+    st.commit_wave(1, appends={"stopped": _stopped(spark, [(2, 20)])},
+                   replaces={"bloom": bloom([(0, b"aa"), (1, b"bb")])})
+    st.commit_wave(2, replaces={"bloom": bloom([(0, b"cc")])})
+    assert st.read("stopped").count() == 2          # appends accumulated
+    assert st.read("bloom").count() == 1            # only wave-2 replace
+    assert st.last_wave() == 2
+
+
+def test_adopt_is_zero_copy_append(spark, tmp_run_dir):
+    """``adopt`` renames an already-written spool directory into the
+    table — the data is visible post-commit and the spool is gone
+    (no rewrite)."""
+    st = _store(spark, tmp_run_dir)
+    spool = os.path.join(tmp_run_dir, "scratch", "spool-x")
+    _stopped(spark, [(5, 50), (6, 60)]).write.parquet(spool)
+    st.commit_wave(0, adopt={"stopped": spool})
+    assert not os.path.exists(spool)
+    got = {(r.seed_id, r.captcha_page) for r in st.read("stopped").collect()}
+    assert got == {(5, 50), (6, 60)}
+
+
+def test_reader_pinned_to_published_snapshot(spark, tmp_run_dir):
+    """read() resolves through CURRENT at call time: data written but
+    not yet published (a mid-wave crash) is invisible, and an empty
+    table reads as an empty typed DataFrame, never an error."""
+    st = _store(spark, tmp_run_dir)
+    assert st.read("stopped").count() == 0          # schema-typed empty
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 1)])})
+    # simulate the crash: data dir written, manifest never published
+    st._write("stopped", _stopped(spark, [(9, 9)]), 1)
+    assert [r.seed_id for r in st.read("stopped").collect()] == [1]
+    # the orphan dir exists on disk but outside the snapshot
+    dirs = os.listdir(os.path.join(tmp_run_dir, "data", "stopped"))
+    assert len(dirs) == 2
