@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1152"))
+BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "4608"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 # headline queries: every oracle-checked operator family + the heavy
@@ -102,16 +102,27 @@ def run_scaling() -> dict:
     walls differ (~2x), so only the overlap window is strictly
     same-state.  Every pair's raw numbers are recorded.
     """
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     import shutil as _shutil
     import tempfile as _tempfile
 
     pin = _shutil.which("taskset")
 
+    # the workload's synthetic web is deterministic — render it ONCE
+    # (unpinned, all cores) and mmap-share the file across every level
+    # and rep; per-rep walls then measure the crawl, not page rendering
+    from cianparser_spark.bench_crawl import build_snapshot
+
+    snap_root = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+    snap_dir = _tempfile.mkdtemp(prefix="bench_snap_", dir=snap_root)
+    snap_path = os.path.join(snap_dir, "web.snap")
+    build_snapshot(BENCH_SEEDS, 54, snap_path)
+
     def launch(cpus: int, cpu_list: str, bdir: str):
         cmd = [sys.executable, "-m", "cianparser_spark.bench_crawl",
                "--cpus", str(cpus), "--seeds", str(BENCH_SEEDS),
-               "--barrier-dir", bdir, "--barrier-count", "2"]
+               "--barrier-dir", bdir, "--barrier-count", "2",
+               "--snapshot", snap_path]
         if pin:
             cmd = [pin, "-c", cpu_list] + cmd
         return subprocess.Popen(
@@ -131,6 +142,16 @@ def run_scaling() -> dict:
                     json.loads(out8.strip().splitlines()[-1]))
         finally:
             _shutil.rmtree(bdir, ignore_errors=True)
+
+    try:
+        return _scaling_body(pair, launch, reps, bool(pin))
+    finally:
+        _shutil.rmtree(snap_dir, ignore_errors=True)
+
+
+def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
+    import shutil as _shutil
+    import tempfile as _tempfile
 
     pairs = [pair() for _ in range(reps)]
     effs = [round(r8["pages_per_sec"] / (4 * r2["pages_per_sec"]), 3)
@@ -169,12 +190,12 @@ def run_scaling() -> dict:
     # minute-to-minute swing the concurrent pairing exists to cancel)
     from cianparser_spark.bench_control import control
 
-    ctrl = control(n=2, n4=8, reps=reps, pin=bool(pin))
+    ctrl = control(n=2, n4=8, reps=reps, pin=pin)
 
     return {
         "workload": f"{BENCH_SEEDS} seeds x 54 list pages, full politeness+dedup+commit",
         "method": "concurrent disjoint-core pinned pairs, file-barrier start",
-        "cpu_pinned": bool(pin),
+        "cpu_pinned": pin,
         "pages_total": n["pages_fetched"],
         "offers_total": n["offers"],
         "n_cpus": 2, "4n_cpus": 8,

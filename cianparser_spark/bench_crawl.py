@@ -61,8 +61,47 @@ def _barrier(barrier_dir: str, count: int, tag: str, timeout_s: float = 600.0) -
     raise TimeoutError(f"barrier {barrier_dir}: {count} participants never arrived")
 
 
+def build_snapshot(n_seeds: int, end_page: int, snap_path: str,
+                   processes: int | None = None) -> None:
+    """Pre-render the workload's pages into an mmap snapshot.
+
+    Deterministic for a given (n_seeds, end_page), so the file can be
+    built ONCE by the bench parent and shared read-only (mmap) by every
+    parallelism level and rep — the OS page cache keeps one physical
+    copy.  A real crawler's fetch is network I/O against pages that
+    already exist; serving them from the page store charges the crawler
+    (not the synthetic web server) for the work the metric measures."""
+    import dataclasses as _dc
+
+    from cianparser_spark.corpus import snapshot as snap_mod
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine import model
+
+    cfg = _dc.replace(
+        webgen.DEFAULT_CONFIG,
+        universe_base=webgen.SITE_PAGE_CAP * webgen.PAGE_SIZE,
+        universe_span=1,
+        fail_500_mod=10**9,
+        fail_429_mod=10**9,
+        faults_on_details=False,
+    )
+    urls = []
+    for s in build_seeds(n_seeds, end_page):
+        rt = model.seed_runtime(s)
+        prefix, suffix = rt["template"].split("{}", 1)
+        for p in range(rt["start_page"], rt["end_page"] + 1):
+            urls.append(f"{prefix}{p}{suffix}")
+    if processes is None:
+        try:  # respect a taskset pin: one render worker per usable CPU
+            processes = len(os.sched_getaffinity(0))
+        except AttributeError:
+            processes = os.cpu_count() or 4
+    snap_mod.build_parallel(urls, cfg, snap_path, processes=processes)
+
+
 def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
-        barrier_dir: str | None = None, barrier_count: int = 2) -> dict:
+        barrier_dir: str | None = None, barrier_count: int = 2,
+        snapshot_path: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from cianparser_spark.corpus import webgen
@@ -104,26 +143,15 @@ def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
     dim0 = columnar.seed_dim(spark, {0: dict(
         seed_id=0, kind="flat", deal="sale", location="x", suburban_type=None)})
     columnar.widen(raw0, dim0).count()
-    # pre-render the workload's pages into an mmap snapshot BEFORE the
-    # measurement window: a real crawler's fetch is network I/O against
-    # pages that already exist — serving them from the page store
-    # charges the crawler (not the synthetic web server) for the work
-    # the metric actually measures.  Rendering is deterministic, so
-    # results are bit-identical with or without the snapshot.
-    from cianparser_spark.corpus import snapshot as snap_mod
-
-    snap_path = os.path.join(run_dir, "web.snap")
-    urls = []
-    for s in seeds:
-        rt = model.seed_runtime(s)
-        prefix, suffix = rt["template"].split("{}", 1)
-        for p in range(rt["start_page"], rt["end_page"] + 1):
-            urls.append(f"{prefix}{p}{suffix}")
-    try:  # respect a taskset pin: spawn one render worker per usable CPU
-        n_render = len(os.sched_getaffinity(0))
-    except AttributeError:
-        n_render = os.cpu_count() or 4
-    snap_mod.build_parallel(urls, cfg, snap_path, processes=n_render)
+    # serve pages from a pre-rendered mmap snapshot (see build_snapshot;
+    # rendering is deterministic, so results are bit-identical with or
+    # without it).  Prefer a parent-prebuilt file — one build shared by
+    # every level and rep via the page cache — else build our own.
+    if snapshot_path and os.path.exists(snapshot_path):
+        snap_path = snapshot_path
+    else:
+        snap_path = os.path.join(run_dir, "web.snap")
+        build_snapshot(n_seeds, end_page, snap_path)
     cfg = dataclasses.replace(cfg, snapshot_path=snap_path)
     try:
         eng = CrawlEngine(spark, run_dir, seeds, cfg, host_tokens=host_tokens)
@@ -162,9 +190,12 @@ def main() -> None:
                     help="rendezvous dir: wait for --barrier-count ready "
                          "files before starting the timed crawl")
     ap.add_argument("--barrier-count", type=int, default=2)
+    ap.add_argument("--snapshot", default=None,
+                    help="prebuilt web snapshot to serve pages from "
+                         "(see build_snapshot); built locally if absent")
     args = ap.parse_args()
     print(json.dumps(run(args.cpus, args.seeds, args.pages, args.host_tokens,
-                         args.barrier_dir, args.barrier_count)))
+                         args.barrier_dir, args.barrier_count, args.snapshot)))
     sys.stdout.flush()
 
 
