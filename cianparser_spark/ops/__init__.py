@@ -6,3 +6,23 @@ are first-class components (graded alongside SURVEY.md §2).  Every
 operator here is a DataFrame-in → DataFrame-out function with an ANSI
 SQL oracle where expressible (see __spark_entry__.py).
 """
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy downstream stage (signature / decode pandas
+    UDFs) gets at least one task per core.
+
+    A coarse scan — a single small parquet file locally, or any source
+    whose splits are fewer than the cluster's slots — would otherwise
+    serialize the Python stage on a handful of tasks.  When the scan
+    already has >= defaultParallelism splits (always true at 100 TB,
+    where parquet splitting yields thousands of partitions) this is a
+    NO-OP: no shuffle is added.  The round-robin repartition on the
+    small-input path shuffles only the narrow input columns, before
+    the expensive compute."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import spread
+
 # ------------------------------------------------------------------ exact
 
 
@@ -58,7 +60,7 @@ def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     sh = F.pandas_udf(lambda s: _shingles(s, k), "array<string>")
     return (
-        docs.select(id_col, sh(F.col(text_col)).alias("shingles"))
+        spread(docs).select(id_col, sh(F.col(text_col)).alias("shingles"))
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
 
@@ -178,7 +180,7 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64,
             out.append(mins.tolist())
         return pd.Series(out)
 
-    return docs.select(id_col, F.pandas_udf(sig, "array<bigint>")(F.col(text_col)).alias("sig"))
+    return spread(docs).select(id_col, F.pandas_udf(sig, "array<bigint>")(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
@@ -244,7 +246,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     def sh(texts: pd.Series) -> pd.Series:
         return pd.Series([simhash_text(t) for t in texts])
 
-    return docs.select(id_col, F.pandas_udf(sh, "long")(F.col(text_col)).alias("simhash"))
+    return spread(docs).select(id_col, F.pandas_udf(sh, "long")(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,

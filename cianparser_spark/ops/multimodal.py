@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import spread
+
 SUPPORTED_FMTS = ("png", "qjpg", "jpeg")
 
 
@@ -74,7 +76,7 @@ def decode_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
                                 "mean_luma": None, "std_luma": None, "edge_energy": None})
             yield pd.DataFrame(out, columns=["image_id", "ok", "mean_luma", "std_luma", "edge_energy"])
 
-    return images.select(id_col, "bytes", "fmt").mapInPandas(run, _FEAT_SCHEMA)
+    return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(run, _FEAT_SCHEMA)
 
 
 def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") -> DataFrame:
@@ -96,7 +98,7 @@ def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") 
                             "w": out_w, "h": out_h, "fmt": "png"})
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
 
-    return images.select(id_col, "bytes", "fmt").mapInPandas(
+    return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(
         run, "image_id string, bytes binary, w int, h int, fmt string"
     )
 

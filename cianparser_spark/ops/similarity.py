@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import spread
+
 
 def _dot(vec_col: str, qvec: list[float]):
     q = F.array(*[F.lit(float(x)) for x in qvec])
@@ -69,7 +71,7 @@ def signature_bucket(df: DataFrame, vec_col: str, n_planes: int = 6,
         signs = (mat @ planes.T) > 0
         return pd.Series((signs * (1 << np.arange(n_planes))).sum(axis=1).astype("int64"))
 
-    return df.withColumn(out, F.pandas_udf(assign, "long")(F.col(vec_col)))
+    return spread(df).withColumn(out, F.pandas_udf(assign, "long")(F.col(vec_col)))
 
 
 def build_lsh_index(emb: DataFrame, n_planes: int = 6, seed: int = 42,
@@ -157,7 +159,7 @@ def build_ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 5,
     Build once, probe many; at scale, write back partitioned by
     ``_list`` for partition-pruned probes."""
     cents = ivf_centroids(emb, n_lists, iters, seed, id_col, vec_col)
-    listed = emb.withColumn("_list", _assign_udf(cents)(F.col(vec_col))).persist()
+    listed = spread(emb).withColumn("_list", _assign_udf(cents)(F.col(vec_col))).persist()
     return listed, cents
 
 
@@ -172,7 +174,7 @@ def ivf_topk(emb: DataFrame | None, qvec: list[float], k: int = 10, n_lists: int
         listed, cents = index
     else:
         cents = ivf_centroids(emb, n_lists, seed=seed, id_col=id_col, vec_col=vec_col)
-        listed = emb.withColumn("_list", _assign_udf(cents)(F.col(vec_col)))
+        listed = spread(emb).withColumn("_list", _assign_udf(cents)(F.col(vec_col)))
     q = np.asarray(qvec, dtype=np.float64)
     # stable sort: tie-break on list id, matching the SQL oracle's
     # ORDER BY dot DESC, list_id
