@@ -516,6 +516,26 @@ def q_payload_phash_dedup(spark, sf_dir):
     return payload.phash_dedup(images).select("image_id", "phash").orderBy("image_id")
 
 
+def q_payload_phash_recompute(spark, sf_dir):
+    """Distributed decode→dHash recompute vs the corpus's STORED phash:
+    the oracle is the stored column from the pure-Python truth dump, so
+    a green row proves the Arrow-batched pixel path bit-reproduces the
+    reference hash for every image (the ingest-time op that populates
+    the phash column phash_dedup keys on)."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    return (
+        payload.compute_phash(images)
+        .filter(F.col("ok"))
+        .select("image_id", "phash")
+        .orderBy("image_id")
+    )
+
+
 # ----------------------------------------------------------------- driver API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -570,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_definer_metro": q_s9_definer_metro,
         "payload_verify": q_payload_verify,
         "payload_phash_dedup": q_payload_phash_dedup,
+        "payload_phash_recompute": q_payload_phash_recompute,
     }
 
 
@@ -967,5 +988,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(image_id) AS image_id, phash
             FROM read_parquet('{payload_path}')
             GROUP BY phash
+        """,
+        # phash_decoded is the pure-Python sequential recompute over the
+        # same decoded pixels — exact for every row (stored `phash` is
+        # the PRE-encode hash and differs by 1-2 bits on lossy fmts)
+        "payload_phash_recompute": f"""
+            SELECT image_id, phash_decoded AS phash
+            FROM read_parquet('{payload_path}')
+            ORDER BY image_id
         """,
     }

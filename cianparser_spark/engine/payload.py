@@ -8,6 +8,8 @@ Implements over the ``images`` table
                              the smaller side when wave-local
 * ``decode_verify``        — Arrow-batched decode + PSNR-vs-reference check
                              (>= 40 dB for lossy fmt, exact for lossless)
+* ``compute_phash``        — decode → dHash from pixels (populates the
+                             phash column at ingest; oracle = stored hash)
 * ``phash_dedup``          — keep-first-by-crawl-order per phash (A8, same
                              window pattern as the URL dedup A1)
 * ``near_dup_pairs``       — Hamming-near duplicates via banded self-join
@@ -104,6 +106,38 @@ def decode_verify(joined: DataFrame, caption_col: str = "caption") -> DataFrame:
 
     cols = ["image_id", "bytes", "fmt", caption_col]
     return joined.select(*cols).mapInPandas(check, _VERIFY_SCHEMA)
+
+
+def compute_phash(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Recompute the 64-bit perceptual hash FROM PIXELS: decode →
+    dHash (``imaging.phash64``), Arrow-batched.
+
+    At ingest scale this is the op that POPULATES the ``phash`` column
+    that ``phash_dedup``/``near_dup_pairs`` key on — a crawler receives
+    bytes, not hashes.  The synthetic corpus stores a phash computed by
+    the same pure function over the same pixels, so recomputed ==
+    stored is a full per-row oracle for the distributed decode+hash
+    path (contract query ``payload_phash_recompute``).  Unknown
+    formats yield ok=false with a NULL hash instead of failing the job
+    (same policy as ``ops.multimodal.decode_features``)."""
+    from cianparser_spark.ops import spread
+
+    def run(iterator):
+        from cianparser_spark.corpus import imaging
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imaging.decode(bytes(r.bytes), r.fmt)
+                    h, ok = imaging.phash64(px), True
+                except Exception:
+                    h, ok = None, False
+                out.append({"image_id": getattr(r, id_col), "phash": h, "ok": ok})
+            yield pd.DataFrame(out, columns=["image_id", "phash", "ok"])
+
+    return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(
+        run, "image_id string, phash long, ok boolean")
 
 
 def phash_dedup(images: DataFrame, order_cols: list[str] | None = None) -> DataFrame:

@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 4  # bump to invalidate previously dumped truth files
+_VERSION = 5  # bump to invalidate previously dumped truth files
 
 
 def _path(name: str) -> str:
@@ -206,6 +206,10 @@ def ensure_payload_truth(n: int = PAYLOAD_N) -> str:
             "image_id": row["image_id"],
             "fmt": row["fmt"],
             "phash": row["phash"],
+            # hash of the DECODED pixels (≠ stored phash for lossy fmts
+            # by 1-2 bits): the oracle for the distributed decode→dHash
+            # recompute (payload_phash_recompute)
+            "phash_decoded": imaging.phash64(px),
             "caption": row["caption"],
             "ok": ok,
             "psnr": float(psnr),

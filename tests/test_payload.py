@@ -94,3 +94,22 @@ def test_normalize_caption(spark):
     out = [r["caption_norm"] for r in payload.normalize_caption(df).collect()]
     assert out[0] == "2-комн. кв. 54.3 м² 7 16 этаж" or "54.3" in out[0]
     assert "студия" in out[1] and "25.0" in out[1] and "!" not in out[1]
+
+
+def test_compute_phash_matches_pure_python(images):
+    """Distributed decode→dHash == sequential pure-Python recompute per
+    image; lossless fmts additionally equal the stored pre-encode hash,
+    lossy fmts sit within a couple of dHash bits of it."""
+    from cianparser_spark.corpus import imaging
+
+    got = {r["image_id"]: r for r in payload.compute_phash(images).collect()}
+    assert len(got) == N
+    for i, want in enumerate(W.images_rows(N)):
+        g = got[want["image_id"]]
+        assert g["ok"]
+        ref = imaging.phash64(imaging.decode(want["bytes"], want["fmt"]))
+        assert g["phash"] == ref
+        if imaging.is_lossless(want["fmt"]):
+            assert g["phash"] == want["phash"]
+        else:
+            assert imaging.hamming64(g["phash"], want["phash"]) <= 4
