@@ -516,6 +516,22 @@ def q_payload_phash_dedup(spark, sf_dir):
     return payload.phash_dedup(images).select("image_id", "phash").orderBy("image_id")
 
 
+def q_payload_near_dup(spark, sf_dir):
+    """Banded phash near-dup pairs at hamming <= 3 — recall over the
+    4×16-bit band join is GUARANTEED by pigeonhole (<= 3 differing bits
+    leave >= 1 band exactly equal), so the DuckDB all-pairs hamming
+    join over the truth dump's stored hashes is a full oracle for the
+    image near-dup path (A8's banded sibling, payload.near_dup_pairs)."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    return payload.near_dup_pairs(images, max_hamming=3) \
+        .orderBy("left_id", "right_id")
+
+
 def q_payload_phash_recompute(spark, sf_dir):
     """Distributed decode→dHash recompute vs the corpus's STORED phash:
     the oracle is the stored column from the pure-Python truth dump, so
@@ -591,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_verify": q_payload_verify,
         "payload_phash_dedup": q_payload_phash_dedup,
         "payload_phash_recompute": q_payload_phash_recompute,
+        "payload_near_dup": q_payload_near_dup,
     }
 
 
@@ -996,5 +1013,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, phash_decoded AS phash
             FROM read_parquet('{payload_path}')
             ORDER BY image_id
+        """,
+        "payload_near_dup": f"""
+            SELECT l.image_id AS left_id, r.image_id AS right_id,
+                   bit_count(xor(l.phash, r.phash)) AS hamming
+            FROM read_parquet('{payload_path}') l
+            JOIN read_parquet('{payload_path}') r ON l.image_id < r.image_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= 3
+            ORDER BY left_id, right_id
         """,
     }

@@ -50,7 +50,7 @@ HEADLINE = [
     "text_langid", "text_fingerprint", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts",
     "crawl_flagship", "payload_verify", "payload_phash_dedup",
-    "payload_phash_recompute",
+    "payload_phash_recompute", "payload_near_dup",
 ]
 
 
