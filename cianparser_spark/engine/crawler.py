@@ -845,7 +845,7 @@ class CrawlEngine:
             for i, (h, m) in enumerate(sorted(mrows.items()))
         ]
         if metrics_rows:
-            appends["metrics"] = self.spark.createDataFrame(
+            appends["metrics"] = (
                 [
                     {"host": h, "wave": w, "pages_fetched": pf, "cards_parsed": cp,
                      "offers_emitted": oe, "n_429": n4, "n_errors": ne,
@@ -855,7 +855,7 @@ class CrawlEngine:
                 model.METRICS_SCHEMA,
             )
         if lin:
-            appends["lineage"] = self.spark.createDataFrame(
+            appends["lineage"] = (
                 [(wave, pid, io[0], io[1]) for pid, io in sorted(lin.items())],
                 model.LINEAGE_SCHEMA,
             )
@@ -866,14 +866,14 @@ class CrawlEngine:
                 # watermark proved the leftover empty — only clear the
                 # table if a previous wave actually left rows in it
                 if self._staged_nonempty:
-                    replaces["staged"] = self.spark.createDataFrame([], model.STAGED_SCHEMA)
+                    replaces["staged"] = ([], model.STAGED_SCHEMA)
                 self._staged_nonempty = False
             else:
                 leftover_df = leftover_df.persist()
                 replaces["staged"] = leftover_df
                 self._staged_nonempty = leftover_df.limit(1).count() > 0
         if self._stopped:
-            replaces["stopped"] = self.spark.createDataFrame(
+            replaces["stopped"] = (
                 [(k, v) for k, v in sorted(self._stopped.items())], model.STOPPED_SCHEMA
             )
         if n_accepted and n_frontier_next:
@@ -1038,7 +1038,7 @@ class CrawlEngine:
             ).drop("_dk")
         return batch_first.drop("_dk")
 
-    def _update_bloom(self, seen_new: DataFrame) -> DataFrame:
+    def _update_bloom(self, seen_new: DataFrame) -> tuple:
         """Merge this wave's accepted keys into fixed-size per-bucket
         Bloom blobs.  Partial filters are built per bucket with
         applyInPandas (UDAF-shaped), then OR-merged driver-side —
@@ -1078,6 +1078,7 @@ class CrawlEngine:
             else:
                 merged[b] = incoming
         rows = [(b, f.to_bytes()) for b, f in sorted(merged.items())]
-        if not rows:
-            return self.spark.createDataFrame([], model.BLOOM_SCHEMA)
-        return self.spark.createDataFrame(rows, model.BLOOM_SCHEMA)
+        # (rows, schema) = WaveStore local-write path: the merged blobs
+        # live on the driver already; a Spark job to write them is pure
+        # per-wave overhead (an empty rows list clears the table)
+        return (rows, model.BLOOM_SCHEMA)

@@ -78,11 +78,11 @@ class WaveStore:
         tables = {k: list(v) for k, v in snap["tables"].items()}
 
         for name, df in (appends or {}).items():
-            rel = self._write(name, df, wave)
+            rel = self._dispatch_write(name, df, wave)
             if rel is not None:
                 tables.setdefault(name, []).append(rel)
         for name, df in (replaces or {}).items():
-            rel = self._write(name, df, wave)
+            rel = self._dispatch_write(name, df, wave)
             tables[name] = [rel] if rel is not None else []
         for name, src in (adopt or {}).items():
             rel = os.path.join("data", name, f"w{wave:05d}-{uuid.uuid4().hex[:8]}")
@@ -114,6 +114,47 @@ class WaveStore:
         # the write of large appends (offers/seen) at a handful of tasks;
         # AQE already right-sizes post-shuffle partition counts
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _dispatch_write(self, name: str, df, wave: int) -> str | None:
+        """A table value is either a DataFrame (executor-scale data —
+        written by Spark at the plan's parallelism) or ``(rows,
+        spark_schema)`` with plain Python rows (driver-BUILT tables:
+        metrics, lineage, stopped, bloom blobs — all O(hosts)/
+        O(buckets) rows the driver aggregated anyway).  The latter are
+        written driver-side with pyarrow: a tiny Spark write job costs
+        ~300 ms of scheduling for a 5-row table, the local file ~1 ms —
+        per wave, per table, that overhead is what caps small-wave
+        scaling.  The read path is identical: ``read()`` applies the
+        same explicit schema to every referenced directory."""
+        if isinstance(df, tuple):
+            rows, schema = df
+            return self._write_local(name, rows, schema, wave)
+        return self._write(name, df, wave)
+
+    _PA_TYPES = {"string": "string", "bigint": "int64", "double": "float64",
+                 "boolean": "bool_", "binary": "binary"}
+
+    def _write_local(self, name: str, rows, schema: T.StructType, wave: int) -> str | None:
+        if not rows:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in schema.fields]
+        if isinstance(rows[0], dict):
+            cols = {n: [r.get(n) for r in rows] for n in names}
+        else:
+            cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        arrays = [
+            pa.array(cols[f.name], type=getattr(pa, self._PA_TYPES[f.dataType.simpleString()])())
+            for f in schema.fields
+        ]
+        rel = os.path.join("data", name, f"w{wave:05d}-{uuid.uuid4().hex[:8]}")
+        absdir = os.path.join(self.root, rel)
+        os.makedirs(absdir, exist_ok=True)
+        pq.write_table(pa.Table.from_arrays(arrays, names=names),
+                       os.path.join(absdir, "part-00000.parquet"))
         return rel
 
     # ----------------------------------------------------------------- read

@@ -86,3 +86,31 @@ def test_reader_pinned_to_published_snapshot(spark, tmp_run_dir):
     # the orphan dir exists on disk but outside the snapshot
     dirs = os.listdir(os.path.join(tmp_run_dir, "data", "stopped"))
     assert len(dirs) == 2
+
+
+def test_local_write_rows_roundtrip(spark, tmp_path):
+    """(rows, schema) table values are written driver-side (pyarrow)
+    and read back bit-identically through the same explicit schema."""
+    from cianparser_spark.engine import model
+    from cianparser_spark.engine.store import WaveStore
+
+    st = WaveStore(spark, str(tmp_path / "s"), model.TABLE_SCHEMAS, model.REPLACE_TABLES)
+    st.commit_wave(0, appends={
+        "metrics": ([{"host": "h", "wave": 0, "pages_fetched": 3, "cards_parsed": 5,
+                      "offers_emitted": None, "n_429": 0, "n_errors": 0,
+                      "details_fetched": 1, "avg_price": 12.5, "captcha": False}],
+                    model.METRICS_SCHEMA),
+        "lineage": ([(0, 7, 100, 90)], model.LINEAGE_SCHEMA),
+    }, replaces={"bloom": ([(0, b"\x01\x02")], model.BLOOM_SCHEMA)})
+    m = st.read("metrics").collect()
+    assert len(m) == 1 and m[0]["avg_price"] == 12.5 and m[0]["captcha"] is False
+    assert m[0]["offers_emitted"] is None and m[0]["pages_fetched"] == 3
+    assert st.read("lineage").collect()[0]["output_rows"] == 90
+    b = st.read("bloom").collect()
+    assert bytes(b[0]["blob"]) == b"\x01\x02"
+    # empty rows on a replace clears the table
+    st.commit_wave(1, replaces={"bloom": ([], model.BLOOM_SCHEMA)})
+    assert st.read("bloom").count() == 0
+    # mixed commit: Spark DataFrame append still works alongside
+    st.commit_wave(2, appends={"stopped": ([(9, 2)], model.STOPPED_SCHEMA)})
+    assert st.read("stopped").collect()[0]["seed_id"] == 9
