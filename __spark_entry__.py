@@ -431,6 +431,33 @@ def q_crawl_flagship(spark, sf_dir):
     return offers.select(*truth.CRAWL_TRUTH_COLS)
 
 
+def q_a5_progress(spark, sf_dir):
+    """T8/A5 engine side: the metrics table's running totals — final
+    cumulative offers_emitted, the reference-style progress ratio
+    (base_list.py:49-56: ceil(100·parsed/(offers_per_page·pages))) and
+    the wave avg_price (T8, base_list.py:43-47 — engine keeps the TRUE
+    mean) — read back from the committed metrics table via
+    ``CrawlEngine.progress()``.  Oracle: the same three numbers
+    recomputed by DuckDB from the sequential simulator's truth dump
+    (the flagship crawl is single-wave/single-host by construction —
+    2 list pages vs a 64-token budget — asserted in
+    tests/test_engine.py::test_progress_metrics_single_wave)."""
+    import tempfile
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine.crawler import CrawlEngine
+
+    seed, cfg = truth.flagship_seed_and_cfg()
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="a5_"), [seed], cfg,
+                      host_tokens=64)
+    eng.run()
+    return eng.progress().agg(
+        F.max("offers_cum").cast("long").alias("offers_total"),
+        F.max("progress_pct").cast("long").alias("final_pct"),
+        F.round(F.max("avg_price"), 6).cast("double").alias("avg_price"),
+    )
+
+
 def q_j2_metro_join(spark, sf_dir):
     """J2: (network, station) → metro-id lookup as a BROADCAST hash
     join of the FULL vendored metro dimension (dims_data — 510
@@ -601,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_first_wins": q_stream_first_wins,
         "stream_window_counts": q_stream_window_counts,
         "crawl_flagship": q_crawl_flagship,
+        "a5_progress": q_a5_progress,
         "j2_metro_join": q_j2_metro_join,
         "s9_definer_cities": q_s9_definer_cities,
         "s9_definer_metro": q_s9_definer_metro,
@@ -640,6 +668,13 @@ def oracle_sql() -> dict[str, str]:
     from cianparser_spark import truth
 
     crawl_path = truth.ensure_crawl_truth()
+    # A5 progress denominator: PAGE_SIZE × planned pages of the flagship
+    # seed (reference base_list.py:49-56's offers_per_page·count_of_pages)
+    from cianparser_spark.corpus import webgen as _webgen
+
+    _a5_seed, _ = truth.flagship_seed_and_cfg()
+    a5_cap = max(1, _webgen.PAGE_SIZE
+                 * int(_a5_seed.additional_settings["end_page"]))
     payload_path = truth.ensure_payload_truth()
     metro_path = truth.ensure_metro_truth()
     defcity_path = truth.ensure_definer_cities_truth()
@@ -936,6 +971,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT seed_id, page_number, card_index, deal_url_id, url,
                    author_type, rooms_count, total_meters, price,
                    district, street, house_number, underground, image_id
+            FROM read_parquet('{crawl_path}')
+        """,
+        # T8/A5: final progress totals recomputed from the simulator
+        # dump — offers over the planned cap (PAGE_SIZE × pages, the
+        # reference progress-bar denominator) + the true mean price
+        "a5_progress": f"""
+            SELECT count(*) AS offers_total,
+                   least(100, CAST(ceil(count(*) * 100.0 / {a5_cap}) AS BIGINT))
+                       AS final_pct,
+                   round(avg(price), 6) AS avg_price
             FROM read_parquet('{crawl_path}')
         """,
         # J2: the vendored 510-station metro dimension joined against

@@ -152,6 +152,36 @@ def test_lineage_and_metrics_written(spark, tmp_run_dir):
     assert m == 2
 
 
+def test_progress_metrics_single_wave(spark, tmp_run_dir):
+    """T8/A5: the flagship config (2 list pages, 64-token budget) is
+    single-wave and single-host by construction — asserted here because
+    the a5_progress oracle (final totals vs the simulator dump) relies
+    on it — and progress() must report the reference-style ratio
+    (base_list.py:49-56) with avg_price the TRUE mean of the wave's
+    accepted cards."""
+    import math
+
+    from cianparser_spark import truth
+
+    seed, cfg = truth.flagship_seed_and_cfg()
+    sim = ReferenceSimulator(cfg, project_fields=False).run([seed])
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], cfg, host_tokens=64)
+    eng.run()
+    metrics = eng.store.read("metrics").collect()
+    assert {r["wave"] for r in metrics} == {1}, "flagship must be single-wave"
+    assert len({r["host"] for r in metrics}) == 1, "flagship must be single-host"
+    prog = eng.progress().collect()
+    assert len(prog) == 1
+    row = prog[0]
+    n = len(sim.rows)
+    cap = W.PAGE_SIZE * 2
+    assert row["offers_emitted"] == n
+    assert row["offers_cum"] == n
+    assert row["progress_pct"] == min(100, math.ceil(n * 100 / cap))
+    truth_avg = sum(r["price"] for r in sim.rows) / n
+    assert row["avg_price"] == pytest.approx(truth_avg, rel=1e-9)
+
+
 def test_invalidate_and_recrawl_idempotent(spark, tmp_run_dir):
     """Re-crawl invalidation: drop page 2's offers + seen keys, re-fetch
     the page — the final table must be bit-identical to the original
