@@ -51,6 +51,7 @@ HEADLINE = [
     "stream_first_wins", "stream_window_counts",
     "crawl_flagship", "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup",
+    "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
 ]
 
 
