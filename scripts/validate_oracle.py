@@ -54,7 +54,7 @@ def main() -> int:
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok   {name:22s} rows-only ({len(got)} rows, {dt:.1f}s)")
-            if len(got) == 0 and name != "dedup_ngram_threshold":
+            if len(got) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         want = con.execute(oracles[name]).df()
