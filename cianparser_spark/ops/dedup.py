@@ -46,6 +46,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------ shingling
 
 def _shingles(texts: pd.Series, k: int) -> pd.Series:
+    """Pure-Python reference of the shingling semantics (kept for truth
+    dumps / property tests; the Spark path is the native expression
+    below — ``test_shingle_expr_matches_python`` pins them equal)."""
     out = []
     for t in texts:
         words = t.split()
@@ -56,11 +59,33 @@ def _shingles(texts: pd.Series, k: int) -> pd.Series:
     return pd.Series(out)
 
 
+def shingle_expr(text_col: str, k: int):
+    """k-word shingles as a NATIVE Catalyst expression (array<string>).
+
+    Whole-stage-codegen'd JVM work — no Arrow round-trip, no Python
+    worker in the shingling hot path (at 100 TB this stage touches
+    every byte of every document).  Semantics match ``str.split()``:
+    split on runs of whitespace, drop empties; < k words → one joined
+    shingle; empty text → empty array.  The DuckDB oracles use the
+    same ``regexp_split_to_array(trim(text), '\\s+')`` grammar."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    full = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(words, i + F.lit(1), k), " "),
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(words, " ")))
+        .otherwise(full)
+    )
+
+
 def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    sh = F.pandas_udf(lambda s: _shingles(s, k), "array<string>")
     return (
-        spread(docs).select(id_col, sh(F.col(text_col)).alias("shingles"))
+        spread(docs).select(id_col, shingle_expr(text_col, k).alias("shingles"))
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
 
@@ -155,32 +180,60 @@ def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """doc -> array<bigint> of n minhash values over k-word shingles."""
+    """doc -> array<bigint> of n minhash values over k-word shingles.
+
+    Shingling runs as the NATIVE ``shingle_expr`` (JVM codegen); only
+    the irreducibly-numeric part crosses to Python, and that part is
+    fully BATCH-vectorized: one flattened ``pd.util.hash_array`` call
+    per Arrow batch + a single splitmix pass + ``minimum.reduceat``
+    segmented mins — zero per-row Python (the north-rule invariant).
+    Values are bit-identical to the historical per-text loop (the hash
+    is elementwise; a multiset's min equals its set's min).
+    """
 
     seed_consts = np.array(
         [(i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF for i in range(n_hashes)],
         dtype=np.uint64,
     )
+    # bound the (n_hashes, chunk_shingles) splitmix temp to ~64 MB
+    chunk_target = 1 << 17
 
-    def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingles(pd.Series([t]), k)[0]
-            if not sh:
-                out.append([0] * n_hashes)
-                continue
-            base = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
-            # one vectorized splitmix pass over (n_hashes, n_shingles)
+    def sig(shingle_lists: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(a) for a in shingle_lists), dtype=np.int64,
+                           count=len(shingle_lists))
+        out = np.zeros((len(shingle_lists), n_hashes), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        pos = 0
+        while pos < nz.size:
+            # take whole documents until the shingle budget fills
+            end = pos
+            tot = 0
+            while end < nz.size and (end == pos or tot + lens[nz[end]] <= chunk_target):
+                tot += int(lens[nz[end]])
+                end += 1
+            idx = nz[pos:end]
+            flat = np.concatenate(
+                [np.asarray(shingle_lists.iloc[i], dtype=object) for i in idx]
+            )
+            base = pd.util.hash_array(flat).astype(np.uint64)
             with np.errstate(over="ignore"):
                 z = base[None, :] + seed_consts[:, None]
                 z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
                 z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
                 z = z ^ (z >> np.uint64(31))
-            mins = (z.min(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-            out.append(mins.tolist())
-        return pd.Series(out)
+            fstarts = np.zeros(idx.size, dtype=np.int64)
+            fstarts[1:] = np.cumsum(lens[idx])[:-1]
+            mins = np.minimum.reduceat(z, fstarts, axis=1)  # (H, docs)
+            out[idx] = (mins.T & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            pos = end
+        return pd.Series(list(out))
 
-    return spread(docs).select(id_col, F.pandas_udf(sig, "array<bigint>")(F.col(text_col)).alias("sig"))
+    shingled = spread(docs).select(
+        id_col, F.array_distinct(shingle_expr(text_col, k)).alias("_sh")
+    )
+    return shingled.select(
+        id_col, F.pandas_udf(sig, "array<bigint>")(F.col("_sh")).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
@@ -241,10 +294,44 @@ def simhash_text(t: str) -> int:
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens (sign of per-bit weighted sums)."""
+    """64-bit SimHash over word tokens (sign of per-bit weighted sums).
+
+    Batch-vectorized: one flattened ``hash_array`` per Arrow batch, bit
+    expansion + ``add.reduceat`` segmented sums — no per-row Python
+    loop.  Bit-identical to the scalar reference ``simhash_text``
+    (pinned by ``test_simhash_banding_recall_guarantee`` and
+    ``test_simhash_vectorized_matches_scalar``)."""
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    chunk_target = 1 << 17  # bound the (chunk_words, 64) int32 temp to ~32 MB
 
     def sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([simhash_text(t) for t in texts])
+        word_lists = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
+                           count=len(word_lists))
+        out = np.zeros(len(word_lists), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        pos = 0
+        while pos < nz.size:
+            end = pos
+            tot = 0
+            while end < nz.size and (end == pos or tot + lens[nz[end]] <= chunk_target):
+                tot += int(lens[nz[end]])
+                end += 1
+            idx = nz[pos:end]
+            flat = np.concatenate(
+                [np.asarray(word_lists[i], dtype=object) for i in idx]
+            )
+            hs = pd.util.hash_array(flat).astype(np.uint64)
+            bits = ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
+            fstarts = np.zeros(idx.size, dtype=np.int64)
+            fstarts[1:] = np.cumsum(lens[idx])[:-1]
+            sums = np.add.reduceat(bits, fstarts, axis=0).astype(np.int64)
+            v = 2 * sums - lens[idx][:, None]  # (docs, 64) weighted bit sums
+            h = ((v > 0).astype(np.uint64) << bit_idx).sum(axis=1)
+            out[idx] = h.view(np.int64)  # two's-complement reinterpret
+            pos = end
+        return pd.Series(out)
 
     return spread(docs).select(id_col, F.pandas_udf(sh, "long")(F.col(text_col)).alias("simhash"))
 

@@ -199,6 +199,90 @@ def test_simhash_banding_recall_guarantee(spark):
     assert got == brute
 
 
+def test_shingle_expr_matches_python(spark, docs):
+    """The native Catalyst shingle expression must reproduce the pure-
+    Python reference (`_shingles`) exactly — real corpus + edge cases
+    (empty text, whitespace-only, fewer words than k, run-whitespace)."""
+    import pandas as pd
+
+    from cianparser_spark.ops.dedup import _shingles, shingle_expr
+
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "одно"), (90004, "два слова"),
+         (90005, "ровно три слова"), (90006, "тут  двойной   пробел между словами"),
+         (90007, "\tтабы\nи переводы строк тоже  разделители\n")],
+        "doc_id long, text string",
+    )
+    both = docs.limit(200).select("doc_id", "text").unionByName(edge)
+    for k in (2, 3, 5):
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in both.select(
+                "doc_id", shingle_expr("text", k).alias("sh")
+            ).collect()
+        }
+        pdf = both.toPandas()
+        want = dict(zip(pdf["doc_id"], _shingles(pd.Series(list(pdf["text"])), k)))
+        assert got == want
+
+
+def test_simhash_vectorized_matches_scalar(spark, docs):
+    """The batched simhash kernel must equal the scalar reference
+    (`simhash_text`, also the truth-dump definition) on every row,
+    including empty / whitespace-only / single-word texts."""
+    from cianparser_spark.ops.dedup import simhash, simhash_text
+
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "слово"),
+         (90004, "слово слово слово"), (90005, "а б в г д е ж з")],
+        "doc_id long, text string",
+    )
+    both = docs.limit(200).select("doc_id", "text").unionByName(edge)
+    got = {r["doc_id"]: r["simhash"] for r in simhash(both).collect()}
+    pdf = both.toPandas()
+    want = {i: simhash_text(t) for i, t in zip(pdf["doc_id"], pdf["text"])}
+    assert got == want
+
+
+def test_minhash_signatures_vectorized_matches_scalar(spark, docs):
+    """The batched minhash kernel must equal a direct per-text
+    computation (the historical per-row loop, inlined here as the
+    reference) — flattened hashing + segmented min is a pure
+    reshaping of the same arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from cianparser_spark.ops.dedup import _shingles, minhash_signatures
+
+    k, n_hashes = 3, 64
+    seed_consts = np.array(
+        [(i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF for i in range(n_hashes)],
+        dtype=np.uint64,
+    )
+
+    def scalar_sig(t: str) -> list[int]:
+        sh = _shingles(pd.Series([t]), k)[0]
+        if not sh:
+            return [0] * n_hashes
+        base = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = base[None, :] + seed_consts[:, None]
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        return (z.min(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist()
+
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "  "), (90003, "пара слов")],
+        "doc_id long, text string",
+    )
+    both = docs.limit(100).select("doc_id", "text").unionByName(edge)
+    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(both, k=k).collect()}
+    pdf = both.toPandas()
+    want = {i: scalar_sig(t) for i, t in zip(pdf["doc_id"], pdf["text"])}
+    assert got == want
+
+
 def test_ngram_df_cap_bounds_candidates(spark):
     """A pathological stop-shingle shared by every doc must not blow up
     candidate generation when max_shingle_df is set: pairs whose ONLY
