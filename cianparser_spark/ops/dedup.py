@@ -238,11 +238,21 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64,
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.6,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs: minhash → band buckets → bucket equi-join →
-    exact Jaccard verification of the candidates only."""
+    exact Jaccard verification of the candidates only.
+
+    The banded self-join evaluates the signature kernel once per join
+    side when built lazily (two ArrowEvalPython nodes in the plan —
+    cheap post-vectorization, but it re-reads the text twice).  For
+    repeated runs or when the text scan is the cost (100 TB), pass a
+    precomputed/persisted ``sigs`` frame (``minhash_signatures(...)
+    .persist()``) — same reuse pattern as the ANN ``build_*_index``
+    APIs; outputs are identical either way."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
+    if sigs is None:
+        sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
     banded = sigs.select(
         id_col,
         F.explode(

@@ -226,6 +226,24 @@ def test_shingle_expr_matches_python(spark, docs):
         assert got == want
 
 
+def test_minhash_precomputed_sigs_identical(spark, docs):
+    """Passing a precomputed (persisted) signature frame must yield the
+    same pairs as the lazy path — the reuse hook for repeated runs."""
+    from cianparser_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = docs.limit(60)
+    near = d.limit(6).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = d.unionByName(near)
+    lazy = {(r["left_id"], r["right_id"]) for r in minhash_lsh_pairs(both).collect()}
+    sigs = minhash_signatures(both).persist()
+    try:
+        pre = {(r["left_id"], r["right_id"])
+               for r in minhash_lsh_pairs(both, sigs=sigs).collect()}
+    finally:
+        sigs.unpersist()
+    assert pre == lazy and len(lazy) >= 6
+
+
 def test_simhash_vectorized_matches_scalar(spark, docs):
     """The batched simhash kernel must equal the scalar reference
     (`simhash_text`, also the truth-dump definition) on every row,
