@@ -178,17 +178,29 @@ def near_dup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
         ).alias("b"),
     ).select("image_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
 
+    # "first agreeing band": a pair sharing several bands multiplies
+    # out of the equi-join; both sides carry the full 64-bit phash, so
+    # "an earlier band also agrees" is a native filter — replaces a
+    # distinct (a full shuffle of every candidate pair)
+    def band_val(col, i):
+        return F.shiftright(col, 16 * i).bitwiseAND(F.lit(0xFFFF))
+
+    lp, rp = F.col("l.phash"), F.col("r.phash")
+    earlier_agree = F.lit(False)
+    for i in range(3):
+        earlier_agree = earlier_agree | (
+            (F.col("band") > i) & (band_val(lp, i) == band_val(rp, i))
+        )
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "val"])
-        .filter(F.col("l.image_id") < F.col("r.image_id"))
+        .filter((F.col("l.image_id") < F.col("r.image_id")) & ~earlier_agree)
         .select(
             F.col("l.image_id").alias("left_id"),
             F.col("r.image_id").alias("right_id"),
             F.col("l.phash").alias("lp"),
             F.col("r.phash").alias("rp"),
         )
-        .distinct()
     )
     ham = F.bit_count(F.col("lp").bitwiseXOR(F.col("rp")))
     return (

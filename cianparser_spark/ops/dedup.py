@@ -12,8 +12,10 @@ All operate on a documents table ``(doc_id, text, ...)``:
 
 Scale notes: every near-dup operator is candidate-generation via an
 equi-join on a derived key (band/bucket), never a cross join; exact
-verification runs only on candidates.  Shingling/minhash run in
-vectorized pandas UDFs (Arrow), hashing via stable 64-bit mixes.
+verification runs only on candidates.  Shingling is a native Catalyst
+expression (JVM codegen); the minhash/simhash numeric kernels are
+batch-vectorized Arrow UDFs (one flattened hash + segmented reduction
+per batch, zero per-row Python), hashing via stable 64-bit mixes.
 """
 
 from __future__ import annotations
@@ -253,6 +255,13 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
     rows_per_band = n_hashes // bands
     if sigs is None:
         sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
+    # candidate dedup via narrow distincts: banded rows stay 3 narrow
+    # columns through every exchange, and the pair distinct is bounded
+    # by the candidate count (post-banding, i.e. near-dup density, not
+    # corpus size).  The "first agreeing band" carried-array variant
+    # (see simhash_near_pairs) was measured 1.6× SLOWER here: the
+    # 16-long bucket array rides both sides of the self-join and
+    # outweighs the saved distinct at any tested SF.
     banded = sigs.select(
         id_col,
         F.explode(
@@ -366,13 +375,28 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                 for i in range(4)
             ])
         ).alias("b"),
-    ).select(id_col, "simhash", "b.band", "b.val")
+    ).select(id_col, "simhash", "b.band", "b.val").repartition("band", "val")
+    # ^ identical exchange on both self-join sides → ReuseExchange runs
+    #   the simhash kernel once (see minhash_lsh_pairs note)
+
+    def band_val(col, i):
+        return F.shiftright(col, 16 * i).bitwiseAND(F.lit(0xFFFF))
+
+    # "first agreeing band": a pair agreeing on several 16-bit bands
+    # multiplies out of the equi-join; both sides carry the full 64-bit
+    # hash, so "some band < b also agrees" is a native filter — no
+    # distinct (= no shuffle of every candidate pair)
+    lh, rh = F.col("l.simhash"), F.col("r.simhash")
+    earlier_agree = F.lit(False)
+    for i in range(3):
+        earlier_agree = earlier_agree | (
+            (F.col("band") > i) & (band_val(lh, i) == band_val(rh, i))
+        )
     pairs = (
         bands.alias("l").join(bands.alias("r"), ["band", "val"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .filter((F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) & ~earlier_agree)
         .select(F.col(f"l.{id_col}").alias("left_id"), F.col(f"r.{id_col}").alias("right_id"),
                 F.col("l.simhash").alias("lh"), F.col("r.simhash").alias("rh"))
-        .distinct()
     )
     return (
         pairs.withColumn("hamming", F.bit_count(F.col("lh").bitwiseXOR(F.col("rh"))))
