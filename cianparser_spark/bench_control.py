@@ -70,5 +70,59 @@ def control(n: int = 2, n4: int = 8, reps: int = 3, pin: bool = True) -> dict:
     }
 
 
+_MEM_MB = 128  # per-process copy buffer
+_MEM_DUR = 6.0  # seconds of timed copying per level
+
+
+def _memspin(cpu: int, dur: float, barrier, q) -> None:
+    try:
+        os.sched_setaffinity(0, {cpu})
+    except (AttributeError, OSError):
+        pass
+    buf = bytearray(os.urandom(_MEM_MB << 20))
+    mv = memoryview(buf)
+    dst = bytearray(_MEM_MB << 20)
+    barrier.wait()
+    t0 = time.time()
+    reps = 0
+    while time.time() - t0 < dur:
+        dst[:] = mv  # _MEM_MB read + _MEM_MB write
+        reps += 1
+    q.put((cpu, reps * 2 * _MEM_MB / (time.time() - t0)))
+
+
+def mem_control(n_cpus: tuple = (0, 1), n4_cpus: tuple = (8, 9, 10, 11, 12, 13, 14, 15)) -> dict:
+    """DRAM-delivery pair under the SAME methodology as the engine
+    pairs: N and 4N pure-memcpy processes on the same disjoint pinned
+    CPU sets, started at the same instant (barrier), so both sample
+    the identical platform state.  A data engine's wave moves bytes
+    (mmap page serve, Arrow transfer, spool write); the memory
+    subsystem's per-core delivery DROPS as more cores drive it, so
+    this — not the register-only ALU spin — is the relevant scaling
+    ceiling on a single box.  On a real cluster 4N executors bring 4N
+    memory controllers and this artifact vanishes (BENCH/BASELINE.md,
+    scale section)."""
+    ctx = mp.get_context("fork")
+    all_cpus = list(n_cpus) + list(n4_cpus)
+    barrier = ctx.Barrier(len(all_cpus))
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_memspin, args=(c, _MEM_DUR, barrier, q))
+             for c in all_cpus]
+    for p in procs:
+        p.start()
+    rates = dict(q.get() for _ in all_cpus)
+    for p in procs:
+        p.join()
+    lo = sum(rates[c] for c in n_cpus)
+    hi = sum(rates[c] for c in n4_cpus)
+    ratio = len(n4_cpus) / len(n_cpus)
+    return {
+        "workload": f"concurrent {_MEM_MB} MB memcpy loops, barrier start, per-core pinned",
+        "mb_per_s_n": round(lo, 0),
+        "mb_per_s_4n": round(hi, 0),
+        "mem_scaling_efficiency": round(hi / (lo * ratio), 3),
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps(control()))
+    print(json.dumps({"alu": control(), "mem": mem_control()}))
