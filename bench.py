@@ -100,9 +100,16 @@ def run_scaling() -> dict:
     2-core window against a possibly-throttled 8-core one.  Running
     both levels simultaneously samples the identical platform state;
     the ratio then measures the ENGINE, not the hypervisor's mood.
-    Residual caveat (documented): the levels share the LLC, and the
-    walls differ (~2x), so only the overlap window is strictly
-    same-state.  Every pair's raw numbers are recorded.
+
+    Why full-overlap (the 4N side loops until the N side finishes):
+    per-core DRAM delivery on this box drops as more cores are active
+    (sequential memcpy control: 0.78 at 2-vs-8 solo; concurrent
+    barrier-start memcpy: 0.97) and the walls differ ~3.5x, so with a
+    single 4N run the N side would spend ~70 % of its wall on a
+    mostly-idle box at boosted per-core delivery — deflating the
+    measured ratio below what the engine does when every executor is
+    busy, which is the state the north rule is about.  Every rep's raw
+    numbers are recorded.
     """
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     import shutil as _shutil
@@ -120,11 +127,11 @@ def run_scaling() -> dict:
     snap_path = os.path.join(snap_dir, "web.snap")
     build_snapshot(BENCH_SEEDS, 54, snap_path)
 
-    def launch(cpus: int, cpu_list: str, bdir: str):
+    def launch(cpus: int, cpu_list: str, bdir: str, extra: list | None = None):
         cmd = [sys.executable, "-m", "cianparser_spark.bench_crawl",
                "--cpus", str(cpus), "--seeds", str(BENCH_SEEDS),
                "--barrier-dir", bdir, "--barrier-count", "2",
-               "--snapshot", snap_path]
+               "--snapshot", snap_path] + (extra or [])
         if pin:
             cmd = [pin, "-c", cpu_list] + cmd
         return subprocess.Popen(
@@ -132,14 +139,27 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
 
     def pair() -> tuple[dict, dict]:
+        # FULL-OVERLAP pairing: per-core DRAM delivery on this box
+        # depends on how many cores are active, and the 2-core wall is
+        # ~3.5x the 8-core wall — a single 8-core run would leave the
+        # 2-core side a mostly-idle box for most of its measurement
+        # (deflating the ratio below what the engine does at scale).
+        # The 8-core side therefore LOOPS the identical crawl in one
+        # JVM until the 2-core side finishes (sentinel file), so both
+        # levels sample the same platform window start-to-finish; its
+        # throughput is the mean over all completed reps (each rep's
+        # number is recorded).
         os.sync()
         time.sleep(2)
         bdir = _tempfile.mkdtemp(prefix="bench_barrier_")
+        stop = os.path.join(bdir, "stop")
         try:
             p2 = launch(2, "0,1", bdir)
-            p8 = launch(8, "8-15", bdir)
-            out2, _ = p2.communicate(timeout=1200)
-            out8, _ = p8.communicate(timeout=1200)
+            p8 = launch(8, "8-15", bdir,
+                        ["--reps", "99", "--stop-file", stop])
+            out2, _ = p2.communicate(timeout=1800)
+            open(stop, "w").close()
+            out8, _ = p8.communicate(timeout=1800)
             return (json.loads(out2.strip().splitlines()[-1]),
                     json.loads(out8.strip().splitlines()[-1]))
         finally:
@@ -217,7 +237,10 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
 
     return {
         "workload": f"{BENCH_SEEDS} seeds x 54 list pages, full politeness+dedup+commit",
-        "method": "concurrent disjoint-core pinned pairs, file-barrier start",
+        "method": ("concurrent disjoint-core pinned pairs, file-barrier start, "
+                   "full overlap (4N side loops the identical crawl until the "
+                   "N side finishes; mean over its reps)"),
+        "overlap_reps_4n": [r8.get("rep_pages_per_sec") for _, r8 in pairs],
         "cpu_pinned": pin,
         "pages_total": n["pages_fetched"],
         "offers_total": n["offers"],

@@ -101,7 +101,17 @@ def build_snapshot(n_seeds: int, end_page: int, snap_path: str,
 
 def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
         barrier_dir: str | None = None, barrier_count: int = 2,
-        snapshot_path: str | None = None) -> dict:
+        snapshot_path: str | None = None, reps: int = 1,
+        stop_file: str | None = None) -> dict:
+    """``reps`` > 1 repeats the identical crawl back-to-back in ONE JVM
+    (fresh run_dir each; shared snapshot) and reports per-rep and mean
+    throughput.  Used by the full-overlap scaling pair: the 4N side
+    loops for the whole N-side wall so BOTH levels sample the same
+    platform window start-to-finish (per-core DRAM delivery on this
+    box depends on how many cores are active — a short 4N run paired
+    with a long N run otherwise hands the N side a mostly-idle box for
+    most of its wall and deflates the measured ratio).  ``stop_file``
+    ends the loop early once the sentinel appears (minimum 1 rep)."""
     from pyspark.sql import functions as F
 
     from cianparser_spark.corpus import webgen
@@ -154,26 +164,39 @@ def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
         build_snapshot(n_seeds, end_page, snap_path)
     cfg = dataclasses.replace(cfg, snapshot_path=snap_path)
     try:
-        eng = CrawlEngine(spark, run_dir, seeds, cfg, host_tokens=host_tokens)
         if barrier_dir:
             _barrier(barrier_dir, barrier_count, f"cpus{cpus}")
-        t0 = time.time()
-        offers = eng.run()
-        wall = time.time() - t0
-        # the crawl (fetch→parse→dedup→commit) is the measured job; the
-        # verification count below re-reads the COMMITTED table and is
-        # not part of it
-        n_offers = offers.count()
-        pages = eng.store.read("metrics").agg(F.sum("pages_fetched")).collect()[0][0] or 0
-        urls = eng.store.read("lineage").agg(F.sum("input_rows")).collect()[0][0] or 0
+        rep_walls: list[float] = []
+        rep_pps: list[float] = []
+        pages = urls = n_offers = 0
+        for rep in range(reps):
+            rdir = os.path.join(run_dir, f"rep{rep}")
+            eng = CrawlEngine(spark, rdir, seeds, cfg, host_tokens=host_tokens)
+            t0 = time.time()
+            offers = eng.run()
+            wall = time.time() - t0
+            # the crawl (fetch→parse→dedup→commit) is the measured job;
+            # the verification count below re-reads the COMMITTED table
+            # and is not part of it
+            n_offers = offers.count()
+            pages = eng.store.read("metrics").agg(F.sum("pages_fetched")).collect()[0][0] or 0
+            urls = eng.store.read("lineage").agg(F.sum("input_rows")).collect()[0][0] or 0
+            rep_walls.append(round(wall, 2))
+            rep_pps.append(round(pages / wall, 2))
+            shutil.rmtree(rdir, ignore_errors=True)
+            if stop_file and os.path.exists(stop_file):
+                break
+        mean_pps = round(sum(rep_pps) / len(rep_pps), 2)
         return {
             "cpus": cpus,
-            "wall_s": round(wall, 2),
+            "wall_s": rep_walls[-1],
             "pages_fetched": int(pages),
             "frontier_urls": int(urls),
             "offers": int(n_offers),
-            "pages_per_sec": round(pages / wall, 2),
-            "urls_per_sec": round(urls / wall, 2),
+            "pages_per_sec": mean_pps,
+            "urls_per_sec": round(mean_pps * urls / max(pages, 1), 2),
+            "rep_walls": rep_walls,
+            "rep_pages_per_sec": rep_pps,
         }
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
@@ -193,9 +216,15 @@ def main() -> None:
     ap.add_argument("--snapshot", default=None,
                     help="prebuilt web snapshot to serve pages from "
                          "(see build_snapshot); built locally if absent")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="back-to-back repetitions of the identical crawl "
+                         "in one JVM; reports per-rep + mean throughput")
+    ap.add_argument("--stop-file", default=None,
+                    help="end the rep loop early when this file appears")
     args = ap.parse_args()
     print(json.dumps(run(args.cpus, args.seeds, args.pages, args.host_tokens,
-                         args.barrier_dir, args.barrier_count, args.snapshot)))
+                         args.barrier_dir, args.barrier_count, args.snapshot,
+                         args.reps, args.stop_file)))
     sys.stdout.flush()
 
 
