@@ -205,22 +205,33 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
 
     secondary = {}
     if CPUS == "32":
-        # 8 -> 32 pair (the instruction's own example levels), sequential
-        # (32 needs every core); recorded for the fuller scaling picture
-        os.sync(); time.sleep(2)
-        bdir32 = _tempfile.mkdtemp(prefix="bench_barrier32_")
-        try:
-            p32 = launch(32, "0-31", bdir32)
-            open(os.path.join(bdir32, "ready-peer"), "w").close()
-            out32, _ = p32.communicate(timeout=1200)
-            s32 = json.loads(out32.strip().splitlines()[-1])
-        finally:
-            _shutil.rmtree(bdir32, ignore_errors=True)
+        # 8 -> 32 pair (the instruction's own example levels).  The two
+        # levels cannot run concurrently on disjoint sets (32 needs
+        # every core), so both run SEQUENTIALLY with 2 back-to-back
+        # in-JVM reps each (drops the first-rep JVM ramp that dominated
+        # single-shot numbers); like-for-like steady-state means.
+        def seq(cpus: int, cpu_list: str) -> dict:
+            os.sync(); time.sleep(2)
+            bdir = _tempfile.mkdtemp(prefix=f"bench_seq{cpus}_")
+            try:
+                p = launch(cpus, cpu_list, bdir, ["--reps", "2",
+                                                  "--barrier-count", "1"])
+                out, _ = p.communicate(timeout=1800)
+                return json.loads(out.strip().splitlines()[-1])
+            finally:
+                _shutil.rmtree(bdir, ignore_errors=True)
+
+        s8 = seq(8, "0-7")
+        s32 = seq(32, "0-31")
         secondary = {
+            "pages_per_sec_8_seq": s8["pages_per_sec"],
             "pages_per_sec_32": s32["pages_per_sec"],
+            "reps_8_seq": s8.get("rep_pages_per_sec"),
+            "reps_32": s32.get("rep_pages_per_sec"),
             "efficiency_8_to_32": round(
-                s32["pages_per_sec"] / (4 * x4["pages_per_sec"]), 3),
-            "note": "sequential (32 needs all cores); see BENCH/BASELINE.md",
+                s32["pages_per_sec"] / (4 * s8["pages_per_sec"]), 3),
+            "note": ("sequential in-JVM rep means (32 needs all cores, no "
+                     "disjoint-concurrent pairing possible); see BENCH/BASELINE.md"),
         }
 
     # platform context: what a zero-memory embarrassingly parallel spin
