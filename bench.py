@@ -66,6 +66,16 @@ def run_queries() -> tuple[dict, float]:
     spark.range(0, int(CPUS) * 4, 1, int(CPUS)).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # compile the engine's columnar widen plan once (plan cache + janino
+    # codegen, ~5-10 s) so the crawl-backed queries (crawl_flagship,
+    # a5_progress, j2_metro_join) measure steady-state per-wave cost —
+    # the same warmup bench_crawl applies before its timed window
+    from cianparser_spark.engine import columnar, model
+
+    raw0 = spark.createDataFrame([], model.RAW_STAGE_SCHEMA)
+    dim0 = columnar.seed_dim(spark, {0: dict(
+        seed_id=0, kind="flat", deal="sale", location="x", suburban_type=None)})
+    columnar.widen(raw0, dim0).count()
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
