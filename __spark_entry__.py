@@ -154,6 +154,25 @@ def q_u7_filter_pushdown(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """U9 (graft addition): URL canonicalization — the frontier
+    seen-set's key function at 10^10-URL scale (north star:
+    "Bloom-filter URL-seen set keyed by canonicalized URL hash").
+    Four messy spelling families (scheme/host case, default ports,
+    duplicate slashes, unsorted query params, fragments) synthesized
+    deterministically from o_orderkey, canonicalized by the NATIVE
+    Catalyst expression (ops/urlnorm.py).  Oracle: the IDENTICAL
+    strings canonicalized by the independent pure-Python urllib twin
+    (truth.ensure_urlnorm_truth; truth pinned to sf0.01)."""
+    from cianparser_spark.ops.urlnorm import canonical_url_expr, messy_url_expr
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(2000)
+    return (
+        o.withColumn("canon_url", canonical_url_expr(messy_url_expr()))
+        .select("o_orderkey", "canon_url").orderBy("o_orderkey")
+    )
+
+
 def q_p10_deal_url_id(spark, sf_dir):
     """P10: the reference's canonical deal-url-id (last path segment if
     len>3, else second-to-last if len>3, else '-1' — trailing-slash
@@ -609,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_sort_pushdown": q_u6_sort_pushdown,
         "u7_filter_pushdown": q_u7_filter_pushdown,
         "p10_deal_url_id": q_p10_deal_url_id,
+        "url_canonical": q_url_canonical,
         "d4_phone_regex": q_d4_phone_regex,
         "a6_dedup_sort": q_a6_dedup_sort,
         "dedup_exact": q_dedup_exact,
@@ -680,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
     defcity_path = truth.ensure_definer_cities_truth()
     defmetro_path = truth.ensure_definer_metro_truth()
     simhash_path = truth.ensure_simhash_truth()
+    urlnorm_path = truth.ensure_urlnorm_truth()
     dim = truth.embedding_dim()
     planes = truth.lsh_plane_literals(dim=dim)
     bucket_expr = " + ".join(
@@ -783,6 +804,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN length(parts[-2]) > 3 THEN parts[-2]
                         ELSE '-1' END AS deal_url_id
             FROM s
+        """,
+        # canonical URLs from the independent pure-Python urllib twin
+        # over the IDENTICAL synthesized messy strings (truth dump;
+        # pinned to sf0.01, the driver's comparison scale)
+        "url_canonical": f"""
+            SELECT o_orderkey, canon_url
+            FROM read_parquet('{urlnorm_path}')
+            ORDER BY o_orderkey
         """,
         "d4_phone_regex": """
             WITH p AS (

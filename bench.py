@@ -42,7 +42,7 @@ HEADLINE = [
     "a1_first_wins", "a2_group_counts", "a3_mean", "j1_lookup_join",
     "j4_anti_join", "p7_regex_extract", "p9_when_cascade",
     "t1_ordered_limit", "p12_projection", "a7_union", "u6_sort_pushdown",
-    "u7_filter_pushdown", "p10_deal_url_id", "d4_phone_regex",
+    "u7_filter_pushdown", "p10_deal_url_id", "url_canonical", "d4_phone_regex",
     "a6_dedup_sort", "dedup_exact", "dedup_ngram_topk",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cosine_topk",
     "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",

@@ -247,6 +247,34 @@ def ensure_simhash_truth(sf_dir: str = SF001_DIR) -> str:
     return _write_parquet(out, path)
 
 
+# -------------------------------------------------------------- urlnorm
+
+def ensure_urlnorm_truth(sf_dir: str = SF001_DIR) -> str:
+    """Canonicalized-URL truth: the same deterministic messy URLs the
+    Spark query synthesizes from ``o_orderkey`` (ops/urlnorm.py
+    ``messy_url_expr`` / ``messy_url_py``), canonicalized here by the
+    pure-Python ``canonicalize_url`` (urllib.parse based) — fully
+    independent of the native Catalyst expression under test."""
+    path = _path("urlnorm_sf001")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cianparser_spark.ops.urlnorm import canonicalize_url, messy_url_py
+
+    keys = (
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_orderkey"])
+        .to_pandas()["o_orderkey"].sort_values().head(2000)
+    )
+    out = pd.DataFrame({
+        "o_orderkey": keys.to_numpy(),
+        "canon_url": [canonicalize_url(messy_url_py(int(k))) for k in keys],
+    })
+    return _write_parquet(out, path)
+
+
 # ------------------------------------------------------------------ ann
 
 def embedding_dim(sf_dir: str = SF001_DIR) -> int:

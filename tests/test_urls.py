@@ -131,3 +131,40 @@ def test_full_metro_table_vendored():
         "1", "sale", "flat", rooms=1,
         additional_settings={"metro": "Московский", "metro_station": "Таганская"})
     assert f"&metro%5B0%5D={mid}" in urls.format_page_url(tpl, 1)
+
+
+def test_canonical_url_expr_matches_python(spark):
+    """The native canonicalization expression must equal the pure-
+    Python urllib reference on the contract's messy families plus
+    hand-picked edge cases (U9 / frontier seen-key function)."""
+    from cianparser_spark.ops.urlnorm import (
+        canonical_url_expr, canonicalize_url, messy_url_py)
+
+    cases = [messy_url_py(k) for k in range(1, 9)] + [
+        "https://cian.ru/",
+        "https://cian.ru",
+        "http://CIAN.RU:80",
+        "https://cian.ru:8443/a//b///c?b=2&a=1&a=0#x",
+        "http://cian.ru/cat.php?",
+        "https://cian.ru/path#only-frag",
+        "HTTPS://Cian.Ru:443//cat.php?p=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canon"] for r in
+           df.select("url", canonical_url_expr("url").alias("canon")).collect()}
+    for u in cases:
+        assert got[u] == canonicalize_url(u), u
+
+
+def test_canonical_url_hash_collapses_variants(spark):
+    """All spellings of one logical URL map to ONE seen-set key."""
+    from cianparser_spark.ops.urlnorm import canonical_url_hash
+
+    variants = [
+        "https://cian.ru/cat.php?p=2&deal_type=sale",
+        "HTTPS://CIAN.RU:443//cat.php?deal_type=sale&p=2#list",
+        "https://Cian.ru/cat.php?deal_type=sale&p=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {r["k"] for r in df.select(canonical_url_hash("url").alias("k")).collect()}
+    assert len(keys) == 1
