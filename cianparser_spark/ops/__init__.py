@@ -7,7 +7,24 @@ operator here is a DataFrame-in → DataFrame-out function with an ANSI
 SQL oracle where expressible (see __spark_entry__.py).
 """
 
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+
+def _size_conf_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ('128MB', '134217728b', '1g')."""
+    v = value.strip().lower()
+    for suffix, mult in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                         ("mb", 1 << 20), ("kb", 1 << 10),
+                         ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+                         ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -16,13 +33,40 @@ def spread(df: DataFrame) -> DataFrame:
 
     A coarse scan — a single small parquet file locally, or any source
     whose splits are fewer than the cluster's slots — would otherwise
-    serialize the Python stage on a handful of tasks.  When the scan
-    already has >= defaultParallelism splits (always true at 100 TB,
-    where parquet splitting yields thousands of partitions) this is a
-    NO-OP: no shuffle is added.  The round-robin repartition on the
-    small-input path shuffles only the narrow input columns, before
+    serialize the Python stage on a handful of tasks.  The split count
+    is estimated WITHOUT ``df.rdd`` (which forces a DataFrame→RDD plan
+    conversion per call): from the scan's input files and
+    ``spark.sql.files.maxPartitionBytes``, all driver-side metadata.
+    At 100 TB any parquet scan has thousands of files/splits, so the
+    many-files check short-circuits to a NO-OP with no stat calls and
+    no added shuffle.  Only a provably-narrow local scan (or an
+    in-memory DataFrame, which has no input files) pays the round-robin
+    repartition, and that shuffles just the narrow input columns before
     the expensive compute."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file source: let the planner's splits stand
+        return df
+    if len(files) >= p:
+        return df  # at least one native split per slot already
+    if files:
+        max_bytes = _size_conf_bytes(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        )
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                # remote store with few files: size unknown driver-side;
+                # assume splittable row groups cover the slots (the
+                # 100 TB case never reaches here — many files above)
+                return df
+            try:
+                total += os.path.getsize(u.path)
+            except OSError:
+                return df
+        if total // max(1, max_bytes) + 1 >= p:
+            return df  # big local files: byte-range splits cover the slots
+    return df.repartition(p)

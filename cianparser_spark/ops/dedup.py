@@ -119,7 +119,7 @@ def _jaccard_of_pairs(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.6,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """All pairs with k-word-shingle Jaccard >= threshold.
 
     Candidate pairs come from the shingle equi-join (docs sharing at
@@ -131,8 +131,16 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.6,
     quadratic in that bucket, so every production near-dup pipeline
     drops ubiquitous shingles from candidate generation.  A pair whose
     ONLY shared shingles are capped ones is missed — acceptable by
-    construction (such pairs share nothing discriminative).  Default
-    ``None`` = exact semantics (the oracle-checked mode)."""
+    construction (such pairs share nothing discriminative).
+
+    The PRODUCTION DEFAULT is 1000: a shingle shared by more than 1000
+    docs contributes >10^6 candidate pairs on its own and identifies
+    nothing, so it is excluded from candidate generation — the
+    worst-case join cost is then O(distinct_shingles × 1000²) instead
+    of quadratic in the hottest bucket.  Pass ``None`` to opt in to the
+    exact unbounded semantics (the oracle query does, so the checked
+    mode stays bit-exact; any corpus where every shingle df ≤ cap is
+    identical under both modes)."""
     sh = shingle_df(docs, k, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     cand_sh = sh

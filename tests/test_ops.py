@@ -314,8 +314,14 @@ def test_ngram_df_cap_bounds_candidates(spark):
              (101, f"{stop} редкая фраза про дом у озера")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=None).collect()
     capped = ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=5).collect()
+    # the PRODUCTION DEFAULT (1000) also bounds this corpus's ubiquitous
+    # shingle... but 22 docs < 1000, so the default equals exact here —
+    # assert that equivalence explicitly (small-corpus invariance)
+    default = ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    assert sorted((r["left_id"], r["right_id"]) for r in default) == \
+        sorted((r["left_id"], r["right_id"]) for r in uncapped)
     # uncapped: every pair shares the stop-shingle → quadratic pair count
     assert len(uncapped) == (22 * 21) // 2
     # capped: only the genuinely-similar pair survives candidate gen
