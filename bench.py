@@ -48,8 +48,10 @@ HEADLINE = [
     "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "a8_label_dedup",
-    "stream_first_wins", "stream_window_counts",
-    "crawl_flagship", "payload_verify", "payload_phash_dedup",
+    "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
+    "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
+    "crawl_faults", "crawl_dead_letter",
+    "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
 ]

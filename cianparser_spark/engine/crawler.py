@@ -617,10 +617,10 @@ class CrawlEngine:
         fail_rows = [r for r in page_rows
                      if r["outcome"] in ("http_error", "http_429", "noheader")]
         retry_pages = [r for r in fail_rows if r["attempt"] + 1 < MAX_ATTEMPTS and live(r)]
-        dead_pages = [r for r in fail_rows if r["attempt"] + 1 >= MAX_ATTEMPTS]
+        dead_pages = [r for r in fail_rows if r["attempt"] + 1 >= MAX_ATTEMPTS and live(r)]
         detail_err_rows = [r for r in pinfo if r["row_type"] == "detail_err"]
         retry_details = [r for r in detail_err_rows if r["attempt"] + 1 < MAX_ATTEMPTS and live(r)]
-        dead_details = [r for r in detail_err_rows if r["attempt"] + 1 >= MAX_ATTEMPTS]
+        dead_details = [r for r in detail_err_rows if r["attempt"] + 1 >= MAX_ATTEMPTS and live(r)]
         n_detail_ok = sum(r["n"] for r in pinfo if r["row_type"] == "offer" and live(r))
         n_cards = sum(r["cards"] for r in page_rows if r["outcome"] == "ok" and live(r))
 
@@ -660,11 +660,15 @@ class CrawlEngine:
             (F.col("attempt") + 1).alias("attempt"),
             F.lit(wave + 1).cast("long").alias("wave"),
         )
-        dead_df = stage.filter(
+        # stop-filtered: a captcha-stopped seed's later pages are
+        # CANCELLED, not dead — the reference never reaches them (its
+        # sequential loop breaks at the captcha), so dead-lettering a
+        # page the oracle never fetched would diverge the dead table
+        dead_df = self._apply_stop_filter(stage.filter(
             F.col("row_type").isin("page", "detail_err")
             & F.col("outcome").isin("http_error", "http_429", "noheader")
             & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
-        ).select(
+        )).select(
             F.col("fetch_url").alias("url"),
             F.when(F.col("row_type") == "detail_err", "detail").otherwise("list").alias("kind"),
             "seed_id", "page_number", (F.col("attempt") + 1).alias("attempt"),

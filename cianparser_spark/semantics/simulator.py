@@ -69,6 +69,7 @@ class SimResult:
     order: list[tuple] = field(default_factory=list)  # (seed_id, page, card_idx) per row
     seen: set = field(default_factory=set)
     count_parsed_offers: int = 0
+    cards_parsed: int = 0  # raw card blocks seen, pre-dedup (metrics parity)
     average_price: float = 0.0
     captcha_stopped: bool = False
     pages_fetched: int = 0
@@ -170,6 +171,7 @@ class ReferenceSimulator:
 
     def _parse_page(self, seed, html, page_number, deal, kind, is_sale, res) -> None:
         cards = extract.list_page_cards(html, kind)
+        res.cards_parsed += len(cards)
         for idx, card in enumerate(cards):
             if kind == "newobject":
                 self._parse_newobject(seed, card, page_number, idx, res)

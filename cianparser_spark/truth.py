@@ -114,6 +114,251 @@ def ensure_crawl_truth() -> str:
     return _write_parquet(pd.DataFrame(out, columns=CRAWL_TRUTH_COLS), path)
 
 
+# ---------------------------------------------- crawl: other entry points
+
+def detail_seed_and_cfg():
+    """The DETAIL-MERGE crawl configuration (S2/D1/P11/T6): flat/sale
+    with ``with_extra_data=True`` — every accepted card enqueues a
+    detail fetch whose label map OVERRIDES the card fields
+    (reference: cianparser/flat/list.py:61-69 + flat/page.py:19-70).
+    Shrunk universe keeps the detail fan-out contract-sized.
+    ``faults_on_details=False``: the reference couples a detail failure
+    to the PAGE retry counter (documented deviation, webgen.py:60-66)."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False,
+                              universe_base=40, universe_span=30)
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all", with_extra_data=True,
+                     additional_settings={"end_page": 2})
+    return seed, cfg
+
+
+def suburban_seed_and_cfg():
+    """The SUBURBAN crawl (reference: cianparser/suburban/list.py:19-83)
+    with detail enrichment (D2: land/gas/water/sewage labels,
+    suburban/page.py:19-83)."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False,
+                              universe_base=40, universe_span=30)
+    seed = CrawlSeed(1, "Казань", "suburban", "sale", suburban_type="house",
+                     with_extra_data=True, additional_settings={"end_page": 2})
+    return seed, cfg
+
+
+def newobject_seed_and_cfg():
+    """The NEWOBJECT crawl (reference: cianparser/newobject/list.py:44-94):
+    fixed 1..50 page range, scheme+host dedup key, UNCONDITIONAL detail
+    fetch per complex (newobject/list.py:77-79, D3)."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False,
+                              universe_base=40, universe_span=30)
+    seed = CrawlSeed(1, "Москва", "newobject")
+    return seed, cfg
+
+
+def faults_seeds_and_cfg():
+    """The FAULT-INJECTED multi-seed crawl (T2/T3/T4/T7 driver-visible):
+    54 list pages across three seeds on one host, with every fault
+    class firing deterministically — transient 500 (recovers at
+    attempt 2), 429 on attempt 0 (charges next-wave token debt),
+    permanently dead URLs, header-less 200 pages (bounded retry →
+    dead-letter), and a CAPTCHA wall on seed 2's page 7 (circuit
+    breaker: later pages of that seed are cancelled, never fetched)."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics import urls as _urls
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    seeds = [
+        CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                  additional_settings={"end_page": 20}),
+        CrawlSeed(2, "Москва", "flat", "rent_long", rooms="all",
+                  additional_settings={"end_page": 20}),
+        CrawlSeed(3, "Казань", "suburban", "sale", suburban_type="house",
+                  additional_settings={"end_page": 14}),
+    ]
+    # captcha on seed 2's page EIGHT: its page 6 is a transient 500 and
+    # page 7 a permanently-dead URL under these mods, so the breaker
+    # trips right after a retry + a dead-letter on the same seed
+    captcha_url = _urls.format_page_url(seeds[1].url_template(), 8)
+    # mods chosen so EVERY class fires ≥2× across the 54 page URLs
+    # (verified deterministically: 2×500, 2×429, 3×noheader, 3×dead)
+    cfg = dataclasses.replace(
+        webgen.DEFAULT_CONFIG, faults_on_details=False,
+        fail_500_mod=19, fail_429_mod=31, noheader_mod=17, dead_mod=23,
+        captcha_pages=frozenset({captcha_url}),
+    )
+    return seeds, cfg
+
+
+CRAWL_DETAIL_TRUTH_COLS = [
+    "seed_id", "page_number", "card_index", "deal_url_id", "url",
+    "author_type", "rooms_count", "total_meters", "price", "district",
+    "street", "house_number", "underground",
+    # detail-page fields (D1) — present proves the merge ran; phone and
+    # object_type exist ONLY on detail pages (P11 precedence)
+    "phone", "object_type", "house_material_type", "heating_type",
+    "finish_type", "living_meters", "kitchen_meters",
+    "year_of_construction", "floor", "floors_count",
+]
+
+CRAWL_SUBURBAN_TRUTH_COLS = [
+    "seed_id", "page_number", "card_index", "deal_url_id", "url",
+    "author_type", "price", "district", "street", "house_number",
+    "underground",
+    # suburban detail fields (D2)
+    "house_material_type", "land_plot", "land_plot_status",
+    "heating_type", "gas_type", "water_supply_type", "sewage_system",
+    "bathroom", "living_meters", "floors_count",
+    "year_of_construction", "phone",
+]
+
+CRAWL_NEWOBJECT_TRUTH_COLS = [
+    "seed_id", "page_number", "card_index", "url", "name",
+    "full_full_location_address",
+    # newobject detail fields (D3)
+    "year_of_construction", "house_material_type", "finish_type",
+    "ceiling_height", "class", "parking_type", "floors_from",
+    "floors_to", "builder",
+]
+
+CRAWL_FAULTS_TRUTH_COLS = [
+    "seed_id", "page_number", "card_index", "deal_url_id", "url",
+    "author_type", "rooms_count", "price",
+]
+
+
+def _sim_truth_rows(seeds, cfg, cols):
+    """Run the sequential simulator and normalize its raw rows to the
+    engine's typed/null column conventions (model.sentinel_to_null +
+    the long typing of floor-ish detail values, mirroring
+    engine/stage.parse_detail_fields)."""
+    import pandas as pd
+
+    from cianparser_spark.engine import model
+    from cianparser_spark.semantics import urls
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    sim = ReferenceSimulator(cfg, project_fields=False).run(seeds)
+    out = []
+    for (sid, page, idx), row in zip(sim.order, sim.rows):
+        rec = {"seed_id": sid, "page_number": page, "card_index": idx}
+        for c in cols:
+            if c in rec:
+                continue
+            if c == "deal_url_id":
+                rec[c] = urls.deal_url_id(row["url"])
+                continue
+            v = row.get(c)
+            if c in ("floor", "floors_count", "floors_from", "floors_to") \
+                    and isinstance(v, str):
+                v = int(v) if v.lstrip("-").isdigit() else -1
+            rec[c] = model.sentinel_to_null(v, c) if c in model.OFFER_COLS else v
+        out.append(rec)
+    return pd.DataFrame(out, columns=cols), sim
+
+
+def ensure_crawl_detail_truth() -> str:
+    path = _path("crawl_detail")
+    if os.path.exists(path):
+        return path
+    seed, cfg = detail_seed_and_cfg()
+    df, sim = _sim_truth_rows([seed], cfg, CRAWL_DETAIL_TRUTH_COLS)
+    assert sim.detail_pages_fetched > 0, "detail truth must fetch details"
+    return _write_parquet(df, path)
+
+
+def ensure_crawl_suburban_truth() -> str:
+    path = _path("crawl_suburban")
+    if os.path.exists(path):
+        return path
+    seed, cfg = suburban_seed_and_cfg()
+    df, sim = _sim_truth_rows([seed], cfg, CRAWL_SUBURBAN_TRUTH_COLS)
+    assert sim.detail_pages_fetched > 0
+    return _write_parquet(df, path)
+
+
+def ensure_crawl_newobject_truth() -> str:
+    path = _path("crawl_newobject")
+    if os.path.exists(path):
+        return path
+    seed, cfg = newobject_seed_and_cfg()
+    df, sim = _sim_truth_rows([seed], cfg, CRAWL_NEWOBJECT_TRUTH_COLS)
+    assert sim.detail_pages_fetched > 0
+    return _write_parquet(df, path)
+
+
+def ensure_crawl_faults_truth() -> str:
+    path = _path("crawl_faults")
+    if os.path.exists(path):
+        return path
+    seeds, cfg = faults_seeds_and_cfg()
+    df, sim = _sim_truth_rows(seeds, cfg, CRAWL_FAULTS_TRUTH_COLS)
+    assert sim.captcha_stopped, "faults truth must trip the captcha breaker"
+    assert sim.failed_pages, "faults truth must dead-letter pages"
+    return _write_parquet(df, path)
+
+
+def ensure_crawl_dead_truth() -> str:
+    """Dead-lettered (seed_id, page_number) pages of the fault-injected
+    crawl — the simulator's bounded-retry failures (T2/T3 made
+    driver-visible; attempt is always MAX_ATTEMPTS=3 by construction)."""
+    path = _path("crawl_dead")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    seeds, cfg = faults_seeds_and_cfg()
+    sim = ReferenceSimulator(cfg).run(seeds)
+    rows = [{"seed_id": s, "page_number": p, "attempt": 3}
+            for s, p in sorted(sim.failed_pages)]
+    return _write_parquet(
+        pd.DataFrame(rows, columns=["seed_id", "page_number", "attempt"]), path)
+
+
+def ensure_stream_metrics_truth() -> str:
+    """ST3 oracle: per-host crawl-metrics totals of the DETAIL run,
+    computed independently of the engine — pages/cards from the
+    sequential simulator, n_429 replayed from the deterministic fault
+    function (webgen.status_for at attempt 0, the only attempt that
+    can 429)."""
+    path = _path("stream_metrics")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics import urls as _urls
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    seed, cfg = detail_seed_and_cfg()
+    sim = ReferenceSimulator(cfg).run([seed])
+    tpl = seed.url_template()
+    host = tpl.split("/")[2]
+    start, end = seed.pages()
+    n_429 = sum(
+        1 for p in range(start, end + 1)
+        if webgen.status_for(_urls.format_page_url(tpl, p), 0, cfg) == 429
+    )
+    rows = [{"host": host, "pages_fetched": sim.pages_fetched,
+             "cards_parsed": sim.cards_parsed, "n_429": n_429}]
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
 def ensure_metro_truth() -> str:
     """The vendored metro dimension (dims_data.METRO_STATIONS — 7
     networks / 510 stations, reference constants.py:233-758) as a

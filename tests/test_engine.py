@@ -141,6 +141,29 @@ def test_dead_letter_on_permanent_failure(spark, tmp_run_dir):
     assert all(r["attempt"] == 3 for r in dead)
 
 
+def test_faults_crawl_dead_letter_matches_simulator(spark, tmp_run_dir):
+    """The contract's fault-injected crawl, asserted at FULL row depth:
+    offers bit-match the sequential loop under 500/429/noheader/dead
+    faults + a mid-crawl captcha, and the dead-letter table equals the
+    simulator's failed_pages EXACTLY — in particular, pages of the
+    captcha-stopped seed beyond its stop page are cancelled, never
+    dead-lettered (the reference's sequential loop never reaches them)."""
+    from cianparser_spark import truth
+
+    seeds, cfg = truth.faults_seeds_and_cfg()
+    sim = ReferenceSimulator(cfg).run(seeds)
+    assert sim.captcha_stopped and sim.failed_pages
+    eng = CrawlEngine(spark, tmp_run_dir, seeds, cfg, host_tokens=16)
+    rows = compat.to_reference_rows(eng.run(), seeds)
+    assert rows == sim.rows
+    dead = {(int(r["seed_id"]), int(r["page_number"]))
+            for r in eng.store.read("dead").collect()}
+    assert dead == set(sim.failed_pages)
+    stopped = {int(r["seed_id"]): int(r["captcha_page"])
+               for r in eng.store.read("stopped").collect()}
+    assert stopped == {2: 8}
+
+
 def test_lineage_and_metrics_written(spark, tmp_run_dir):
     seed = CrawlSeed(1, "Москва", "flat", "sale", rooms=1,
                      additional_settings={"end_page": 2})
