@@ -209,6 +209,101 @@ _OVERRIDE = {
 }
 
 
+# ----------------------------------------------------- JVM card split
+
+_RAW_PASSTHROUGH = [
+    "fetch_url", "host", "card_json", "status", "seed_id", "page_number",
+    "attempt", "partition_id", "wave",
+    "kind", "deal", "location", "suburban_type",  # seed-dim columns
+]
+
+_SPLIT_PLAN: tuple[list, object, list] | None = None
+
+
+def _build_split_plan():
+    """The JVM half of the card split (P1): an OK list page arrives as
+    ONE row carrying the whole HTML (stage.py emits no card rows); this
+    layer cuts it at the card-boundary marker with native ``split``,
+    applies the kernel's in-wave dedup verdict (``keep_idx`` — surviving
+    card ordinals; null = keep all), and EXPLODES into the page-outcome
+    row plus one 'card' row per surviving block — all inside the same
+    whole-stage-codegen pipeline as the field extraction that follows
+    (no shuffle, no Python).  Layered like the widen projection so the
+    expensive split is evaluated once per row (CollapseProject keeps
+    multi-referenced non-cheap producers in their own project).
+
+    Element convention: ci = -1 → the page row (content dropped — the
+    spool never stores page HTML), ci >= 0 → card #ci, ci = -2 → a
+    passthrough row (details, failures, pre-split 'card' rows that
+    tests or callers feed directly)."""
+    from cianparser_spark.engine.stage import CARD_MARKER, CARD_MARKER_NEWOBJECT
+
+    is_okp = (
+        (F.col("row_type") == "page") & (F.col("outcome") == "ok")
+        & F.col("content").isNotNull()
+    )
+    marker = (
+        F.when(F.col("kind") == "newobject", F.lit(CARD_MARKER_NEWOBJECT))
+        .otherwise(F.lit(CARD_MARKER))
+    )
+    s1 = [
+        F.when(is_okp, F.split("content", marker)).alias("_blocks"),
+        is_okp.alias("_okp"),
+    ]
+
+    arr = F.col("_blocks")
+    empty = F.array().cast("array<string>")
+    keep_all = F.when(
+        F.size(arr) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(arr) - 2),
+                    lambda i: i.cast("string")),
+    ).otherwise(empty)
+    keep = (
+        F.when(F.col("keep_idx").isNull(), keep_all)
+        .when(F.col("keep_idx") == "", empty)
+        .otherwise(F.split("keep_idx", ","))
+    )
+    page_elem = F.array(F.struct(
+        F.lit(-1).cast("int").alias("ci"),
+        F.lit(None).cast("string").alias("body"),
+    ))
+    card_elems = F.transform(keep, lambda i: F.struct(
+        i.cast("int").alias("ci"),
+        F.element_at(arr, i.cast("int") + 2).alias("body"),
+    ))
+    passthrough = F.array(F.struct(
+        F.lit(-2).cast("int").alias("ci"), F.col("content").alias("body")))
+    elems = F.when(F.col("_okp"), F.concat(page_elem, card_elems)) \
+        .otherwise(passthrough)
+
+    ci = F.col("_e.ci")
+    is_card_elem = F.col("_okp") & (ci >= 0)
+    s3 = [
+        F.when(is_card_elem, F.lit("card")).otherwise(F.col("row_type")).alias("row_type"),
+        F.when(is_card_elem, F.lit(None).cast("string")).otherwise(F.col("outcome")).alias("outcome"),
+        F.when(ci == -1, F.lit(None).cast("string")).otherwise(F.col("_e.body")).alias("content"),
+        F.when(is_card_elem, ci.cast("long")).otherwise(F.col("card_index")).alias("card_index"),
+        F.when(is_card_elem, F.lit(0).cast("long")).otherwise(F.col("attempt")).alias("attempt"),
+        F.when(is_card_elem, F.lit(None).cast("long")).otherwise(F.col("n_cards")).alias("n_cards"),
+        *[F.col(c) for c in _RAW_PASSTHROUGH if c != "attempt"],
+    ]
+    return s1, elems, s3
+
+
+def split_cards(joined: DataFrame) -> DataFrame:
+    """Apply the JVM card split to the dim-joined raw frame."""
+    global _SPLIT_PLAN
+    if _SPLIT_PLAN is None:
+        _SPLIT_PLAN = _build_split_plan()
+    s1, elems, s3 = _SPLIT_PLAN
+    return (
+        joined.select("*", *s1)
+        .select("row_type", "outcome", "card_index", "n_cards",
+                *_RAW_PASSTHROUGH, "_okp", F.explode(elems).alias("_e"))
+        .select(*s3)
+    )
+
+
 _PLAN: tuple[list, list, list, list] | None = None
 
 
@@ -449,16 +544,17 @@ def _build_plan() -> tuple[list, list, list, list]:
 
 
 def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
-    """RAW narrow stage rows → the wide STAGE_SCHEMA via layered native
-    projections (see module docstring for why layers).  The select
-    lists come from the process-wide plan cache; per-wave driver cost
-    is just four select() calls and one broadcast-join node."""
+    """RAW narrow stage rows → the wide STAGE_SCHEMA: JVM card split +
+    explode (split_cards), then layered native projections (see module
+    docstring for why layers).  The select lists come from the
+    process-wide plan cache; per-wave driver cost is a handful of
+    select() calls and one broadcast-join node."""
     global _PLAN
     if _PLAN is None:
         _PLAN = _build_plan()
     c1, c2, c3, final = _PLAN
     return (
-        raw.join(F.broadcast(dim), "seed_id", "left")
+        split_cards(raw.join(F.broadcast(dim), "seed_id", "left"))
         .select("*", *c1)
         .select("*", *c2)
         .select("*", *c3)

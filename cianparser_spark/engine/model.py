@@ -94,13 +94,19 @@ BLOOM_SCHEMA = T.StructType(
     [T.StructField("bucket", T.LongType()), T.StructField("blob", T.BinaryType())]
 )
 
-# raw fetch-kernel output = discriminated union of page outcomes, raw
-# card blocks and raw detail pages; ``content`` carries the HTML block.
-# Field extraction happens AFTER this, JVM-side (engine/columnar.py) —
-# the kernel stays narrow so Python never assembles wide rows.
+# raw fetch-kernel output = discriminated union of page outcomes and
+# raw detail pages; ``content`` carries the HTML.  An OK list page is
+# ONE row carrying the whole page HTML — the card-boundary split runs
+# JVM-side (columnar.widen's explode layer), so Python never loops over
+# or ships card blocks.  ``keep_idx`` is the kernel's in-wave dedup
+# verdict: a comma-joined list of surviving 0-based card ordinals
+# ("" = all duplicate, null = keep all / no in-kernel dedup).  Field
+# extraction happens AFTER this, JVM-side (engine/columnar.py) — the
+# kernel stays narrow so Python never assembles wide rows.
 RAW_STAGE_SCHEMA = T.StructType(
     _fields(
-        strings=["row_type", "fetch_url", "outcome", "host", "card_json", "content"],
+        strings=["row_type", "fetch_url", "outcome", "host", "card_json",
+                 "content", "keep_idx"],
         longs=["status", "seed_id", "page_number", "card_index", "attempt",
                "n_cards", "partition_id", "wave"],
     )

@@ -1,22 +1,28 @@
 """Fetch kernel — one narrow Arrow-batched pass per wave.
 
 Fetching stays in Python (it is I/O against the web — here the
-synthetic resolver); EVERYTHING else left this kernel in round 2.  The
-kernel emits a discriminated union of NARROW rows (14 columns, one
-``content`` string for the raw HTML block):
+synthetic resolver); EVERYTHING else left this kernel by round 3.  The
+kernel emits a discriminated union of NARROW rows, ONE row per fetched
+URL (15 columns, one ``content`` string for the raw HTML):
 
-    row_type='page'       fetch outcome per list URL
-    row_type='card'       one raw offer-card block (content=card html)
+    row_type='page'       fetch outcome per list URL; an OK page
+                          carries the WHOLE page HTML + ``keep_idx``
+                          (the in-wave dedup verdict) — the card split
+                          itself runs JVM-side (columnar.widen's
+                          explode layer emits the 'card' rows)
     row_type='detail'     a fetched detail page (content=page html,
                           card_json=the staged card fields)
     row_type='detail_err' failed detail fetch (for retry/dead-letter)
 
 Field extraction — price, rooms, url-id, author, locations, detail
 label maps, phone — runs downstream as native Catalyst expressions
-(engine/columnar.py), inside the same Spark stage (the projection
-pipelines onto this kernel's output before the dedup shuffle), so the
-per-page Python cost is fetch + captcha/header guard + card split and
-nothing more.  Output assembly is columnar (dict of lists), never
+(engine/columnar.py), inside the same Spark stage (split + explode +
+projection pipeline onto this kernel's output before any shuffle), so
+the per-page Python cost is fetch + captcha/header guard + (in the
+map-only strategy) the dedup-key scan: one C-level ``str.split`` on
+the card marker plus one anchored regex search per card — card BODIES
+are never looped over, copied, or shipped through Arrow as separate
+Python rows.  Output assembly is columnar (dict of lists), never
 row-dicts.
 
 The per-executor "session" (the synthetic-web resolver here; an HTTP
@@ -74,6 +80,18 @@ def has_captcha_fast(html: str) -> bool:
 
 
 _HREF_RE = re.compile(r'href="([^"]*)"')
+
+# the card-boundary markers the corpus grammar renders (reference
+# selectors: flat/suburban article[data-name=CardComponent]
+# cianparser/flat/list.py:30; newobject div[data-mark=GKCard]
+# newobject/list.py:51).  Shared with columnar.widen's JVM split so
+# Python and JVM cut pages at the identical boundaries.
+CARD_MARKER = '<article data-name="CardComponent">'
+CARD_MARKER_NEWOBJECT = '<div data-mark="GKCard">'
+
+
+def card_marker(kind: str) -> str:
+    return CARD_MARKER_NEWOBJECT if kind == "newobject" else CARD_MARKER
 
 
 def card_dedup_key(card_html: str, kind: str) -> str:
@@ -136,15 +154,16 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
 
         for pdf in iterator:
             cols: dict[str, list] = {c: [] for c in _RAW_COLS}
-            (c_rt, c_fu, c_out, c_host, c_cj, c_ct, c_st, c_sid, c_pn,
-             c_ci, c_at, c_nc, c_pid, c_wv) = (cols[c] for c in _RAW_COLS)
+            (c_rt, c_fu, c_out, c_host, c_cj, c_ct, c_ki, c_st, c_sid,
+             c_pn, c_ci, c_at, c_nc, c_pid, c_wv) = (cols[c] for c in _RAW_COLS)
 
-            def emit(rt_, fu, out_, host_, cj, ct, st, sid, pn, ci, at, nc, wv):
+            def emit(rt_, fu, out_, host_, cj, ct, st, sid, pn, ci, at, nc, wv,
+                     ki=None):
                 c_rt.append(rt_); c_fu.append(fu); c_out.append(out_)
                 c_host.append(host_); c_cj.append(cj); c_ct.append(ct)
-                c_st.append(st); c_sid.append(sid); c_pn.append(pn)
-                c_ci.append(ci); c_at.append(at); c_nc.append(nc)
-                c_pid.append(pid); c_wv.append(wv)
+                c_ki.append(ki); c_st.append(st); c_sid.append(sid)
+                c_pn.append(pn); c_ci.append(ci); c_at.append(at)
+                c_nc.append(nc); c_pid.append(pid); c_wv.append(wv)
 
             n_in = len(pdf)
             for r in pdf.itertuples(index=False):
@@ -176,17 +195,26 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
                     emit("page", r.url, "noheader", r.host, None, None,
                          status, sid, pn, ci, at, None, wv)
                     continue
-                cards = extract.list_page_cards(html, rt["kind"])
-                emit("page", r.url, "ok", r.host, None, None,
-                     status, sid, pn, ci, at, len(cards), wv)
-                for idx, card in enumerate(cards):
-                    if in_wave_dedup:
-                        k = (sid, card_dedup_key(card, rt["kind"]))
+                # OK list page: one row, whole HTML; the card split runs
+                # JVM-side (columnar.widen).  In-wave first-wins dedup
+                # stays HERE (it needs the partition's cross-page
+                # seen-set), but touches only the per-card dedup key —
+                # one C-level str.split + an anchored regex search per
+                # card — and records the verdict as the keep_idx mask.
+                keep_s = None
+                pieces = html.split(card_marker(rt["kind"]))
+                n_cards = len(pieces) - 1
+                if in_wave_dedup:
+                    keep = []
+                    for j in range(n_cards):
+                        k = (sid, card_dedup_key(pieces[j + 1], rt["kind"]))
                         if k in seen:
                             continue
                         seen.add(k)
-                    emit("card", r.url, None, r.host, None, card,
-                         200, sid, pn, idx, 0, None, wv)
+                        keep.append(j)
+                    keep_s = ",".join(map(str, keep))
+                emit("page", r.url, "ok", r.host, None, html,
+                     status, sid, pn, ci, at, n_cards, wv, ki=keep_s)
 
             pdf_out = pd.DataFrame(cols, columns=_RAW_COLS)
             pdf_out.attrs["input_rows"] = n_in

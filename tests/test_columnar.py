@@ -61,7 +61,7 @@ def test_card_dedup_key_matches_widen(spark):
     rows, keys = [], []
     for seed in SEEDS:
         for i, (card, rt) in enumerate(_cards_for(seed)):
-            rows.append(("card", "u", None, "h", None, card,
+            rows.append(("card", "u", None, "h", None, card, None,
                          200, seed.seed_id, 1, i, 0, None, 0, 0))
             keys.append(card_dedup_key(card, rt["kind"]))
     assert rows, "corpus rendered no cards"
