@@ -486,22 +486,26 @@ def _build_plan() -> tuple[list, list, list, list]:
     # mirror stage.parse_detail_fields
     fp = F.col("_dv_floor_pair")
     np_ = F.col("_dv_floors_pair_n")
-    n_single = F.regexp_extract(np_, r"(\d+)", 1).cast("long")
+    # _nz before every numeric cast: a robots-blocked detail degrades
+    # to content="" (simulator.py:218-226), so the extracts yield ""
+    # which ANSI casting rejects — empty must mean null, exactly the
+    # reference's missing-label default
+    n_single = _nz(F.regexp_extract(np_, r"(\d+)", 1)).cast("long")
     special = {
         "floor": F.when(kind == "flat",
-                        F.regexp_extract(fp, r"(\d+)\D+(\d+)", 1).cast("long"))
+                        _nz(F.regexp_extract(fp, r"(\d+)\D+(\d+)", 1)).cast("long"))
             .otherwise(cj["floor"]),
         "floors_count": F.when(kind == "flat",
-                               F.regexp_extract(fp, r"(\d+)\D+(\d+)", 2).cast("long"))
+                               _nz(F.regexp_extract(fp, r"(\d+)\D+(\d+)", 2)).cast("long"))
             .when(kind == "suburban", _nz(F.col("_dv_floors_count_s")).cast("long"))
             .otherwise(cj["floors_count"]),
         "floors_from": F.when(
             kind == "newobject",
-            F.coalesce(F.regexp_extract(np_, r"(\d+)\D+(\d+)", 1).cast("long"), n_single)
+            F.coalesce(_nz(F.regexp_extract(np_, r"(\d+)\D+(\d+)", 1)).cast("long"), n_single)
         ).otherwise(cj["floors_from"]),
         "floors_to": F.when(
             kind == "newobject",
-            F.coalesce(F.regexp_extract(np_, r"(\d+)\D+(\d+)", 2).cast("long"), n_single)
+            F.coalesce(_nz(F.regexp_extract(np_, r"(\d+)\D+(\d+)", 2)).cast("long"), n_single)
         ).otherwise(cj["floors_to"]),
         # created-on-demand keys: set only when the label is present
         # (suburban kitchen_meters suburban/page.py:49, newobject

@@ -39,6 +39,7 @@ rebuilt from the committed snapshot on resume.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -110,6 +111,16 @@ class CrawlEngine:
         self._seen_nonempty: bool | None = None
         self._staged_nonempty: bool | None = None
         self._next_pending: int | None = None
+        self.respect_robots = respect_robots
+        # page-coupled detail scheduler state (detail-mode seeds only):
+        # paused group walks keyed (seed_id, page_number) and the list
+        # pages' retry-burn counters that seed each group's budget —
+        # both bounded by the fault/duplicate rate, not crawl size
+        self._paused: dict[tuple[int, int], dict] | None = None
+        self._paused_dirty = False
+        self._page_burn: dict[tuple[int, int], int] = {}
+        self._ks_nonempty: bool = False
+        self._seeds_df: DataFrame | None = None
 
     def _seed_dim(self) -> DataFrame:
         if self._dim is None:
@@ -177,6 +188,31 @@ class CrawlEngine:
             }
         if self._seen_nonempty is None:
             self._seen_nonempty = self.store.read("seen").limit(1).count() > 0
+        if self._paused is None:
+            self._paused = {
+                (int(r["seed_id"]), int(r["page_number"])): {
+                    "b": int(r["budget"]), "blocker": r["blocker"],
+                    "rest": json.loads(r["rest"]),
+                }
+                for r in self.store.read("paused").collect()
+            }
+            # rebuild list-page burn counters from scheduled retries:
+            # a page's burn = the attempt of its LAST scheduled fetch
+            # (= failures before success), exactly the budget the
+            # reference's exception counter carries into the card walk
+            if any(rt["with_extra"] for rt in self.runtimes.values()) \
+                    and self.store.last_wave() > 0:
+                self._page_burn = {
+                    (int(r["seed_id"]), int(r["page_number"])): int(r["mx"])
+                    for r in self.store.read("frontier")
+                    .filter((F.col("kind") == "list") & (F.col("attempt") > 0))
+                    .groupBy("seed_id", "page_number")
+                    .agg(F.max("attempt").alias("mx"))
+                    .collect()
+                }
+                self._ks_nonempty = (
+                    self.store.read("keystate").limit(1).count() > 0)
+                self._paused_dirty = bool(self._paused)
         if self._staged_nonempty is None:
             last = self.store.last_wave()
             self._staged_nonempty = (
@@ -207,7 +243,13 @@ class CrawlEngine:
         fits its budget selects ALL its rows with no window at all —
         the serial exact-rank window only ever runs over the rows of
         genuinely over-budget hosts."""
-        cost = F.when(F.col("kind") == "detail", F.lit(self.detail_cost)).otherwise(F.lit(1))
+        # a 'detail' frontier row is one PAGE's detail group; its
+        # card_index column carries the group's fetchable-card count,
+        # so the group costs what its sequential card walk will fetch
+        cost = F.when(
+            F.col("kind") == "detail",
+            F.lit(self.detail_cost) * F.greatest(F.col("card_index"), F.lit(1)),
+        ).otherwise(F.lit(1))
         kind_rank = F.when(F.col("kind") == "detail", F.lit(0)).otherwise(F.lit(1))
         df = pending.withColumn("_cost", cost).withColumn("_krank", kind_rank)
 
@@ -244,14 +286,27 @@ class CrawlEngine:
             budget = F.lit(self.host_tokens)
         df = df.withColumn("_budget", F.greatest(budget, F.lit(0)))
 
-        order = [F.col(c) for c in ("page_number", "_krank", "seed_id", "card_index", "url")]
+        order_cols = ("page_number", "_krank", "seed_id", "card_index", "url")
+        order = [F.col(c) for c in order_cols]
+        # min-one progress guarantee: a host's FIRST-priority row is
+        # selected even when its cost alone exceeds the budget — a
+        # detail GROUP's sequential page walk is atomic (cost =
+        # 2 × cards), so without this a small token budget would defer
+        # it forever.  Computed as a map-side min-struct aggregate +
+        # broadcast join, NOT a global per-host window (that would
+        # un-do the salting and sort every over-budget host's rows).
+        first = df.groupBy("host").agg(F.min(F.struct(*order)).alias("_fk"))
+        df = df.join(F.broadcast(first), "host") \
+            .withColumn("_is_first",
+                        F.struct(*order) == F.col("_fk")).drop("_fk")
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64("url", "seed_id"), F.lit(self.salt_buckets))
         )
         w1 = Window.partitionBy("host", "_salt").orderBy(*order) \
             .rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_cum1", F.sum("_cost").over(w1))
-        survivors = F.col("_cum1") <= F.col("_budget")  # over-select ≤ salt × budget
+        force = F.col("_is_first") & (F.col("_budget") > 0)
+        survivors = (F.col("_cum1") <= F.col("_budget")) | force  # ≤ salt × budget
         w2 = Window.partitionBy("host").orderBy(*order) \
             .rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn(
@@ -259,8 +314,8 @@ class CrawlEngine:
             F.when(survivors, F.sum(F.when(survivors, F.col("_cost"))).over(w2)),
         )
         return df.withColumn(
-            "_selected", survivors & (F.col("_cum2") <= F.col("_budget"))
-        ).drop("_cost", "_krank", "_salt", "_cum1", "_cum2", "_budget")
+            "_selected", (survivors & (F.col("_cum2") <= F.col("_budget"))) | force
+        ).drop("_cost", "_krank", "_salt", "_cum1", "_cum2", "_budget", "_is_first")
 
     # ------------------------------------------------------------- robots
 
@@ -268,11 +323,14 @@ class CrawlEngine:
         """Split the frontier on robots.txt Disallow rules — a native
         ``startswith`` prune over path+query, no fetch tokens consumed.
 
-        Returns (allowed_frontier, dead_rows|None, offer_rows|None):
-        blocked list pages dead-letter as kind='robots-list'; blocked
-        detail pages degrade gracefully — their offer is emitted from
-        the card fields already staged in ``card_json`` (JVM-side
-        ``from_json``, no Python)."""
+        Returns (allowed_frontier, dead_rows|None, offer_rows|None —
+        always None, kept for call-site shape): blocked LIST pages
+        dead-letter as kind='robots-list'.  Detail-group rows pass
+        through untouched — a group's url is its list page's, and each
+        card's detail URL is robots-checked inside the group walk
+        (stage.py ``allowed``), where a blocked detail degrades to the
+        reference's empty-page enrichment at its exact walk position
+        (simulator.py:218-226)."""
         if not self.robots_prefixes:
             return pending, None, None
         q = F.parse_url(F.col("url"), F.lit("QUERY"))
@@ -284,55 +342,248 @@ class CrawlEngine:
         for p in self.robots_prefixes:
             c = pq.startswith(F.lit(p))
             cond = c if cond is None else cond | c
-        base = pending.withColumn("_blocked", cond)
+        base = pending.withColumn("_blocked", (F.col("kind") == "list") & cond)
         allowed = base.filter(~F.col("_blocked")).drop("_blocked")
         blocked = base.filter(F.col("_blocked")).drop("_blocked")
-        stats = {r["kind"]: r["n"] for r in
-                 blocked.groupBy("kind").agg(F.count("*").alias("n")).collect()}
         dead = None
-        offers = None
-        if stats.get("list"):
-            dead = blocked.filter(F.col("kind") == "list").select(
+        if blocked.limit(1).count() > 0:
+            dead = blocked.select(
                 "url", F.lit("robots-list").alias("kind"),
                 "seed_id", "page_number", "attempt",
                 F.lit(wave).cast("long").alias("wave"),
             )
-        if stats.get("detail"):
-            from cianparser_spark.engine.stage import parse_detail_fields
+        return allowed, dead, None
 
-            offer_struct = T.StructType(
-                [f for f in model.STAGE_SCHEMA.fields if f.name in set(model.OFFER_COLS)]
-            )
-            # reference dict-union: detail fields override card fields
-            # even when the detail page is empty (flat/list.py:69 with
-            # flat/page.py defaults) — replicate the empty-page merge by
-            # nulling each kind's detail-overridable columns
-            null_cols = {
-                k: set(parse_detail_fields("", {"kind": k}).keys())
-                for k in {rt["kind"] for rt in self.runtimes.values()}
-            }
-            kind_seeds: dict[str, list[int]] = {}
+    # ----------------------------------------- page-coupled detail ledger
+
+    def _seed_frontier_df(self) -> DataFrame:
+        if self._seeds_df is None:
+            rows = []
             for sid, rt in self.runtimes.items():
-                kind_seeds.setdefault(rt["kind"], []).append(sid)
-            cols = []
-            for c in model.OFFER_COLS:
-                null_cond = None
-                for k, dropped in null_cols.items():
-                    if c in dropped:
-                        cnd = F.col("seed_id").isin(kind_seeds[k])
-                        null_cond = cnd if null_cond is None else null_cond | cnd
-                e = F.col(f"_c.{c}")
-                if null_cond is not None:
-                    e = F.when(null_cond, F.lit(None)).otherwise(e)
-                cols.append(e.alias(c))
-            offers = (
-                blocked.filter(F.col("kind") == "detail")
-                .select(F.from_json("card_json", offer_struct).alias("_c"),
-                        "seed_id", "page_number", "card_index")
-                .select(*cols, "seed_id", "page_number", "card_index")
-                .withColumn("wave", F.lit(wave).cast("long"))
+                prefix, suffix = rt["template"].split("{}", 1)
+                rows.append((sid, prefix, suffix, rt["template"].split("/")[2]))
+            self._seeds_df = self.spark.createDataFrame(
+                rows, "seed_id long, prefix string, suffix string, host string")
+        return self._seeds_df
+
+    def _detail_ledger(self, wave: int, ks_delta: list[tuple],
+                       emitted_keys_df: DataFrame | None,
+                       need_detail: DataFrame | None):
+        """Reduce the detail-key ledger and build this wave's page
+        groups (S2/D1-D3 dispatch under the reference's page-coupled
+        retry semantics, cianparser.py:71-83).
+
+        The ledger (``keystate``) holds ONE row per unresolved key —
+        last-writer-wins by ``ver``; keys whose detail emitted resolve
+        out via anti-join against ``seen`` (+ this wave's emissions).
+        Each accepted card of a detail-mode seed is ranked within its
+        (seed, key) group in crawl order: rank 1 with no live state =
+        the winning occurrence (fetch at attempt 0); rank 1 over a
+        ``dead`` key = a RESURRECTION carrying the key's consumed
+        detail-URL attempt counter (the reference's session-global
+        retry counter, simulator _fetch_counts); every other
+        occurrence ships as a duplicate placeholder that the group
+        walk skips (winner emitted) or pauses on (winner unresolved).
+        One frontier row per page carries the ordered card array as
+        JSON — the walk itself is sequential per page because the
+        reference's budget coupling IS sequential per page; pages stay
+        embarrassingly parallel, and at scale the ledger is bounded by
+        the fault/duplicate rate, never by crawl size.
+
+        Returns (groups_frontier_df | None, keystate_replace | None)."""
+        ks_parts = []
+        if self._ks_nonempty:
+            ks_parts.append(self.store.read("keystate"))
+        if ks_delta:
+            ks_parts.append(self.spark.createDataFrame(
+                ks_delta,
+                "seed_id long, key string, url string, consumed long, state string, ver long"))
+        ks_live = None
+        if ks_parts:
+            ks_all = ks_parts[0]
+            for p in ks_parts[1:]:
+                ks_all = ks_all.unionByName(p)
+            ks_live = (
+                ks_all.groupBy("seed_id", "key")
+                .agg(F.max_by(F.struct("url", "consumed", "state", "ver"), "ver").alias("_s"))
+                .select("seed_id", "key", "_s.url", "_s.consumed", "_s.state", "_s.ver")
             )
-        return allowed, dead, offers
+            # emitted keys leave the ledger (ledger is tiny — at real
+            # scale this anti-join takes the Bloom prefilter like the
+            # card dedup does; here the seen scan is already pruned to
+            # two columns)
+            if self._seen_nonempty:
+                ks_live = ks_live.join(
+                    self.store.read("seen").select(
+                        "seed_id", F.col("deal_url_id").alias("key")),
+                    ["seed_id", "key"], "left_anti")
+            if emitted_keys_df is not None:
+                ks_live = ks_live.join(emitted_keys_df, ["seed_id", "key"], "left_anti")
+
+        groups_df = None
+        inflight_df = None
+        if need_detail is not None:
+            nob_ids = [sid for sid, rt in self.runtimes.items()
+                       if rt["kind"] == "newobject"]
+            # newobject detail URL = card url + "/" (newobject/list.py:77)
+            durl = (
+                F.when(F.col("seed_id").isin(nob_ids),
+                       F.concat(F.col("url"), F.lit("/")))
+                .otherwise(F.col("url")) if nob_ids else F.col("url")
+            )
+            j = (need_detail
+                 .withColumn("_k", F.coalesce(F.col("deal_url_id"), F.lit("-1")))
+                 .withColumn("_du", durl))
+            if ks_live is not None:
+                j = j.join(
+                    F.broadcast(ks_live.select(
+                        "seed_id", F.col("key").alias("_k"),
+                        F.col("consumed").alias("_cons"),
+                        F.col("state").alias("_st"))),
+                    ["seed_id", "_k"], "left")
+            else:
+                j = j.withColumn("_cons", F.lit(None).cast("long")) \
+                     .withColumn("_st", F.lit(None).cast("string"))
+            w = Window.partitionBy("seed_id", "_k").orderBy("page_number", "card_index")
+            j = (j.withColumn("_rk", F.row_number().over(w))
+                 .withColumn("_win", (F.col("_rk") == 1)
+                             & (F.col("_st").isNull() | (F.col("_st") == "dead")))
+                 .withColumn("_a0", F.when(F.col("_st") == "dead", F.col("_cons"))
+                             .otherwise(F.lit(0))))
+            card_j = F.to_json(F.struct(
+                F.col("card_index").alias("i"), F.col("_k").alias("k"),
+                F.col("_du").alias("u"),
+                F.when(F.col("_win"), F.col("_a0")).otherwise(F.lit(0)).alias("a"),
+                F.when(F.col("_win"), F.lit(0)).otherwise(F.lit(1)).alias("d"),
+                F.struct(*model.OFFER_COLS).alias("cj")))
+            grp = j.groupBy("seed_id", "page_number").agg(
+                F.concat(
+                    F.lit("["),
+                    F.array_join(F.transform(F.array_sort(F.collect_list(
+                        F.struct(F.col("card_index").alias("i"), card_j.alias("j")))),
+                        lambda x: x["j"]), ","),
+                    F.lit("]")).alias("_cards"),
+                F.sum(F.when(F.col("_win"), 1).otherwise(0)).alias("_nf"))
+            grp = grp.join(F.broadcast(self._seed_frontier_df()), "seed_id")
+            burn_rows = [(sid, pn, b) for (sid, pn), b in self._page_burn.items()]
+            if burn_rows:
+                burn_df = self.spark.createDataFrame(
+                    burn_rows, "seed_id long, page_number long, _burn long")
+                grp = grp.join(F.broadcast(burn_df), ["seed_id", "page_number"], "left")
+            else:
+                grp = grp.withColumn("_burn", F.lit(None).cast("long"))
+            b = F.coalesce(F.col("_burn"), F.lit(0))
+            groups_df = grp.select(
+                F.concat("prefix", F.col("page_number").cast("string"),
+                         "suffix").alias("url"),
+                F.lit("detail").alias("kind"), F.col("host"),
+                F.concat(F.lit('{"b":'), b.cast("string"), F.lit(',"cards":'),
+                         F.col("_cards"), F.lit("}")).alias("card_json"),
+                "seed_id", "page_number",
+                F.col("_nf").cast("long").alias("card_index"),
+                b.cast("long").alias("attempt"),
+                F.lit(wave + 1).cast("long").alias("wave"))
+            inflight_df = j.filter(F.col("_win")).select(
+                "seed_id", F.col("_k").alias("key"), F.col("_du").alias("url"),
+                F.coalesce(F.col("_a0"), F.lit(0)).alias("consumed"),
+                F.lit("inflight").alias("state"),
+                F.lit(2 * wave + 1).cast("long").alias("ver"))
+
+        ks_replace = None
+        parts = [p for p in (ks_live, inflight_df) if p is not None]
+        if parts:
+            ks_replace = parts[0]
+            for p in parts[1:]:
+                ks_replace = ks_replace.unionByName(p)
+            ks_replace = ks_replace.select(
+                *[f.name for f in model.KEYSTATE_SCHEMA.fields])
+        return groups_df, ks_replace
+
+    def _resolve_paused(self, wave: int, ks_delta: list[tuple],
+                        emitted_keys_df: DataFrame | None):
+        """Advance paused group walks: drop placeholders whose winner
+        emitted, resurrect leading placeholders whose key died
+        elsewhere (earliest-page-first, preserving the reference's
+        sequential claim order), and re-dispatch every walk whose
+        leading card became decidable.  One tiny lookup job, bounded
+        by the number of parked keys.
+
+        Returns (continuations_frontier_df | None, ks_conversion_rows)."""
+        if not self._paused:
+            return None, []
+        b_keys = sorted({(sid, c["k"])
+                         for (sid, _pn), st in self._paused.items()
+                         for c in st["rest"] if c.get("d")})
+        emitted: set = set()
+        ksmap: dict = {}
+        if b_keys:
+            kdf = self.spark.createDataFrame(list(b_keys), "seed_id long, key string")
+            seen_srcs = []
+            if self._seen_nonempty:
+                seen_srcs.append(self.store.read("seen").select(
+                    "seed_id", F.col("deal_url_id").alias("key")))
+            if emitted_keys_df is not None:
+                seen_srcs.append(emitted_keys_df)
+            if seen_srcs:
+                s = seen_srcs[0]
+                for p in seen_srcs[1:]:
+                    s = s.unionByName(p)
+                emitted = {(int(r["seed_id"]), r["key"]) for r in
+                           kdf.join(s, ["seed_id", "key"], "left_semi").collect()}
+            if self._ks_nonempty:
+                for r in (kdf.join(self.store.read("keystate"),
+                                   ["seed_id", "key"], "inner")
+                          .groupBy("seed_id", "key")
+                          .agg(F.max_by(F.struct("state", "consumed"), "ver").alias("_s"))
+                          .select("seed_id", "key", "_s.state", "_s.consumed")
+                          .collect()):
+                    ksmap[(int(r["seed_id"]), r["key"])] = (r["state"], int(r["consumed"]))
+            for (sid, k, _u, cons, st, _v) in ks_delta:
+                ksmap[(sid, k)] = (st, int(cons))
+
+        cont_rows: list[tuple] = []
+        conv_rows: list[tuple] = []
+        for (sid, pn) in sorted(self._paused):
+            st = self._paused[(sid, pn)]
+            if not self._stop_ok(sid, pn):
+                del self._paused[(sid, pn)]
+                self._paused_dirty = True
+                continue
+            rest = [c for c in st["rest"]
+                    if not (c.get("d") and (sid, c["k"]) in emitted)]
+            if len(rest) != len(st["rest"]):
+                self._paused_dirty = True
+            st["rest"] = rest
+            if rest and rest[0].get("d"):
+                k = rest[0]["k"]
+                s = ksmap.get((sid, k))
+                if s and s[0] in ("dead", "claimed"):
+                    c0 = rest[0]
+                    c0.pop("d", None)
+                    c0["a"] = int(s[1])
+                    conv_rows.append((sid, k, c0["u"], int(s[1]),
+                                      "inflight", 2 * wave + 1))
+                    ksmap[(sid, k)] = ("inflight", int(s[1]))
+                    self._paused_dirty = True
+            if not rest:
+                del self._paused[(sid, pn)]
+                self._paused_dirty = True
+                continue
+            if rest[0].get("d"):
+                st["blocker"] = rest[0]["k"]
+                continue
+            rt = self.runtimes[sid]
+            n_fetch = sum(1 for c in rest if not c.get("d"))
+            cont_rows.append((
+                rt["template"].format(pn), "detail",
+                rt["template"].split("/")[2],
+                json.dumps({"b": st["b"], "cards": rest}, ensure_ascii=False),
+                sid, pn, n_fetch, st["b"], wave + 1))
+            del self._paused[(sid, pn)]
+            self._paused_dirty = True
+        cont_df = (self.spark.createDataFrame(cont_rows, model.FRONTIER_SCHEMA)
+                   if cont_rows else None)
+        return cont_df, conv_rows
 
     # ------------------------------------------------------------- helpers
 
@@ -529,7 +780,8 @@ class CrawlEngine:
                 selected.repartition(par_k, "seed_id")
                 .sortWithinPartitions("seed_id", "page_number", "card_index")
                 .mapInPandas(
-                    make_fetch_parse(self.runtimes, self.web_cfg, in_wave_dedup=True),
+                    make_fetch_parse(self.runtimes, self.web_cfg, in_wave_dedup=True,
+                                     respect_robots=self.respect_robots),
                     model.RAW_STAGE_SCHEMA)
             )
             (
@@ -540,7 +792,8 @@ class CrawlEngine:
         else:
             raw = (
                 selected.repartition(par, "host", "url")
-                .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg),
+                .mapInPandas(make_fetch_parse(self.runtimes, self.web_cfg,
+                                              respect_robots=self.respect_robots),
                              model.RAW_STAGE_SCHEMA)
             )
             parsed = columnar.widen(raw, self._seed_dim())
@@ -618,11 +871,17 @@ class CrawlEngine:
                      if r["outcome"] in ("http_error", "http_429", "noheader")]
         retry_pages = [r for r in fail_rows if r["attempt"] + 1 < MAX_ATTEMPTS and live(r)]
         dead_pages = [r for r in fail_rows if r["attempt"] + 1 >= MAX_ATTEMPTS and live(r)]
+        # detail_err rows are INFORMATIONAL (metrics + 429 debt): the
+        # page-coupled group walk already retried or dead-lettered the
+        # failure in-task (stage.py), the driver never reschedules it
         detail_err_rows = [r for r in pinfo if r["row_type"] == "detail_err"]
-        retry_details = [r for r in detail_err_rows if r["attempt"] + 1 < MAX_ATTEMPTS and live(r)]
-        dead_details = [r for r in detail_err_rows if r["attempt"] + 1 >= MAX_ATTEMPTS and live(r)]
         n_detail_ok = sum(r["n"] for r in pinfo if r["row_type"] == "offer" and live(r))
         n_cards = sum(r["cards"] for r in page_rows if r["outcome"] == "ok" and live(r))
+        # list-page burn counters: budget the page's future detail walk
+        # inherits (reference couples both into ONE exception counter,
+        # cianparser.py:71-83)
+        for r in retry_pages:
+            self._page_burn[(int(r["seed_id"]), int(r["page_number"]))] = int(r["attempt"]) + 1
 
         # 429 debt for next wave's budget
         self._debt = {}
@@ -651,29 +910,67 @@ class CrawlEngine:
             (F.col("attempt") + 1).alias("attempt"),
             F.lit(wave + 1).cast("long").alias("wave"),
         )
-        retry_detail_df = self._apply_stop_filter(
-            stage.filter((F.col("row_type") == "detail_err")
-                         & (F.col("attempt") + 1 < MAX_ATTEMPTS))
-        ).select(
-            F.col("fetch_url").alias("url"), F.lit("detail").alias("kind"),
-            "host", "card_json", "seed_id", "page_number", "card_index",
-            (F.col("attempt") + 1).alias("attempt"),
-            F.lit(wave + 1).cast("long").alias("wave"),
-        )
         # stop-filtered: a captcha-stopped seed's later pages are
         # CANCELLED, not dead — the reference never reaches them (its
         # sequential loop breaks at the captcha), so dead-lettering a
         # page the oracle never fetched would diverge the dead table
         dead_df = self._apply_stop_filter(stage.filter(
-            F.col("row_type").isin("page", "detail_err")
+            (F.col("row_type") == "page")
             & F.col("outcome").isin("http_error", "http_429", "noheader")
             & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
         )).select(
             F.col("fetch_url").alias("url"),
-            F.when(F.col("row_type") == "detail_err", "detail").otherwise("list").alias("kind"),
+            F.lit("list").alias("kind"),
             "seed_id", "page_number", (F.col("attempt") + 1).alias("attempt"),
             F.lit(wave).cast("long").alias("wave"),
         )
+
+        # --- detail-group markers: the sequential walks that did NOT
+        # complete (paused at an unresolved duplicate / died on budget
+        # exhaustion).  Completed groups emit no marker — their keys
+        # resolve through the seen append, so this collect is bounded
+        # by the fault + duplicate-collision rate, never by pages.
+        extra_ids = [sid for sid, rt in self.runtimes.items() if rt["with_extra"]]
+        dead_group_rows: list[tuple] = []
+        ks_delta: list[tuple] = []  # (seed_id, key, url, consumed, state, ver)
+        if extra_ids:
+            gmarkers = (
+                stage.filter(F.col("row_type") == "group_state")
+                .select("seed_id", "page_number", "outcome", "card_json", "fetch_url")
+                .collect()
+            )
+            for r in gmarkers:
+                sid, pn = int(r["seed_id"]), int(r["page_number"])
+                if not self._stop_ok(sid, pn):
+                    self._paused.pop((sid, pn), None)
+                    continue
+                m = json.loads(r["card_json"])
+                if r["outcome"] == "dead":
+                    # the page died mid-walk (reference failed_pages,
+                    # cianparser.py:84-87): dead-letter the LIST page,
+                    # record every dropped card's key with its consumed
+                    # detail-URL attempts for later resurrection
+                    dead_group_rows.append(
+                        (r["fetch_url"], "list", sid, pn, MAX_ATTEMPTS, wave))
+                    self._paused.pop((sid, pn), None)
+                    self._page_burn.pop((sid, pn), None)
+                    for k, u, cons in m["ks"]:
+                        ks_delta.append((sid, k, u, int(cons), "dead", 2 * wave))
+                else:  # paused
+                    self._paused[(sid, pn)] = {
+                        "b": int(m["b"]), "blocker": m["blocker"], "rest": m["rest"]}
+            if ks_delta and self._paused:
+                # a dead key with an EARLIER parked duplicate inside a
+                # paused walk is 'claimed' — later occurrences must not
+                # resurrect it out of crawl order
+                parked = {(sid, c["k"])
+                          for (sid, _pn), st in self._paused.items()
+                          for c in st["rest"] if c.get("d")}
+                ks_delta = [
+                    (s, k, u, c,
+                     "claimed" if st == "dead" and (s, k) in parked else st, v)
+                    for (s, k, u, c, st, v) in ks_delta
+                ]
 
         # --- per-seed watermarks from driver stats (min unresolved list page)
         min_pending: dict[int, int] = {}
@@ -737,7 +1034,8 @@ class CrawlEngine:
                 # when staged leftovers from earlier waves can collide
                 in_batch = bool(self._staged_nonempty) or bool(min_pending)
                 acc_spool = os.path.join(self.store.root, "scratch", f"accepted-w{wave:05d}")
-                self._dedup(finalize, approx_rows=n_cards, in_batch=in_batch) \
+                self._dedup(finalize, approx_rows=n_cards, in_batch=in_batch,
+                            detail_ids=extra_ids) \
                     .withColumn("wave", F.lit(wave).cast("long")) \
                     .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
                     .write.mode("overwrite").parquet(acc_spool)
@@ -745,38 +1043,45 @@ class CrawlEngine:
                 n_accepted, avg_price = self._accepted_stats(accepted)
             self._tick("finalize_dedup")
 
-        # --- split accepted: emit now vs enqueue detail
-        extra_ids = [sid for sid, rt in self.runtimes.items() if rt["with_extra"]]
+        # --- split accepted: emit now vs build page-coupled detail groups
         appends: dict[str, DataFrame] = {}
         adopt: dict[str, str] = {}
+        replaces: dict[str, DataFrame] = {}
         frontier_parts = []
-        n_details_enqueued = 0
         if n_deferred:
             frontier_parts.append(deferred_df)
         if retry_pages:
             frontier_parts.append(retry_list_df)
-        if retry_details:
-            frontier_parts.append(retry_detail_df)
+
+        # this wave's EMITTED detail offers — the only place a
+        # detail-mode key becomes seen (the reference adds to its
+        # result_set only after the detail fetch succeeds,
+        # flat/list.py:66-67 / newobject/list.py:87-88)
+        offer_emit_df = None
+        emitted_keys_df = None
+        if n_detail_ok:
+            offer_emit_df = (
+                self._apply_stop_filter(stage.filter(F.col("row_type") == "offer"))
+                .select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
+                .withColumn("wave", F.lit(wave).cast("long"))
+            )
+            emitted_keys_df = offer_emit_df.select(
+                "seed_id",
+                F.coalesce(F.col("deal_url_id"), F.lit("-1")).alias("key"))
 
         offers_parts = []
+        seen_parts = []
         if robots_offers is not None:
             offers_parts.append(robots_offers)
+        need_detail = None
         if n_accepted:
             if extra_ids:
                 need_detail = accepted.filter(F.col("seed_id").isin(extra_ids))
                 emit_now = accepted.filter(~F.col("seed_id").isin(extra_ids))
-                detail_rows = need_detail.select(
-                    F.col("url"), F.lit("detail").alias("kind"),
-                    F.parse_url("url", F.lit("HOST")).alias("host"),
-                    F.to_json(F.struct(*model.OFFER_COLS)).alias("card_json"),
-                    "seed_id", "page_number", "card_index",
-                    F.lit(0).cast("long").alias("attempt"),
-                    F.lit(wave + 1).cast("long").alias("wave"),
-                )
-                frontier_parts.append(detail_rows)
                 offers_parts.append(
                     emit_now.select(*[f.name for f in model.STAGED_SCHEMA.fields])
                 )
+                seen_parts.append(emit_now)
             else:
                 # zero-copy: the accepted data (the spool's card
                 # partition on cold-start waves, the dedup spool
@@ -784,17 +1089,36 @@ class CrawlEngine:
                 # the commit renames the directory into the table
                 # instead of rewriting 100% of the wave's output
                 adopt["offers"] = acc_adopt_dir or acc_spool
+                seen_parts.append(accepted)
+        if extra_ids:
+            groups_df, ks_replace = self._detail_ledger(
+                wave, ks_delta, emitted_keys_df, need_detail)
+            if groups_df is not None:
+                frontier_parts.append(groups_df)
+            cont_df, conv_rows = self._resolve_paused(wave, ks_delta, emitted_keys_df)
+            if cont_df is not None:
+                frontier_parts.append(cont_df)
+            if conv_rows:
+                conv_df = self.spark.createDataFrame(
+                    conv_rows,
+                    "seed_id long, key string, url string, consumed long, state string, ver long"
+                ).select(*[f.name for f in model.KEYSTATE_SCHEMA.fields])
+                ks_replace = (conv_df if ks_replace is None
+                              else ks_replace.unionByName(conv_df))
+            if ks_replace is not None:
+                replaces["keystate"] = ks_replace
+        if offer_emit_df is not None:
+            offers_parts.append(offer_emit_df)
+            seen_parts.append(offer_emit_df)
+        if seen_parts:
+            seen_src = seen_parts[0].select("seed_id", "deal_url_id")
+            for p in seen_parts[1:]:
+                seen_src = seen_src.unionByName(p.select("seed_id", "deal_url_id"))
             seen_dk = F.coalesce(F.col("deal_url_id"), F.lit("-1"))
-            appends["seen"] = accepted.select(
+            appends["seen"] = seen_src.select(
                 seen_dk.alias("deal_url_id"), "seed_id",
                 F.xxhash64(F.concat_ws("|", F.col("seed_id"), seen_dk)).alias("key_hash"),
                 F.lit(wave).cast("long").alias("wave"),
-            )
-        if n_detail_ok:
-            offers_parts.append(
-                self._apply_stop_filter(stage.filter(F.col("row_type") == "offer"))
-                .select(*model.OFFER_COLS, "seed_id", "page_number", "card_index")
-                .withColumn("wave", F.lit(wave).cast("long"))
             )
         if offers_parts:
             out = offers_parts[0]
@@ -802,8 +1126,13 @@ class CrawlEngine:
                 out = out.unionByName(p)
             appends["offers"] = out.select(*model.OFFER_COLS, "seed_id",
                                            "page_number", "card_index", "wave")
-        if dead_pages or dead_details:
+        if dead_pages:
             appends["dead"] = dead_df
+        if dead_group_rows:
+            dg = self.spark.createDataFrame(dead_group_rows, model.DEAD_SCHEMA)
+            appends["dead"] = (
+                appends["dead"].unionByName(dg) if "dead" in appends else dg
+            )
         if robots_dead is not None:
             appends["dead"] = (
                 appends["dead"].unionByName(robots_dead)
@@ -821,6 +1150,21 @@ class CrawlEngine:
             if n_frontier_next:
                 appends["frontier"] = frontier_next
             self._tick("frontier_count")
+        if self._paused and not n_frontier_next:
+            # cannot happen: every paused walk blocks on a key whose
+            # winning occurrence sits in a dispatched or earlier-paused
+            # group, and blocking edges point strictly backward in
+            # (page, card) order — the chain always bottoms out at a
+            # dispatchable group in the frontier
+            raise RuntimeError(f"paused detail groups deadlocked: {sorted(self._paused)}")
+        if extra_ids and (dead_group_rows or self._paused or self._paused_dirty):
+            replaces["paused"] = (
+                [(st["blocker"], json.dumps(st["rest"], ensure_ascii=False),
+                  sid, pn, st["b"], wave)
+                 for (sid, pn), st in sorted(self._paused.items())],
+                model.PAUSED_SCHEMA,
+            )
+            self._paused_dirty = bool(self._paused)
 
         # --- metrics/lineage built driver-side from pinfo (no extra jobs)
         mrows = {}
@@ -841,6 +1185,13 @@ class CrawlEngine:
             if r["row_type"] == "offer":
                 mrows.setdefault(r["host"], dict(pages_fetched=0, cards_parsed=0, n_429=0,
                                                  n_errors=0, captcha=False, details=0))["details"] += int(r["n"])
+        # detail 429s count into the host's n_429 so the 10-s token
+        # debt they charge survives a resume (_load_state rebuilds
+        # _debt from the last wave's metrics)
+        for r in detail_err_rows:
+            if r["outcome"] == "http_429":
+                mrows.setdefault(r["host"], dict(pages_fetched=0, cards_parsed=0, n_429=0,
+                                                 n_errors=0, captcha=False, details=0))["n_429"] += int(r["n"])
         metrics_rows = [
             (h, wave, m["pages_fetched"], m["cards_parsed"],
              n_accepted + n_detail_ok if i == 0 else None,
@@ -864,7 +1215,6 @@ class CrawlEngine:
                 model.LINEAGE_SCHEMA,
             )
 
-        replaces: dict[str, DataFrame] = {}
         if have_staged_input:
             if leftover_df is None:
                 # watermark proved the leftover empty — only clear the
@@ -880,7 +1230,7 @@ class CrawlEngine:
             replaces["stopped"] = (
                 [(k, v) for k, v in sorted(self._stopped.items())], model.STOPPED_SCHEMA
             )
-        if n_accepted and n_frontier_next:
+        if "seen" in appends and n_frontier_next:
             # the Bloom sidecar only exists to pre-filter FUTURE waves'
             # dedup; on the final wave (empty frontier) nothing will
             # ever read it — don't build the index nobody consults
@@ -892,6 +1242,8 @@ class CrawlEngine:
         self._next_pending = n_frontier_next
         if "seen" in appends:
             self._seen_nonempty = True
+        if "keystate" in replaces:
+            self._ks_nonempty = True
 
         if not fully_selected:
             marked.unpersist()
@@ -940,7 +1292,7 @@ class CrawlEngine:
     # ------------------------------------------------------------- dedup
 
     def _dedup(self, finalize: DataFrame, approx_rows: int = 0,
-               in_batch: bool = True) -> DataFrame:
+               in_batch: bool = True, detail_ids: list[int] | None = None) -> DataFrame:
         """First-wins dedup in crawl order: keep-first inside the batch,
         then Bloom-prefiltered anti-join against the seen set (A1/J4 in
         SURVEY.md §2.6) — maybe-seen rows take the exact join;
@@ -964,10 +1316,21 @@ class CrawlEngine:
         Null deal_url_id keys as the literal "-1" in every path (group
         keys, seen table, Bloom keys) — the reference's extractor
         default, so all null-key cards of a seed collapse to the first
-        exactly like its seen-set does (helpers.py:34 + flat/list.py:57)."""
+        exactly like its seen-set does (helpers.py:34 + flat/list.py:57).
+
+        ``detail_ids`` seeds (detail-mode) KEEP their in-batch
+        duplicate occurrences: the reference claims a key only after
+        its detail fetch succeeds, so losers stay alive as
+        resurrection candidates — only the seen-set anti-join (keys
+        whose detail already EMITTED) applies to them; winner vs
+        placeholder ranking happens in the group builder."""
         finalize = finalize.withColumn(
             "_dk", F.coalesce(F.col("deal_url_id"), F.lit("-1"))
         )
+        detail_passthrough = None
+        if detail_ids:
+            detail_passthrough = finalize.filter(F.col("seed_id").isin(detail_ids))
+            finalize = finalize.filter(~F.col("seed_id").isin(detail_ids))
         keys = ["seed_id", "_dk"]
         if not in_batch:
             # caller guarantees in-batch uniqueness (the fused stage
@@ -995,6 +1358,9 @@ class CrawlEngine:
                 ).alias("_f"))
                 .select(*keys, "_f.*")
             )
+        if detail_passthrough is not None:
+            batch_first = batch_first.select(*detail_passthrough.columns) \
+                .unionByName(detail_passthrough)
 
         blobs = self._bloom or {}
         if blobs:

@@ -94,6 +94,34 @@ BLOOM_SCHEMA = T.StructType(
     [T.StructField("bucket", T.LongType()), T.StructField("blob", T.BinaryType())]
 )
 
+# Detail-ledger key state (page-coupled detail scheduler, crawler.py):
+# one row per dedup key whose emission is UNRESOLVED — ``inflight``
+# (its winning occurrence is inside a dispatched/paused detail group),
+# ``claimed`` (winner died but an earlier parked duplicate inside a
+# paused group will resurrect it), or ``dead`` (winner's page died
+# without emitting; the NEXT occurrence resurrects the fetch with the
+# key's detail-URL attempt counter continuing at ``consumed`` —
+# replicating the reference's session-global per-URL retry counter,
+# cianparser.py:71-83 + the result_set add AFTER the detail fetch,
+# flat/list.py:57-69).  Emitted keys live in ``seen``; resolved rows
+# leave this table, so its size is bounded by the fault rate, not the
+# crawl size.
+KEYSTATE_SCHEMA = T.StructType(
+    _fields(strings=["key", "url", "state"],
+            longs=["seed_id", "consumed", "ver"])
+)
+
+# Paused detail groups: a group task stops at the first card whose
+# emission it cannot decide locally (a duplicate whose winner is in
+# another, unresolved group) and parks its remaining walk here —
+# budget used so far, the blocking key, and the remaining ordered
+# cards as JSON.  Driver-resolved and re-dispatched when the blocker
+# reaches ``seen`` (skip) or ``keystate.dead`` (resurrect).
+PAUSED_SCHEMA = T.StructType(
+    _fields(strings=["blocker", "rest"],
+            longs=["seed_id", "page_number", "budget", "ver"])
+)
+
 # raw fetch-kernel output = discriminated union of page outcomes and
 # raw detail pages; ``content`` carries the HTML.  An OK list page is
 # ONE row carrying the whole page HTML — the card-boundary split runs
@@ -136,8 +164,10 @@ TABLE_SCHEMAS = {
     "dead": DEAD_SCHEMA,
     "stopped": STOPPED_SCHEMA,
     "bloom": BLOOM_SCHEMA,
+    "keystate": KEYSTATE_SCHEMA,
+    "paused": PAUSED_SCHEMA,
 }
-REPLACE_TABLES = frozenset({"staged", "stopped", "bloom"})
+REPLACE_TABLES = frozenset({"staged", "stopped", "bloom", "keystate", "paused"})
 
 
 # ------------------------------------------------------------ seed helpers

@@ -34,6 +34,7 @@ execution model.
 
 from __future__ import annotations
 
+import json
 import re
 
 import pandas as pd
@@ -41,6 +42,7 @@ import pandas as pd
 from cianparser_spark.corpus import webgen
 from cianparser_spark.engine import model
 from cianparser_spark.semantics import extract, urls
+from cianparser_spark.semantics.simulator import MAX_ATTEMPTS
 
 _RAW_COLS = [f.name for f in model.RAW_STAGE_SCHEMA.fields]
 
@@ -115,7 +117,7 @@ def card_dedup_key(card_html: str, kind: str) -> str:
 
 
 def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
-                     in_wave_dedup: bool = False):
+                     in_wave_dedup: bool = False, respect_robots: bool = True):
     """Build the mapInPandas fetch kernel over frontier rows.
 
     Input columns: url, kind, host, card_json, seed_id, page_number,
@@ -135,11 +137,23 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
     def fetch_parse(iterator):
         from pyspark import TaskContext
 
+        from cianparser_spark.semantics import robots as _robots
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         # per-partition session prologue (one resolver per partition)
         resolver = webgen
         seen: set = set()  # (seed_id, dedup_key), partition-scoped
+        robots_cache: dict = {}  # host -> parsed rules (simulator.py:108-114)
+
+        def allowed(url: str) -> bool:
+            if not respect_robots:
+                return True
+            host = url.split("/")[2]
+            if host not in robots_cache:
+                robots_cache[host] = _robots.parse_robots(
+                    webgen.robots_txt(host, cfg))
+            return _robots.is_allowed(url, robots_cache[host])
         # executor-local proxy pool (S4): resolved once per partition —
         # proxy health is deterministic in cfg, so this equals the
         # reference's probe-before-every-page loop (engine/proxies.py
@@ -170,17 +184,100 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
                 rt = seed_runtimes[int(r.seed_id)]
                 sid, pn, ci, at, wv = (int(r.seed_id), int(r.page_number),
                                        int(r.card_index), int(r.attempt), int(r.wave))
-                status, html = resolver.fetch(r.url, attempt=at, cfg=cfg, proxy=proxy)
 
                 if r.kind == "detail":
-                    if status != 200:
-                        emit("detail_err", r.url, "http_error", r.host,
-                             r.card_json, None, status, sid, pn, ci, at, None, wv)
-                    else:
-                        emit("detail", r.url, "ok", r.host,
-                             r.card_json, html, status, sid, pn, ci, at, None, wv)
+                    # ---- page-coupled detail GROUP (T2-coupled D1-D3).
+                    # The reference couples a detail-fetch failure to
+                    # ITS LIST PAGE's retry budget: parse_offer raises,
+                    # the page loop catches and burns one of the page's
+                    # 3 attempts; on exhaustion the page dies and every
+                    # not-yet-fetched card on it is dropped forever
+                    # (cianparser.py:71-83 + newobject/page.py:15
+                    # raise_for_status).  The honest distributed unit
+                    # is therefore the PAGE: this task replays one
+                    # page's sequential card walk — budget carried in
+                    # from the list fetch's own failures, per-detail-URL
+                    # attempt counters carried in from prior owners of
+                    # the same key (``a``), duplicate placeholders
+                    # pausing the walk when their winner is unresolved
+                    # elsewhere.  Card walks of DIFFERENT pages stay
+                    # fully parallel.
+                    g = json.loads(r.card_json)
+                    budget = int(g["b"])
+                    cards = g["cards"]
+                    local_seen: set = set()
+                    pos = 0
+                    g_status = "done"
+                    blocker = None
+                    kstate: list = []  # dropped cards: [key, url, consumed]
+                    while pos < len(cards):
+                        c = cards[pos]
+                        durl = c["u"]
+                        if c.get("d"):
+                            # duplicate placeholder: winner emitted in
+                            # THIS group → reference seen-set skip
+                            # (flat/list.py:57-59); winner elsewhere →
+                            # pause, the driver resolves against the
+                            # committed seen/keystate tables
+                            if c["k"] in local_seen:
+                                pos += 1
+                                continue
+                            g_status = "paused"
+                            blocker = c["k"]
+                            break
+                        # robots-blocked detail degrades to enrichment
+                        # from an empty page, consuming neither budget
+                        # nor attempts (simulator.py:218-226)
+                        if not allowed(durl):
+                            emit("detail", durl, "ok", durl.split("/")[2],
+                                 json.dumps(c["cj"], ensure_ascii=False), "",
+                                 200, sid, pn, int(c["i"]), 0, None, wv)
+                            local_seen.add(c["k"])
+                            pos += 1
+                            continue
+                        a = int(c.get("a", 0))
+                        ok = False
+                        while True:
+                            st, dhtml = resolver.fetch(durl, attempt=a,
+                                                       cfg=cfg, proxy=proxy)
+                            a += 1
+                            if st == 200:
+                                ok = True
+                                break
+                            emit("detail_err", durl,
+                                 "http_429" if st == 429 else "http_error",
+                                 durl.split("/")[2], None, None, st,
+                                 sid, pn, int(c["i"]), a - 1, None, wv)
+                            budget += 1
+                            if budget >= MAX_ATTEMPTS:
+                                break
+                        if ok:
+                            emit("detail", durl, "ok", durl.split("/")[2],
+                                 json.dumps(c["cj"], ensure_ascii=False), dhtml,
+                                 200, sid, pn, int(c["i"]), a - 1, None, wv)
+                            local_seen.add(c["k"])
+                            pos += 1
+                            continue
+                        # budget exhausted: the page dies; this card and
+                        # every later NON-duplicate card is dropped, its
+                        # key resurrectable with the consumed counter
+                        g_status = "dead"
+                        kstate.append([c["k"], durl, a])
+                        for c2 in cards[pos + 1:]:
+                            if not c2.get("d"):
+                                kstate.append([c2["k"], c2["u"],
+                                               int(c2.get("a", 0))])
+                        break
+                    if g_status != "done":
+                        marker = {"b": budget, "pos": pos, "blocker": blocker,
+                                  "ks": kstate,
+                                  "rest": cards[pos:] if g_status == "paused" else None}
+                        emit("group_state", r.url, g_status, r.host,
+                             json.dumps(marker, ensure_ascii=False), None,
+                             0, sid, pn, ci, at, None, wv)
                     continue
 
+                status, html = resolver.fetch(r.url, attempt=at, cfg=cfg, proxy=proxy)
                 # list page
                 if status != 200:
                     out = "http_429" if status == 429 else "http_error"
@@ -204,7 +301,13 @@ def make_fetch_parse(seed_runtimes: dict[int, dict], cfg: webgen.WebConfig,
                 keep_s = None
                 pieces = html.split(card_marker(rt["kind"]))
                 n_cards = len(pieces) - 1
-                if in_wave_dedup:
+                # detail-mode seeds keep ALL occurrences: the reference
+                # adds a key to its seen set only AFTER the detail
+                # fetch succeeds (flat/list.py:57 + :66), so losers
+                # must survive staging as resurrection candidates —
+                # winner/placeholder ranking happens in the group
+                # builder (crawler._build_detail_groups)
+                if in_wave_dedup and not rt["with_extra"]:
                     keep = []
                     for j in range(n_cards):
                         k = (sid, card_dedup_key(pieces[j + 1], rt["kind"]))
