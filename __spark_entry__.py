@@ -494,6 +494,24 @@ def q_crawl_detail(spark, sf_dir):
     return eng.offers().select(*truth.CRAWL_DETAIL_TRUTH_COLS)
 
 
+def q_crawl_detail_faults(spark, sf_dir):
+    """The page-coupled detail retry semantics, oracled end-to-end: the
+    reference couples a detail-fetch failure to its LIST page's
+    3-attempt budget (cianparser/cianparser.py:71-83 catches the
+    raise_for_status of flat/page.py:15), so a fault config tuned to
+    kill a page mid-walk AND resurrect one of its keys via a later
+    duplicate (session-global detail attempt counters +
+    seen-add-after-success, flat/list.py:57-67) must still
+    byte-match the sequential loop.  Exercises the engine's detail
+    group scheduler: in-task budget walk, page death with key
+    resurrection, paused-walk resolution."""
+    from cianparser_spark import truth
+
+    seed, cfg = truth.detail_faults_seed_and_cfg()
+    eng = _cached_engine(spark, "detail_faults", [seed], cfg, host_tokens=256)
+    return eng.offers().select(*truth.CRAWL_DETAIL_TRUTH_COLS)
+
+
 def q_crawl_suburban(spark, sf_dir):
     """The SUBURBAN entry point (reference suburban/list.py:19-83) with
     detail enrichment (D2: land/gas/water/sewage/bathroom labels,
@@ -562,12 +580,16 @@ def q_stream_crawl_metrics(spark, sf_dir):
     table (each wave commit = one micro-batch), complete-mode per-host
     totals.  Oracle: the same totals derived independently — pages and
     cards from the sequential simulator, n_429 replayed from the
-    deterministic fault function."""
+    deterministic fault function.  Rides the FLAGSHIP (list-only) run:
+    with detail faults on, the reference re-parses a page once per
+    detail retry (cards double-count) and charges detail 429s to the
+    page budget, so only the list-only run has metric totals that are
+    well-defined independently of scheduling."""
     from cianparser_spark import truth
     from cianparser_spark.streaming.streams import crawl_metrics_stream
 
-    seed, cfg = truth.detail_seed_and_cfg()
-    eng = _cached_engine(spark, "detail", [seed], cfg, host_tokens=256)
+    seed, cfg = truth.flagship_seed_and_cfg()
+    eng = _cached_engine(spark, "flagship", [seed], cfg, host_tokens=64)
     out = _drain(crawl_metrics_stream(spark, eng.store.root),
                  "q_stream_cm", spark, "complete")
     return out.select("host", "pages_fetched", "cards_parsed", "n_429")
@@ -759,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_metrics": q_stream_crawl_metrics,
         "crawl_flagship": q_crawl_flagship,
         "crawl_detail": q_crawl_detail,
+        "crawl_detail_faults": q_crawl_detail_faults,
         "crawl_suburban": q_crawl_suburban,
         "crawl_newobject": q_crawl_newobject,
         "crawl_faults": q_crawl_faults,
@@ -804,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
 
     crawl_path = truth.ensure_crawl_truth()
     detail_path = truth.ensure_crawl_detail_truth()
+    detail_faults_path = truth.ensure_crawl_detail_faults_truth()
     suburban_path = truth.ensure_crawl_suburban_truth()
     newobject_path = truth.ensure_crawl_newobject_truth()
     faults_path = truth.ensure_crawl_faults_truth()
@@ -1129,6 +1153,13 @@ def oracle_sql() -> dict[str, str]:
         "crawl_detail": f"""
             SELECT {', '.join(truth.CRAWL_DETAIL_TRUTH_COLS)}
             FROM read_parquet('{detail_path}')
+        """,
+        # the page-coupled detail retry semantics: page death by
+        # detail-budget exhaustion + cross-page key resurrection with
+        # session-global attempt counters, vs the simulator's dump
+        "crawl_detail_faults": f"""
+            SELECT {', '.join(truth.CRAWL_DETAIL_TRUTH_COLS)}
+            FROM read_parquet('{detail_faults_path}')
         """,
         "crawl_suburban": f"""
             SELECT {', '.join(truth.CRAWL_SUBURBAN_TRUTH_COLS)}

@@ -60,9 +60,12 @@ class WebConfig:
     # The reference couples a detail-fetch failure to the PAGE retry
     # counter (an exception aborts parse_list_offers_page mid-loop,
     # cianparser/cianparser.py:81-87), so cards after a failing detail
-    # can be silently dropped; the engine retries each detail
-    # independently (documented deviation).  Bit-match tests set this
-    # False so both worlds see fault-free detail pages.
+    # can be silently dropped and a later duplicate resurrects the
+    # fetch with the session-global attempt counter continuing.  The
+    # engine's page-coupled detail group scheduler (engine/crawler.py)
+    # replicates this exactly — bit-match tests run with this ON
+    # (tests/test_detail_faults.py); False remains available to
+    # isolate list-side faults.
     faults_on_details: bool = True
     # pre-rendered page store (corpus/snapshot.py): when set, 200
     # responses are served from the mmapped snapshot instead of being

@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 5  # bump to invalidate previously dumped truth files
+_VERSION = 6  # bump to invalidate previously dumped truth files
 
 
 def _path(name: str) -> str:
@@ -121,15 +121,17 @@ def detail_seed_and_cfg():
     with ``with_extra_data=True`` — every accepted card enqueues a
     detail fetch whose label map OVERRIDES the card fields
     (reference: cianparser/flat/list.py:61-69 + flat/page.py:19-70).
-    Shrunk universe keeps the detail fan-out contract-sized.
-    ``faults_on_details=False``: the reference couples a detail failure
-    to the PAGE retry counter (documented deviation, webgen.py:60-66)."""
+    Shrunk universe keeps the detail fan-out contract-sized.  Detail
+    faults stay ON (DEFAULT_CONFIG): the engine's page-coupled detail
+    scheduler replicates the reference's shared page/detail retry
+    counter (cianparser.py:71-83), so the oracle no longer needs the
+    faults_on_details=False carve-out it shipped with in round 3."""
     import dataclasses
 
     from cianparser_spark.corpus import webgen
     from cianparser_spark.semantics.simulator import CrawlSeed
 
-    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False,
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG,
                               universe_base=40, universe_span=30)
     seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all", with_extra_data=True,
                      additional_settings={"end_page": 2})
@@ -139,13 +141,13 @@ def detail_seed_and_cfg():
 def suburban_seed_and_cfg():
     """The SUBURBAN crawl (reference: cianparser/suburban/list.py:19-83)
     with detail enrichment (D2: land/gas/water/sewage labels,
-    suburban/page.py:19-83)."""
+    suburban/page.py:19-83).  Detail faults ON (page-coupled retry)."""
     import dataclasses
 
     from cianparser_spark.corpus import webgen
     from cianparser_spark.semantics.simulator import CrawlSeed
 
-    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False,
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG,
                               universe_base=40, universe_span=30)
     seed = CrawlSeed(1, "Казань", "suburban", "sale", suburban_type="house",
                      with_extra_data=True, additional_settings={"end_page": 2})
@@ -155,13 +157,14 @@ def suburban_seed_and_cfg():
 def newobject_seed_and_cfg():
     """The NEWOBJECT crawl (reference: cianparser/newobject/list.py:44-94):
     fixed 1..50 page range, scheme+host dedup key, UNCONDITIONAL detail
-    fetch per complex (newobject/list.py:77-79, D3)."""
+    fetch per complex (newobject/list.py:77-79, D3).  Detail faults ON
+    (page-coupled retry)."""
     import dataclasses
 
     from cianparser_spark.corpus import webgen
     from cianparser_spark.semantics.simulator import CrawlSeed
 
-    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, faults_on_details=False,
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG,
                               universe_base=40, universe_span=30)
     seed = CrawlSeed(1, "Москва", "newobject")
     return seed, cfg
@@ -300,6 +303,40 @@ def ensure_crawl_newobject_truth() -> str:
     return _write_parquet(df, path)
 
 
+def detail_faults_seed_and_cfg():
+    """The DETAIL-FAULT-COUPLING crawl: fail mods chosen (simulator
+    sweep) so the 10-page detail crawl exhibits a PAGE DEATH from
+    detail-budget exhaustion (cianparser.py:71-83 — the failure burns
+    the list page's exception counter) AND a cross-page duplicate
+    RESURRECTION: a key first seen on the dead page whose detail-URL
+    attempt counter continues when a later duplicate retries it
+    (session-global counters + seen-add-after-success,
+    flat/list.py:57-67)."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG, universe_base=40,
+                              universe_span=30, fail_500_mod=17,
+                              fail_429_mod=13)
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     with_extra_data=True,
+                     additional_settings={"end_page": 10})
+    return seed, cfg
+
+
+def ensure_crawl_detail_faults_truth() -> str:
+    path = _path("crawl_detail_faults")
+    if os.path.exists(path):
+        return path
+    seed, cfg = detail_faults_seed_and_cfg()
+    df, sim = _sim_truth_rows([seed], cfg, CRAWL_DETAIL_TRUTH_COLS)
+    assert sim.failed_pages, "truth must exhibit a detail-driven page death"
+    assert sim.detail_pages_fetched > 0
+    return _write_parquet(df, path)
+
+
 def ensure_crawl_faults_truth() -> str:
     path = _path("crawl_faults")
     if os.path.exists(path):
@@ -331,11 +368,13 @@ def ensure_crawl_dead_truth() -> str:
 
 
 def ensure_stream_metrics_truth() -> str:
-    """ST3 oracle: per-host crawl-metrics totals of the DETAIL run,
-    computed independently of the engine — pages/cards from the
-    sequential simulator, n_429 replayed from the deterministic fault
-    function (webgen.status_for at attempt 0, the only attempt that
-    can 429)."""
+    """ST3 oracle: per-host crawl-metrics totals of the FLAGSHIP
+    (list-only) run, computed independently of the engine — pages/
+    cards from the sequential simulator, n_429 replayed from the
+    deterministic fault function (webgen.status_for at attempt 0, the
+    only attempt that can 429).  List-only because the reference's
+    detail-fault coupling re-parses pages per retry, which makes
+    detail-run card totals scheduling-defined."""
     path = _path("stream_metrics")
     if os.path.exists(path):
         return path
@@ -345,7 +384,7 @@ def ensure_stream_metrics_truth() -> str:
     from cianparser_spark.semantics import urls as _urls
     from cianparser_spark.semantics.simulator import ReferenceSimulator
 
-    seed, cfg = detail_seed_and_cfg()
+    seed, cfg = flagship_seed_and_cfg()
     sim = ReferenceSimulator(cfg).run([seed])
     tpl = seed.url_template()
     host = tpl.split("/")[2]
