@@ -119,6 +119,15 @@ class CrawlEngine:
         self._paused: dict[tuple[int, int], dict] | None = None
         self._paused_dirty = False
         self._page_burn: dict[tuple[int, int], int] = {}
+        # placeholders inside DISPATCHED (in-frontier, not yet run)
+        # groups: (seed_id, page) -> duplicate keys parked there.  A
+        # dead key must not resurrect at a LATER occurrence while an
+        # earlier parked duplicate exists — this registry plus the
+        # paused rests give the full parked set.  Every group holding a
+        # non-local placeholder necessarily produces a pause/dead
+        # marker (the kernel cannot resolve foreign winners), so
+        # entries are removed exactly when the marker arrives.
+        self._parked_disp: dict[tuple[int, int], set] = {}
         self._ks_nonempty: bool = False
         self._seeds_df: DataFrame | None = None
 
@@ -213,6 +222,21 @@ class CrawlEngine:
                 self._ks_nonempty = (
                     self.store.read("keystate").limit(1).count() > 0)
                 self._paused_dirty = bool(self._paused)
+                # dispatched-group placeholder registry: derived from
+                # the pending wave's group rows (placeholders whose
+                # winner is outside their own group)
+                nxt = self.store.last_wave() + 1
+                for r in (self.store.read("frontier")
+                          .filter((F.col("kind") == "detail")
+                                  & (F.col("wave") == nxt))
+                          .select("seed_id", "page_number", "card_json")
+                          .collect()):
+                    g = json.loads(r["card_json"])
+                    winners = {c["k"] for c in g["cards"] if not c.get("d")}
+                    ph = {c["k"] for c in g["cards"] if c.get("d")} - winners
+                    if ph:
+                        self._parked_disp[
+                            (int(r["seed_id"]), int(r["page_number"]))] = ph
         if self._staged_nonempty is None:
             last = self.store.last_wave()
             self._staged_nonempty = (
@@ -444,10 +468,31 @@ class CrawlEngine:
             else:
                 j = j.withColumn("_cons", F.lit(None).cast("long")) \
                      .withColumn("_st", F.lit(None).cast("string"))
+            # a dead key with an EARLIER parked duplicate (inside a
+            # paused walk or a dispatched, not-yet-run group) must NOT
+            # resurrect at a later occurrence — crawl order gives the
+            # fetch to the earliest parked one (flat/list.py:57-67's
+            # sequential walk).  Watermarked accept order guarantees
+            # every parked occurrence precedes anything built here.
+            parked: set = set()
+            for (s, _pn), keys in self._parked_disp.items():
+                parked.update((s, k) for k in keys)
+            for (s, _pn), st in (self._paused or {}).items():
+                parked.update((s, c["k"]) for c in st["rest"] if c.get("d"))
+            blocked = sorted(parked)
+            if blocked:
+                bdf = self.spark.createDataFrame(
+                    list(blocked), "seed_id long, _k string") \
+                    .withColumn("_blk", F.lit(True))
+                j = j.join(F.broadcast(bdf), ["seed_id", "_k"], "left")
+            else:
+                j = j.withColumn("_blk", F.lit(None).cast("boolean"))
             w = Window.partitionBy("seed_id", "_k").orderBy("page_number", "card_index")
             j = (j.withColumn("_rk", F.row_number().over(w))
                  .withColumn("_win", (F.col("_rk") == 1)
-                             & (F.col("_st").isNull() | (F.col("_st") == "dead")))
+                             & (F.col("_st").isNull()
+                                | ((F.col("_st") == "dead")
+                                   & F.col("_blk").isNull())))
                  .withColumn("_a0", F.when(F.col("_st") == "dead", F.col("_cons"))
                              .otherwise(F.lit(0))))
             card_j = F.to_json(F.struct(
@@ -488,6 +533,20 @@ class CrawlEngine:
                 F.coalesce(F.col("_a0"), F.lit(0)).alias("consumed"),
                 F.lit("inflight").alias("state"),
                 F.lit(2 * wave + 1).cast("long").alias("ver"))
+            # register the dispatched groups' NON-LOCAL placeholders
+            # (winner outside their own page): these block out-of-order
+            # resurrection until the group's marker resolves them.
+            # Collect is bounded by the wave's cross-page duplicate
+            # count (politeness-bounded), never by cards.
+            wpg = F.max(F.when(F.col("_win"), F.col("page_number"))).over(
+                Window.partitionBy("seed_id", "_k"))
+            for r in (j.withColumn("_wpg", wpg)
+                      .filter(~F.col("_win")
+                              & (F.col("_wpg").isNull()
+                                 | (F.col("_wpg") != F.col("page_number"))))
+                      .select("seed_id", "page_number", "_k").collect()):
+                self._parked_disp.setdefault(
+                    (int(r["seed_id"]), int(r["page_number"])), set()).add(r["_k"])
 
         ks_replace = None
         parts = [p for p in (ks_live, inflight_df) if p is not None]
@@ -541,6 +600,19 @@ class CrawlEngine:
             for (sid, k, _u, cons, st, _v) in ks_delta:
                 ksmap[(sid, k)] = (st, int(cons))
 
+        # earliest parked occurrence per key — a dead key resurrects at
+        # its minimum parked page (dispatched registry ∪ paused rests),
+        # preserving the reference walk's claim order
+        parked_min: dict = {}
+        for (s, pn), keys in self._parked_disp.items():
+            for k in keys:
+                parked_min[(s, k)] = min(parked_min.get((s, k), 1 << 30), pn)
+        for (s, pn), st in self._paused.items():
+            for c in st["rest"]:
+                if c.get("d"):
+                    parked_min[(s, c["k"])] = min(
+                        parked_min.get((s, c["k"]), 1 << 30), pn)
+
         cont_rows: list[tuple] = []
         conv_rows: list[tuple] = []
         for (sid, pn) in sorted(self._paused):
@@ -557,7 +629,8 @@ class CrawlEngine:
             if rest and rest[0].get("d"):
                 k = rest[0]["k"]
                 s = ksmap.get((sid, k))
-                if s and s[0] in ("dead", "claimed"):
+                if s and s[0] == "dead" \
+                        and parked_min.get((sid, k), pn) >= pn:
                     c0 = rest[0]
                     c0.pop("d", None)
                     c0["a"] = int(s[1])
@@ -581,6 +654,11 @@ class CrawlEngine:
                 sid, pn, n_fetch, st["b"], wave + 1))
             del self._paused[(sid, pn)]
             self._paused_dirty = True
+            # the continuation is now a DISPATCHED group: re-register
+            # its remaining placeholders (non-local by construction)
+            ph = {c["k"] for c in rest if c.get("d")}
+            if ph:
+                self._parked_disp[(sid, pn)] = ph
         cont_df = (self.spark.createDataFrame(cont_rows, model.FRONTIER_SCHEMA)
                    if cont_rows else None)
         return cont_df, conv_rows
@@ -862,6 +940,16 @@ class CrawlEngine:
             if r["outcome"] == "captcha":
                 sid, p = int(r["seed_id"]), int(r["page_number"])
                 self._stopped[sid] = min(self._stopped.get(sid, 1 << 30), p)
+        if self._stopped and (self._parked_disp or self._paused):
+            # cancelled groups of stopped seeds never run, so no marker
+            # will ever clear their ledger entries — purge here
+            for (sid, pn) in [k for k in self._parked_disp
+                              if not self._stop_ok(*k)]:
+                del self._parked_disp[(sid, pn)]
+            for (sid, pn) in [k for k in (self._paused or {})
+                              if not self._stop_ok(*k)]:
+                del self._paused[(sid, pn)]
+                self._paused_dirty = True
 
         def live(r) -> bool:
             return self._stop_ok(int(r["seed_id"]), int(r["page_number"]))
@@ -941,6 +1029,7 @@ class CrawlEngine:
             )
             for r in gmarkers:
                 sid, pn = int(r["seed_id"]), int(r["page_number"])
+                self._parked_disp.pop((sid, pn), None)
                 if not self._stop_ok(sid, pn):
                     self._paused.pop((sid, pn), None)
                     continue
@@ -959,18 +1048,6 @@ class CrawlEngine:
                 else:  # paused
                     self._paused[(sid, pn)] = {
                         "b": int(m["b"]), "blocker": m["blocker"], "rest": m["rest"]}
-            if ks_delta and self._paused:
-                # a dead key with an EARLIER parked duplicate inside a
-                # paused walk is 'claimed' — later occurrences must not
-                # resurrect it out of crawl order
-                parked = {(sid, c["k"])
-                          for (sid, _pn), st in self._paused.items()
-                          for c in st["rest"] if c.get("d")}
-                ks_delta = [
-                    (s, k, u, c,
-                     "claimed" if st == "dead" and (s, k) in parked else st, v)
-                    for (s, k, u, c, st, v) in ks_delta
-                ]
 
         # --- per-seed watermarks from driver stats (min unresolved list page)
         min_pending: dict[int, int] = {}

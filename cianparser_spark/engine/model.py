@@ -96,16 +96,16 @@ BLOOM_SCHEMA = T.StructType(
 
 # Detail-ledger key state (page-coupled detail scheduler, crawler.py):
 # one row per dedup key whose emission is UNRESOLVED — ``inflight``
-# (its winning occurrence is inside a dispatched/paused detail group),
-# ``claimed`` (winner died but an earlier parked duplicate inside a
-# paused group will resurrect it), or ``dead`` (winner's page died
-# without emitting; the NEXT occurrence resurrects the fetch with the
-# key's detail-URL attempt counter continuing at ``consumed`` —
-# replicating the reference's session-global per-URL retry counter,
-# cianparser.py:71-83 + the result_set add AFTER the detail fetch,
-# flat/list.py:57-69).  Emitted keys live in ``seen``; resolved rows
-# leave this table, so its size is bounded by the fault rate, not the
-# crawl size.
+# (its winning occurrence is inside a dispatched/paused detail group)
+# or ``dead`` (winner's page died without emitting; the EARLIEST
+# remaining occurrence — a parked duplicate tracked via the driver's
+# dispatched-placeholder registry + paused rests, else the next
+# accepted card — resurrects the fetch with the key's detail-URL
+# attempt counter continuing at ``consumed``, replicating the
+# reference's session-global per-URL retry counter, cianparser.py:71-83
+# + the result_set add AFTER the detail fetch, flat/list.py:57-69).
+# Emitted keys live in ``seen``; resolved rows leave this table, so
+# its size is bounded by the fault rate, not the crawl size.
 KEYSTATE_SCHEMA = T.StructType(
     _fields(strings=["key", "url", "state"],
             longs=["seed_id", "consumed", "ver"])
