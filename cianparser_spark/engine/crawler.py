@@ -44,7 +44,7 @@ import os
 import shutil
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -130,6 +130,11 @@ class CrawlEngine:
         self._parked_disp: dict[tuple[int, int], set] = {}
         self._ks_nonempty: bool = False
         self._seeds_df: DataFrame | None = None
+        # running seen-table row count (upper bound): small-seen waves
+        # skip the Bloom prefilter's pandas_udf launch in _dedup — the
+        # exact anti-join alone is cheaper until seen outgrows it.
+        # None = unknown (resumed store) → always take the Bloom path.
+        self._seen_rows: int | None = None
 
     def _seed_dim(self) -> DataFrame:
         if self._dim is None:
@@ -277,8 +282,14 @@ class CrawlEngine:
         kind_rank = F.when(F.col("kind") == "detail", F.lit(0)).otherwise(F.lit(1))
         df = pending.withColumn("_cost", cost).withColumn("_krank", kind_rank)
 
+        # ONE aggregate collects demand AND each host's first-priority
+        # row key (the min-one progress guarantee's lookup) — a second
+        # aggregate + broadcast build would be an extra job per
+        # over-budget wave
+        order_cols = ("page_number", "_krank", "seed_id", "card_index", "url")
         demand = df.groupBy("host").agg(
-            F.sum("_cost").alias("_dem"), F.count("*").alias("_n")).collect()
+            F.sum("_cost").alias("_dem"), F.count("*").alias("_n"),
+            F.min(F.struct(*[F.col(c) for c in order_cols])).alias("_fk")).collect()
         over = [
             r["host"] for r in demand
             if int(r["_dem"]) > max(0, self.host_tokens - debt.get(r["host"], 0))
@@ -290,16 +301,20 @@ class CrawlEngine:
             n_rows = sum(int(r["_n"]) for r in demand)
             return (df.withColumn("_selected", F.lit(True)).drop("_cost", "_krank"),
                     True, n_rows)
+        over_set = set(over)
+        first_rows = [(r["host"], *tuple(r["_fk"])) for r in demand
+                      if r["host"] in over_set]
         if len(over) < len(demand):
             in_budget = df.filter(~F.col("host").isin(over)) \
                 .withColumn("_selected", F.lit(True)).drop("_cost", "_krank")
             ranked = self._select_budget_windows(
-                df.filter(F.col("host").isin(over)), debt
+                df.filter(F.col("host").isin(over)), debt, first_rows
             )
             return in_budget.unionByName(ranked), False, None
-        return self._select_budget_windows(df, debt), False, None
+        return self._select_budget_windows(df, debt, first_rows), False, None
 
-    def _select_budget_windows(self, df: DataFrame, debt: dict[str, int]) -> DataFrame:
+    def _select_budget_windows(self, df: DataFrame, debt: dict[str, int],
+                               first_rows: list[tuple]) -> DataFrame:
         """Exact two-phase salted selection for over-budget hosts."""
         if debt:
             mapping = F.create_map(*[F.lit(x) for kv in debt.items() for x in kv])
@@ -316,13 +331,23 @@ class CrawlEngine:
         # selected even when its cost alone exceeds the budget — a
         # detail GROUP's sequential page walk is atomic (cost =
         # 2 × cards), so without this a small token budget would defer
-        # it forever.  Computed as a map-side min-struct aggregate +
-        # broadcast join, NOT a global per-host window (that would
+        # it forever.  The per-host first-row keys ride the demand
+        # aggregate the caller already collected (``first_rows``), so
+        # this is a broadcast join of driver rows, NOT a second
+        # aggregate job (and NOT a global per-host window, which would
         # un-do the salting and sort every over-budget host's rows).
-        first = df.groupBy("host").agg(F.min(F.struct(*order)).alias("_fk"))
-        df = df.join(F.broadcast(first), "host") \
-            .withColumn("_is_first",
-                        F.struct(*order) == F.col("_fk")).drop("_fk")
+        fdf = self.spark.createDataFrame(
+            first_rows,
+            "host string, _f_pn long, _f_kr int, _f_sid long, _f_ci long, _f_url string")
+        df = df.join(F.broadcast(fdf), "host") \
+            .withColumn(
+                "_is_first",
+                (F.col("page_number") == F.col("_f_pn"))
+                & (F.col("_krank") == F.col("_f_kr"))
+                & (F.col("seed_id") == F.col("_f_sid"))
+                & (F.col("card_index") == F.col("_f_ci"))
+                & (F.col("url") == F.col("_f_url"))) \
+            .drop("_f_pn", "_f_kr", "_f_sid", "_f_ci", "_f_url")
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64("url", "seed_id"), F.lit(self.salt_buckets))
         )
@@ -683,6 +708,7 @@ class CrawlEngine:
 
     def run(self, max_waves: int = 10_000) -> DataFrame:
         if self.store.last_wave() < 0:
+            self._seen_rows = 0  # fresh store: exact count is trackable
             self.store.commit_wave(0, appends={"frontier": self._initial_frontier()})
         self._load_state()
         wave = self.store.last_wave() + 1
@@ -852,6 +878,16 @@ class CrawlEngine:
             self.dedup_strategy == "auto"
             and (n_seeds >= dp or n_selected <= 256 * dp)
         )
+        # card count + mean price observed DURING the spool write (no
+        # separate aggregate job) — consumed by the cold-start adopt
+        # path, where the spool's card partition IS the accepted set
+        obs_spool = Observation(f"spool-w{wave}")
+        is_card_obs = F.col("row_type") == "card"
+        spool_metrics = (
+            F.count(F.when(is_card_obs, 1)).alias("n_cards"),
+            F.avg(F.when(is_card_obs,
+                         F.coalesce("price", "price_per_month"))).alias("avg_price"),
+        )
         if map_only:
             par_k = max(1, min(4 * dp, n_seeds))
             raw = (
@@ -864,6 +900,7 @@ class CrawlEngine:
             )
             (
                 columnar.widen(raw, self._seed_dim())
+                .observe(obs_spool, *spool_metrics)
                 .write.option("parquet.enable.dictionary", "false")
                 .partitionBy("row_type").mode("overwrite").parquet(spool)
             )
@@ -894,6 +931,7 @@ class CrawlEngine:
                 parsed.groupBy(gkey.alias("_g"))
                 .agg(F.min_by(payload, F.struct("page_number", "card_index")).alias("_f"))
                 .select("_f.*")
+                .observe(obs_spool, *spool_metrics)
                 .write.option("parquet.enable.dictionary", "false")
                 .partitionBy("row_type").mode("overwrite").parquet(spool)
             )
@@ -1087,7 +1125,10 @@ class CrawlEngine:
                 # offers append — zero further shuffles or writes
                 acc_adopt_dir = os.path.join(spool, "row_type=card")
                 accepted = new_cards
-                n_accepted, avg_price = self._accepted_stats(accepted)
+                row = obs_spool.get  # observed during the spool write
+                n_accepted = int(row["n_cards"])
+                avg_price = (None if row["avg_price"] is None
+                             else float(row["avg_price"]))
             else:
                 staged = self._apply_stop_filter(
                     self.store.read("staged").unionByName(new_cards)
@@ -1111,13 +1152,22 @@ class CrawlEngine:
                 # when staged leftovers from earlier waves can collide
                 in_batch = bool(self._staged_nonempty) or bool(min_pending)
                 acc_spool = os.path.join(self.store.root, "scratch", f"accepted-w{wave:05d}")
+                # count + mean price observed DURING the spool write —
+                # zero extra job (vs a separate aggregate scan; at 5-6
+                # waves/run the saved job is ~0.3-0.5 s of serial
+                # driver time per wave)
+                obs = Observation(f"acc-w{wave}")
                 self._dedup(finalize, approx_rows=n_cards, in_batch=in_batch,
                             detail_ids=extra_ids) \
                     .withColumn("wave", F.lit(wave).cast("long")) \
                     .select(*[f.name for f in model.STAGED_SCHEMA.fields]) \
+                    .observe(obs, F.count(F.lit(1)).alias("n"),
+                             F.avg(F.coalesce("price", "price_per_month")).alias("avg_price")) \
                     .write.mode("overwrite").parquet(acc_spool)
                 accepted = self.spark.read.schema(model.STAGED_SCHEMA).parquet(acc_spool)
-                n_accepted, avg_price = self._accepted_stats(accepted)
+                row = obs.get
+                n_accepted = int(row["n"])
+                avg_price = None if row["avg_price"] is None else float(row["avg_price"])
             self._tick("finalize_dedup")
 
         # --- split accepted: emit now vs build page-coupled detail groups
@@ -1311,8 +1361,11 @@ class CrawlEngine:
             # the Bloom sidecar only exists to pre-filter FUTURE waves'
             # dedup; on the final wave (empty frontier) nothing will
             # ever read it — don't build the index nobody consults
-            replaces["bloom"] = self._update_bloom(appends["seen"])
+            replaces["bloom"] = self._update_bloom(
+                appends["seen"], n_keys=n_accepted + n_detail_ok)
             self._tick("bloom_update")
+        if "seen" in appends and self._seen_rows is not None:
+            self._seen_rows += n_accepted + n_detail_ok
 
         self.store.commit_wave(wave, appends=appends, replaces=replaces, adopt=adopt)
         self._tick("commit")
@@ -1332,18 +1385,11 @@ class CrawlEngine:
         shutil.rmtree(os.path.join(self.store.root, "scratch"), ignore_errors=True)
         return True
 
-    def _accepted_stats(self, accepted: DataFrame) -> tuple[int, float | None]:
-        """Count + true-mean price of the wave's accepted cards in ONE
-        tiny aggregate (the count was already paid; the avg rides it).
-        Fills metrics.avg_price (T8/A3 engine side) — the TRUE mean, vs
-        the reference's over-weighted recurrence which the simulator
-        keeps for progress-log parity (base_list.py:43-47; deviation
-        documented in SURVEY.md quirks appendix)."""
-        row = accepted.agg(
-            F.count("*").alias("n"),
-            F.avg(F.coalesce("price", "price_per_month")).alias("avg_price"),
-        ).first()
-        return int(row["n"]), (None if row["avg_price"] is None else float(row["avg_price"]))
+    # accepted-card count + TRUE-mean price (T8/A3 engine side — vs the
+    # reference's over-weighted recurrence, base_list.py:43-47, which the
+    # simulator keeps for progress-log parity; deviation documented in
+    # SURVEY.md quirks appendix) are OBSERVED during the spool writes
+    # (pyspark Observation), so the wave pays no separate aggregate job.
 
     def progress(self) -> DataFrame:
         """A5: per-wave progress ratio — cumulative offers emitted over
@@ -1440,7 +1486,11 @@ class CrawlEngine:
                 .unionByName(detail_passthrough)
 
         blobs = self._bloom or {}
-        if blobs:
+        # small seen table: the exact anti-join alone beats launching
+        # the prefilter's Python workers (~0.3-0.5 s/wave); the Bloom
+        # sidecar still gets MAINTAINED above so big later waves (and
+        # resumes, where the count is unknown) keep the prefilter
+        if blobs and (self._seen_rows is None or self._seen_rows > 50_000):
             blob_bytes = {b: f.to_bytes() for b, f in blobs.items()}
             n_buckets = self.bloom_buckets
 
@@ -1485,14 +1535,37 @@ class CrawlEngine:
             ).drop("_dk")
         return batch_first.drop("_dk")
 
-    def _update_bloom(self, seen_new: DataFrame) -> tuple:
+    def _update_bloom(self, seen_new: DataFrame, n_keys: int | None = None) -> tuple:
         """Merge this wave's accepted keys into fixed-size per-bucket
         Bloom blobs.  Partial filters are built per bucket with
         applyInPandas (UDAF-shaped), then OR-merged driver-side —
-        blobs are small and fixed-size by construction."""
+        blobs are small and fixed-size by construction.
+
+        Small waves (``n_keys`` known ≤ 20k — politeness-bounded
+        crawls) skip the applyInPandas shuffle + Python-worker launch
+        and build the buckets driver-side from a 2-column collect:
+        ~0.8 s/wave saved on wave-bound runs.  Bucket hashing is the
+        SAME ``pd.util.hash_array`` expression the query-side prefilter
+        uses — a mismatch would send lookups to the wrong bucket and
+        turn false-positives into false NEGATIVES."""
         import numpy as np
 
         n_buckets = self.bloom_buckets
+        if n_keys is not None and n_keys <= 20_000:
+            rows = seen_new.select("seed_id", "deal_url_id").collect()
+            keys = np.array([f"{r['seed_id']}|{r['deal_url_id']}" for r in rows],
+                            dtype=object)
+            merged = self._bloom
+            if len(keys):
+                bucket = pd.util.hash_array(
+                    keys, hash_key="0123456789abcdef") % np.uint64(n_buckets)
+                for b in np.unique(bucket):
+                    bf = merged.get(int(b))
+                    if bf is None:
+                        bf = merged[int(b)] = BloomFilter(_BLOOM_BITS)
+                    bf.add(keys[bucket == b])
+            return ([(b, f.to_bytes()) for b, f in sorted(merged.items())],
+                    model.BLOOM_SCHEMA)
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             bf = BloomFilter(_BLOOM_BITS)
