@@ -483,6 +483,20 @@ class CrawlEngine:
             j = (need_detail
                  .withColumn("_k", F.coalesce(F.col("deal_url_id"), F.lit("-1")))
                  .withColumn("_du", durl))
+            if emitted_keys_df is not None:
+                # a card whose key's detail EMITTED THIS WAVE (another
+                # page's group walk, same wave as this card's list
+                # fetch) is already-seen to the reference's sequential
+                # walk (flat/list.py:57) — drop it before ranking, or
+                # it would find the ledger empty (emitted keys resolve
+                # out) and win a duplicate fetch.  The STORE's seen set
+                # was applied upstream (_dedup's anti-join); this
+                # closes the same-wave window.  Watermarked accept
+                # order guarantees the emission precedes this card in
+                # crawl order, so the drop is always first-wins-safe.
+                j = j.join(
+                    F.broadcast(emitted_keys_df.withColumnRenamed("key", "_k")),
+                    ["seed_id", "_k"], "left_anti")
             if ks_live is not None:
                 j = j.join(
                     F.broadcast(ks_live.select(

@@ -109,3 +109,24 @@ def test_newobject_default_config_bitmatch(spark, tmp_run_dir):
     budget."""
     seeds = [CrawlSeed(1, "Казань", "newobject")]
     _bit_match(spark, tmp_run_dir, seeds, W.DEFAULT_CONFIG, host_tokens=4)
+
+
+def test_same_wave_emission_dup_not_refetched(spark, tmp_run_dir):
+    """Fuzz-found (scripts/fuzz_crawl.py seed 0 trial 8): a dup card
+    whose list page lands in the SAME WAVE as the emission of its key
+    (another page's group walk) must be dropped like any seen dup —
+    the key has already left the keystate ledger by then, so without
+    the same-wave emitted-keys anti-join it ranked 1 with null state
+    and won a duplicate fetch (17 rows vs the reference's 16).  Here
+    page 2 is robots-blocked, page 4's list fetch 429s into a later
+    wave, and key 750862061 (page 3 card 4, emitted before page 3
+    dies) recurs as page 4 card 4."""
+    cfg = dataclasses.replace(
+        W.DEFAULT_CONFIG, universe_base=40, universe_span=80,
+        fail_500_mod=11, fail_429_mod=2,
+        robots_disallow=("/cat.php?engine_version=2&p=2&",))
+    seeds = [CrawlSeed(1, "Москва", "suburban", "rent_long",
+                       suburban_type="townhouse", with_extra_data=True,
+                       additional_settings={"end_page": 5})]
+    sim, _ = _bit_match(spark, tmp_run_dir, seeds, cfg, host_tokens=256)
+    assert sim.failed_pages == [(1, 1), (1, 3)]
