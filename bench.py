@@ -241,6 +241,13 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
 
         s8 = seq(8, "0-7")
         s32 = seq(32, "0-31")
+        # like-for-like platform ceiling: the same sequential 8-vs-32
+        # levels run as pure memcpy (per-core DRAM delivery drops as
+        # more cores drive one controller; 4N real executors bring 4N
+        # controllers) — read the engine's 8→32 number against this
+        from cianparser_spark.bench_control import seq_mem_control
+
+        sec_mem = seq_mem_control() if pin else {}
         secondary = {
             "pages_per_sec_8_seq": s8["pages_per_sec"],
             "pages_per_sec_32": s32["pages_per_sec"],
@@ -248,8 +255,11 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
             "reps_32": s32.get("rep_pages_per_sec"),
             "efficiency_8_to_32": round(
                 s32["pages_per_sec"] / (4 * s8["pages_per_sec"]), 3),
+            "platform_mem_seq_8_32": sec_mem,
             "note": ("sequential in-JVM rep means (32 needs all cores, no "
-                     "disjoint-concurrent pairing possible); see BENCH/BASELINE.md"),
+                     "disjoint-concurrent pairing possible); read against "
+                     "platform_mem_seq_8_32, the same levels as pure memcpy; "
+                     "see BENCH/BASELINE.md"),
         }
 
     # platform context: what a zero-memory embarrassingly parallel spin
@@ -326,6 +336,8 @@ def main() -> None:
             "scaling_efficiency_pairs": crawl["scaling_efficiency_pairs"],
             "pages_per_sec_32": sec.get("pages_per_sec_32"),
             "efficiency_8_to_32": sec.get("efficiency_8_to_32"),
+            "mem_eff_8_to_32": (sec.get("platform_mem_seq_8_32") or {}
+                                ).get("mem_scaling_efficiency"),
             "detail": detail_rel,
         }
     result = {

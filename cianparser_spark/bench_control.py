@@ -124,5 +124,50 @@ def mem_control(n_cpus: tuple = (0, 1), n4_cpus: tuple = (8, 9, 10, 11, 12, 13, 
     }
 
 
+def _mem_level(cpus: list, dur: float) -> float:
+    """Aggregate MB/s of one barrier-started memcpy level."""
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(len(cpus))
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_memspin, args=(c, dur, barrier, q))
+             for c in cpus]
+    for p in procs:
+        p.start()
+    rates = dict(q.get() for _ in cpus)
+    for p in procs:
+        p.join()
+    return sum(rates.values())
+
+
+def seq_mem_control(n: int = 8, n4: int = 32, reps: int = 2,
+                    dur: float = _MEM_DUR) -> dict:
+    """8→32 DRAM-delivery control under the SAME methodology as the
+    engine's 8→32 secondary: both levels run SEQUENTIALLY (a 32-core
+    level cannot be paired disjoint-concurrently on a 32-core box),
+    interleaved n/n4/n/n4 with best-of per level so both sample the
+    box's best window.  This is the like-for-like ceiling for the
+    sequential 8→32 engine number: per-core DRAM delivery drops as
+    more cores drive one memory controller, and the N-core level runs
+    with 3N cores idle (boosted per-core delivery) — both effects
+    vanish on a real cluster where 4N executors bring 4N memory
+    controllers."""
+    lo: list[float] = []
+    hi: list[float] = []
+    for _ in range(reps):
+        lo.append(_mem_level(list(range(n)), dur))
+        hi.append(_mem_level(list(range(n4)), dur))
+    best_lo, best_hi = max(lo), max(hi)
+    return {
+        "workload": (f"sequential interleaved {_MEM_MB} MB memcpy levels, "
+                     f"{n} vs {n4} pinned cores, best-of-{reps}"),
+        "mb_per_s_n": round(best_lo, 0),
+        "mb_per_s_4n": round(best_hi, 0),
+        "mem_scaling_efficiency": round(best_hi / (best_lo * n4 / n), 3),
+        "reps_mb_per_s": {str(n): [round(v) for v in lo],
+                          str(n4): [round(v) for v in hi]},
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps({"alu": control(), "mem": mem_control()}))
+    print(json.dumps({"alu": control(), "mem": mem_control(),
+                      "seq_mem_8_32": seq_mem_control()}))
