@@ -65,6 +65,9 @@ def draw_config(rng: random.Random) -> W.WebConfig:
         kw["proxies"] = proxies
         kw["proxy_unavailable"] = frozenset(
             p for p in proxies if rng.random() < 0.4)
+        kw["proxy_captcha"] = frozenset(
+            p for p in proxies if p not in kw["proxy_unavailable"]
+            and rng.random() < 0.25)
     return dataclasses.replace(W.DEFAULT_CONFIG, **kw)
 
 
@@ -97,11 +100,20 @@ def draw_seeds(rng: random.Random, trial: int) -> list[CrawlSeed]:
     return seeds
 
 
-def run_trial(spark, rng: random.Random, trial: int) -> dict:
+def run_trial(spark, rng: random.Random, trial: int,
+              resume: bool = False) -> dict:
     cfg = draw_config(rng)
     seeds = draw_seeds(rng, trial)
     host_tokens = rng.choice([3, 8, 24, 80, 256])
     respect_robots = rng.random() < 0.85
+    if rng.random() < 0.2:
+        # poison one concrete list page with a captcha wall (T4: the
+        # circuit breaker must stop the WHOLE run mid-crawl, exactly
+        # where the reference's sequential loop would)
+        s = rng.choice(seeds)
+        pn = rng.randint(1, min(5, s.pages()[1]))
+        cfg = dataclasses.replace(
+            cfg, captcha_pages=frozenset({s.url_template().format(pn)}))
 
     sim = ReferenceSimulator(cfg, respect_robots=respect_robots).run(seeds)
 
@@ -114,12 +126,30 @@ def run_trial(spark, rng: random.Random, trial: int) -> dict:
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
 
-    ok = rows == sim.rows
+    resume_ok = None
+    if resume:
+        # kill after a random wave count, resume on the same store —
+        # must reproduce the uninterrupted run (checkpoint lineage)
+        cut = rng.randint(1, 6)
+        rdir = tempfile.mkdtemp(prefix=f"fuzzr{trial}_")
+        try:
+            CrawlEngine(spark, rdir, seeds, cfg, host_tokens=host_tokens,
+                        respect_robots=respect_robots).run(max_waves=cut)
+            r2 = CrawlEngine(spark, rdir, seeds, cfg,
+                             host_tokens=host_tokens,
+                             respect_robots=respect_robots).run()
+            resume_ok = compat.to_reference_rows(r2, seeds) == sim.rows
+        finally:
+            shutil.rmtree(rdir, ignore_errors=True)
+
+    ok = rows == sim.rows and resume_ok is not False
     info = {
         "trial": trial,
         "ok": ok,
+        "resume_ok": resume_ok,
         "rows": len(rows),
         "sim_rows": len(sim.rows),
+        "captcha_stopped": sim.captcha_stopped,
         "failed_pages": len(sim.failed_pages),
         "detail_fetches": sim.detail_pages_fetched,
         "host_tokens": host_tokens,
@@ -147,6 +177,9 @@ def main() -> int:
                     help="re-run a single trial index")
     ap.add_argument("--start", type=int, default=0,
                     help="first trial index to run")
+    ap.add_argument("--resume", action="store_true",
+                    help="also cut each trial at a random wave and "
+                         "verify the resumed run reproduces the full one")
     ap.add_argument("--cpus", type=int, default=4)
     args = ap.parse_args()
 
@@ -158,7 +191,7 @@ def main() -> int:
         rng = random.Random((args.seed << 20) | trial)
         if args.only is not None and trial != args.only:
             continue
-        info = run_trial(spark, rng, trial)
+        info = run_trial(spark, rng, trial, resume=args.resume)
         print(json.dumps(info, ensure_ascii=False), flush=True)
         if not info["ok"]:
             failures += 1
