@@ -1,0 +1,30 @@
+"""CI guard for the randomized fuzz harness (scripts/fuzz_crawl.py):
+two pinned (seed, trial) points run inside the suite so the harness's
+config drawing, engine-vs-simulator comparison, and resume-cut check
+can't bitrot between full sweeps.  Full sweeps (24+ trials/seed) run
+out-of-band; failures reproduce with --seed S --only T."""
+
+import importlib.util
+import pathlib
+import random
+
+_SPEC = importlib.util.spec_from_file_location(
+    "fuzz_crawl",
+    pathlib.Path(__file__).resolve().parents[1] / "scripts" / "fuzz_crawl.py")
+fuzz = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(fuzz)
+
+
+def test_fuzz_trial_empty_universe(spark):
+    """seed 0 trial 1: dead page 1 + noheader mods empty the crawl —
+    the harness must agree with the simulator on zero rows too."""
+    info = fuzz.run_trial(spark, random.Random((0 << 20) | 1), 1)
+    assert info["ok"] and info["rows"] == 0
+
+
+def test_fuzz_trial_detail_resume(spark):
+    """seed 2 trial 1: flat+detail crawl under faults, plus the
+    random-wave-cut resume check."""
+    info = fuzz.run_trial(spark, random.Random((2 << 20) | 1), 1,
+                          resume=True)
+    assert info["ok"] and info["resume_ok"]
