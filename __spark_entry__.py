@@ -512,6 +512,36 @@ def q_crawl_detail_faults(spark, sf_dir):
     return eng.offers().select(*truth.CRAWL_DETAIL_TRUTH_COLS)
 
 
+def q_crawl_resume(spark, sf_dir):
+    """North-rule resumability, driver-visible: the fault+detail crawl
+    is KILLED after its second committed wave (``max_waves=2`` — list
+    fetches + the first detail-group walks are committed; paused walks,
+    keystate ledger, retry-burn counters, Bloom sidecar and 429 debt
+    all live only in the snapshot), then a FRESH CrawlEngine on the
+    same run_dir resumes from the checkpoint (``_load_state`` rebuilds
+    every driver cache from committed tables) and runs to completion.
+    The merged offers must byte-match the uninterrupted sequential
+    reference loop — the same truth parquet as ``crawl_detail_faults``,
+    so a green row certifies cut+resume ≡ one continuous crawl."""
+    from cianparser_spark import truth
+    from cianparser_spark.engine.crawler import CrawlEngine
+
+    seed, cfg = truth.detail_faults_seed_and_cfg()
+    key = (id(spark), "resume")
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        import tempfile
+
+        run_dir = tempfile.mkdtemp(prefix="resume_")
+        cut = CrawlEngine(spark, run_dir, [seed], cfg, host_tokens=256)
+        cut.run(max_waves=2)
+        assert cut.store.last_wave() == 2  # genuinely mid-crawl
+        eng = CrawlEngine(spark, run_dir, [seed], cfg, host_tokens=256)
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return eng.offers().select(*truth.CRAWL_DETAIL_TRUTH_COLS)
+
+
 def q_crawl_suburban(spark, sf_dir):
     """The SUBURBAN entry point (reference suburban/list.py:19-83) with
     detail enrichment (D2: land/gas/water/sewage/bathroom labels,
@@ -782,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": q_crawl_flagship,
         "crawl_detail": q_crawl_detail,
         "crawl_detail_faults": q_crawl_detail_faults,
+        "crawl_resume": q_crawl_resume,
         "crawl_suburban": q_crawl_suburban,
         "crawl_newobject": q_crawl_newobject,
         "crawl_faults": q_crawl_faults,
@@ -1158,6 +1189,10 @@ def oracle_sql() -> dict[str, str]:
         # detail-budget exhaustion + cross-page key resurrection with
         # session-global attempt counters, vs the simulator's dump
         "crawl_detail_faults": f"""
+            SELECT {', '.join(truth.CRAWL_DETAIL_TRUTH_COLS)}
+            FROM read_parquet('{detail_faults_path}')
+        """,
+        "crawl_resume": f"""
             SELECT {', '.join(truth.CRAWL_DETAIL_TRUTH_COLS)}
             FROM read_parquet('{detail_faults_path}')
         """,

@@ -547,18 +547,47 @@ def _build_plan() -> tuple[list, list, list, list]:
     return c1, c2, c3, cols
 
 
-def widen(raw: DataFrame, dim: DataFrame) -> DataFrame:
+def seed_dim_cols(runtimes: dict[int, dict], max_literal: int = 256) -> dict | None:
+    """The per-seed constants (P3) as literal ``create_map`` lookup
+    Columns keyed by seed_id, or None when the seed set exceeds the
+    plan-literal threshold.  A broadcast hash join of the O(seeds) dim
+    is the right plan at 10^6-seed scale, but its broadcast-exchange
+    build is a separate ~0.25 s job EVERY wave — for wave-bound crawls
+    over a bounded seed list the literal map costs zero jobs."""
+    if len(runtimes) > max_literal:
+        return None
+    out = {}
+    for name in ("kind", "deal", "location", "suburban_type"):
+        pairs = []
+        for sid, rt in runtimes.items():
+            if rt[name] is not None:
+                pairs.extend((F.lit(sid), F.lit(rt[name])))
+        out[name] = (
+            F.element_at(F.create_map(*pairs), F.col("seed_id")).cast("string")
+            if pairs else F.lit(None).cast("string")
+        )
+    return out
+
+
+def widen(raw: DataFrame, dim) -> DataFrame:
     """RAW narrow stage rows → the wide STAGE_SCHEMA: JVM card split +
     explode (split_cards), then layered native projections (see module
     docstring for why layers).  The select lists come from the
     process-wide plan cache; per-wave driver cost is a handful of
-    select() calls and one broadcast-join node."""
+    select() calls and one broadcast-join node (or zero when ``dim``
+    is a ``seed_dim_cols`` literal dict)."""
     global _PLAN
     if _PLAN is None:
         _PLAN = _build_plan()
     c1, c2, c3, final = _PLAN
+    if isinstance(dim, dict):
+        src = raw
+        for name, col in dim.items():
+            src = src.withColumn(name, col)
+    else:
+        src = raw.join(F.broadcast(dim), "seed_id", "left")
     return (
-        split_cards(raw.join(F.broadcast(dim), "seed_id", "left"))
+        split_cards(src)
         .select("*", *c1)
         .select("*", *c2)
         .select("*", *c3)

@@ -103,7 +103,7 @@ class CrawlEngine:
                 prefs |= set(robots.parse_robots(webgen.robots_txt(h, web_cfg)))
             self.robots_prefixes = tuple(sorted(prefs))
         self.store = WaveStore(spark, run_dir, model.TABLE_SCHEMAS, model.REPLACE_TABLES)
-        self._dim: DataFrame | None = None
+        self._dim = None  # literal-cols dict (bounded seeds) | dim DataFrame
         # driver-cached state, rebuilt from the snapshot on resume
         self._stopped: dict[int, int] | None = None
         self._debt: dict[str, int] = {}
@@ -136,9 +136,12 @@ class CrawlEngine:
         # None = unknown (resumed store) → always take the Bloom path.
         self._seen_rows: int | None = None
 
-    def _seed_dim(self) -> DataFrame:
+    def _seed_dim(self):
+        """Literal per-seed constant columns for bounded seed lists
+        (zero jobs/wave), a broadcastable dim DataFrame otherwise."""
         if self._dim is None:
-            self._dim = columnar.seed_dim(self.spark, self.runtimes)
+            self._dim = (columnar.seed_dim_cols(self.runtimes)
+                         or columnar.seed_dim(self.spark, self.runtimes))
         return self._dim
 
     def _tick(self, label: str) -> None:
@@ -259,19 +262,24 @@ class CrawlEngine:
     # ---------------------------------------------------------- politeness
 
     def _select_budget(
-        self, pending: DataFrame, debt: dict[str, int]
-    ) -> tuple[DataFrame, bool, int | None]:
+        self, pending: DataFrame, debt: dict[str, int],
+        blocked: "F.Column | None" = None,
+    ) -> tuple[DataFrame, bool, int | None, int]:
         """Two-phase salted per-host token selection; adds bool
-        ``_selected``.  Returns (marked, fully_selected, n_rows) where
-        n_rows is the exact pending-row count when the fast path
-        already aggregated it (None otherwise).  Deterministic
-        priority: (page_number, detail-before-next-list, seed, card, url).
+        ``_selected``.  Returns (marked, fully_selected, n_rows,
+        n_blocked) where n_rows is the exact pending-row count when the
+        fast path already aggregated it (None otherwise) and n_blocked
+        counts robots-blocked rows (excluded from marked and from every
+        token budget).  Deterministic priority: (page_number,
+        detail-before-next-list, seed, card, url).
 
         Fast path: per-host token demand is a cheap aggregate
         (O(hosts) rows to the driver); every host whose whole demand
         fits its budget selects ALL its rows with no window at all —
         the serial exact-rank window only ever runs over the rows of
-        genuinely over-budget hosts."""
+        genuinely over-budget hosts.  The robots count rides the SAME
+        aggregate (``blocked`` is a pure expression), so the gate costs
+        zero extra jobs."""
         # a 'detail' frontier row is one PAGE's detail group; its
         # card_index column carries the group's fetchable-card count,
         # so the group costs what its sequential card walk will fetch
@@ -281,15 +289,22 @@ class CrawlEngine:
         ).otherwise(F.lit(1))
         kind_rank = F.when(F.col("kind") == "detail", F.lit(0)).otherwise(F.lit(1))
         df = pending.withColumn("_cost", cost).withColumn("_krank", kind_rank)
+        alive = F.lit(True) if blocked is None else ~blocked
 
         # ONE aggregate collects demand AND each host's first-priority
-        # row key (the min-one progress guarantee's lookup) — a second
-        # aggregate + broadcast build would be an extra job per
-        # over-budget wave
+        # row key (the min-one progress guarantee's lookup) AND the
+        # robots-blocked count — a second aggregate + broadcast build
+        # would be an extra job per over-budget wave
         order_cols = ("page_number", "_krank", "seed_id", "card_index", "url")
         demand = df.groupBy("host").agg(
-            F.sum("_cost").alias("_dem"), F.count("*").alias("_n"),
-            F.min(F.struct(*[F.col(c) for c in order_cols])).alias("_fk")).collect()
+            F.sum(F.when(alive, F.col("_cost"))).alias("_dem"),
+            F.count(F.when(alive, F.lit(1))).alias("_n"),
+            F.min(F.when(alive, F.struct(*[F.col(c) for c in order_cols]))).alias("_fk"),
+            F.count(F.when(~alive, F.lit(1))).alias("_nblk")).collect()
+        n_blocked = sum(int(r["_nblk"]) for r in demand)
+        if n_blocked:
+            df = df.filter(alive)
+        demand = [r for r in demand if int(r["_n"])]
         over = [
             r["host"] for r in demand
             if int(r["_dem"]) > max(0, self.host_tokens - debt.get(r["host"], 0))
@@ -300,7 +315,7 @@ class CrawlEngine:
             # was a full extra job on the wave's critical path)
             n_rows = sum(int(r["_n"]) for r in demand)
             return (df.withColumn("_selected", F.lit(True)).drop("_cost", "_krank"),
-                    True, n_rows)
+                    True, n_rows, n_blocked)
         over_set = set(over)
         first_rows = [(r["host"], *tuple(r["_fk"])) for r in demand
                       if r["host"] in over_set]
@@ -310,8 +325,9 @@ class CrawlEngine:
             ranked = self._select_budget_windows(
                 df.filter(F.col("host").isin(over)), debt, first_rows
             )
-            return in_budget.unionByName(ranked), False, None
-        return self._select_budget_windows(df, debt, first_rows), False, None
+            return in_budget.unionByName(ranked), False, None, n_blocked
+        return (self._select_budget_windows(df, debt, first_rows),
+                False, None, n_blocked)
 
     def _select_budget_windows(self, df: DataFrame, debt: dict[str, int],
                                first_rows: list[tuple]) -> DataFrame:
@@ -336,18 +352,25 @@ class CrawlEngine:
         # this is a broadcast join of driver rows, NOT a second
         # aggregate job (and NOT a global per-host window, which would
         # un-do the salting and sort every over-budget host's rows).
-        fdf = self.spark.createDataFrame(
-            first_rows,
-            "host string, _f_pn long, _f_kr int, _f_sid long, _f_ci long, _f_url string")
-        df = df.join(F.broadcast(fdf), "host") \
-            .withColumn(
-                "_is_first",
-                (F.col("page_number") == F.col("_f_pn"))
-                & (F.col("_krank") == F.col("_f_kr"))
-                & (F.col("seed_id") == F.col("_f_sid"))
-                & (F.col("card_index") == F.col("_f_ci"))
-                & (F.col("url") == F.col("_f_url"))) \
-            .drop("_f_pn", "_f_kr", "_f_sid", "_f_ci", "_f_url")
+        row_key = F.concat_ws(
+            "\x1f", F.col("host"), F.col("page_number"), F.col("_krank"),
+            F.col("seed_id"), F.col("card_index"), F.col("url"))
+        if len(first_rows) <= self._LIT_LOOKUP_MAX:
+            first_keys = ["\x1f".join(str(x) for x in r) for r in first_rows]
+            df = df.withColumn("_is_first", row_key.isin(first_keys))
+        else:  # many over-budget hosts: broadcast-join fallback
+            fdf = self.spark.createDataFrame(
+                first_rows,
+                "host string, _f_pn long, _f_kr int, _f_sid long, _f_ci long, _f_url string")
+            df = df.join(F.broadcast(fdf), "host") \
+                .withColumn(
+                    "_is_first",
+                    (F.col("page_number") == F.col("_f_pn"))
+                    & (F.col("_krank") == F.col("_f_kr"))
+                    & (F.col("seed_id") == F.col("_f_sid"))
+                    & (F.col("card_index") == F.col("_f_ci"))
+                    & (F.col("url") == F.col("_f_url"))) \
+                .drop("_f_pn", "_f_kr", "_f_sid", "_f_ci", "_f_url")
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64("url", "seed_id"), F.lit(self.salt_buckets))
         )
@@ -368,12 +391,11 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- robots
 
-    def _robots_gate(self, pending: DataFrame, wave: int):
-        """Split the frontier on robots.txt Disallow rules — a native
-        ``startswith`` prune over path+query, no fetch tokens consumed.
-
-        Returns (allowed_frontier, dead_rows|None, offer_rows|None —
-        always None, kept for call-site shape): blocked LIST pages
+    def _robots_blocked_expr(self):
+        """robots.txt Disallow rules as a pure boolean Column over the
+        frontier — a native ``startswith`` prune over path+query, no
+        fetch tokens consumed, no probe job (the blocked COUNT rides
+        ``_select_budget``'s demand aggregate).  Blocked LIST pages
         dead-letter as kind='robots-list'.  Detail-group rows pass
         through untouched — a group's url is its list page's, and each
         card's detail URL is robots-checked inside the group walk
@@ -381,7 +403,7 @@ class CrawlEngine:
         reference's empty-page enrichment at its exact walk position
         (simulator.py:218-226)."""
         if not self.robots_prefixes:
-            return pending, None, None
+            return None
         q = F.parse_url(F.col("url"), F.lit("QUERY"))
         pq = F.concat(
             F.parse_url(F.col("url"), F.lit("PATH")),
@@ -391,19 +413,25 @@ class CrawlEngine:
         for p in self.robots_prefixes:
             c = pq.startswith(F.lit(p))
             cond = c if cond is None else cond | c
-        base = pending.withColumn("_blocked", (F.col("kind") == "list") & cond)
-        allowed = base.filter(~F.col("_blocked")).drop("_blocked")
-        blocked = base.filter(F.col("_blocked")).drop("_blocked")
-        dead = None
-        if blocked.limit(1).count() > 0:
-            dead = blocked.select(
-                "url", F.lit("robots-list").alias("kind"),
-                "seed_id", "page_number", "attempt",
-                F.lit(wave).cast("long").alias("wave"),
-            )
-        return allowed, dead, None
+        return (F.col("kind") == "list") & cond
 
     # ----------------------------------------- page-coupled detail ledger
+
+    def _seed_template_cols(self):
+        """(prefix, suffix, host) literal-map Columns keyed by seed_id,
+        or None when the seed set exceeds the plan-literal threshold
+        (caller broadcast-joins ``_seed_frontier_df`` instead)."""
+        if len(self.runtimes) > self._LIT_LOOKUP_MAX:
+            return None
+        pre, suf, hst = {}, {}, {}
+        for sid, rt in self.runtimes.items():
+            p, s = rt["template"].split("{}", 1)
+            pre[sid], suf[sid] = p, s
+            hst[sid] = rt["template"].split("/")[2]
+        key = F.col("seed_id")
+        return (self._lit_map(pre, key, "string"),
+                self._lit_map(suf, key, "string"),
+                self._lit_map(hst, key, "string"))
 
     def _seed_frontier_df(self) -> DataFrame:
         if self._seeds_df is None:
@@ -519,7 +547,13 @@ class CrawlEngine:
             for (s, _pn), st in (self._paused or {}).items():
                 parked.update((s, c["k"]) for c in st["rest"] if c.get("d"))
             blocked = sorted(parked)
-            if blocked:
+            if blocked and len(blocked) <= self._LIT_LOOKUP_MAX:
+                bkeys = [f"{s}\x1f{k}" for s, k in blocked]
+                j = j.withColumn(
+                    "_blk",
+                    F.when(F.concat_ws("\x1f", F.col("seed_id"), F.col("_k"))
+                           .isin(bkeys), F.lit(True)))
+            elif blocked:  # huge parked set: broadcast-join fallback
                 bdf = self.spark.createDataFrame(
                     list(blocked), "seed_id long, _k string") \
                     .withColumn("_blk", F.lit(True))
@@ -548,14 +582,23 @@ class CrawlEngine:
                         lambda x: x["j"]), ","),
                     F.lit("]")).alias("_cards"),
                 F.sum(F.when(F.col("_win"), 1).otherwise(0)).alias("_nf"))
-            grp = grp.join(F.broadcast(self._seed_frontier_df()), "seed_id")
-            burn_rows = [(sid, pn, b) for (sid, pn), b in self._page_burn.items()]
-            if burn_rows:
+            seed_cols = self._seed_template_cols()
+            if seed_cols is not None:
+                grp = grp.withColumn("prefix", seed_cols[0]) \
+                    .withColumn("suffix", seed_cols[1]) \
+                    .withColumn("host", seed_cols[2])
+            else:  # many-seed fallback: broadcast dim join
+                grp = grp.join(F.broadcast(self._seed_frontier_df()), "seed_id")
+            burn_col = self._lit_map(
+                {f"{sid}|{pn}": b for (sid, pn), b in self._page_burn.items()},
+                F.concat_ws("|", F.col("seed_id"), F.col("page_number")), "long")
+            if burn_col is None:
+                burn_rows = [(sid, pn, b) for (sid, pn), b in self._page_burn.items()]
                 burn_df = self.spark.createDataFrame(
                     burn_rows, "seed_id long, page_number long, _burn long")
                 grp = grp.join(F.broadcast(burn_df), ["seed_id", "page_number"], "left")
             else:
-                grp = grp.withColumn("_burn", F.lit(None).cast("long"))
+                grp = grp.withColumn("_burn", burn_col)
             b = F.coalesce(F.col("_burn"), F.lit(0))
             groups_df = grp.select(
                 F.concat("prefix", F.col("page_number").cast("string"),
@@ -615,7 +658,16 @@ class CrawlEngine:
         emitted: set = set()
         ksmap: dict = {}
         if b_keys:
-            kdf = self.spark.createDataFrame(list(b_keys), "seed_id long, key string")
+            # membership probes for a driver-held key list: filter the
+            # big side on a literal isin instead of broadcasting a
+            # createDataFrame of the keys — one fewer broadcast-build
+            # job each, same rows back (b_keys is bounded by the parked
+            # placeholder count, but keep the join fallback anyway)
+            use_isin = len(b_keys) <= self._LIT_LOOKUP_MAX
+            ckey = F.concat_ws("\x1f", F.col("seed_id"), F.col("key"))
+            lits = [f"{s}\x1f{k}" for s, k in b_keys]
+            kdf = (None if use_isin else self.spark.createDataFrame(
+                list(b_keys), "seed_id long, key string"))
             seen_srcs = []
             if self._seen_nonempty:
                 seen_srcs.append(self.store.read("seen").select(
@@ -626,12 +678,15 @@ class CrawlEngine:
                 s = seen_srcs[0]
                 for p in seen_srcs[1:]:
                     s = s.unionByName(p)
-                emitted = {(int(r["seed_id"]), r["key"]) for r in
-                           kdf.join(s, ["seed_id", "key"], "left_semi").collect()}
+                hits = (s.filter(ckey.isin(lits)).select("seed_id", "key")
+                        if use_isin
+                        else kdf.join(s, ["seed_id", "key"], "left_semi"))
+                emitted = {(int(r["seed_id"]), r["key"]) for r in hits.collect()}
             if self._ks_nonempty:
-                for r in (kdf.join(self.store.read("keystate"),
-                                   ["seed_id", "key"], "inner")
-                          .groupBy("seed_id", "key")
+                ks = self.store.read("keystate")
+                ks = (ks.filter(ckey.isin(lits)) if use_isin
+                      else kdf.join(ks, ["seed_id", "key"], "inner"))
+                for r in (ks.groupBy("seed_id", "key")
                           .agg(F.max_by(F.struct("state", "consumed"), "ver").alias("_s"))
                           .select("seed_id", "key", "_s.state", "_s.consumed")
                           .collect()):
@@ -703,6 +758,29 @@ class CrawlEngine:
         return cont_df, conv_rows
 
     # ------------------------------------------------------------- helpers
+
+    # Small driver-built lookup tables (watermarks, retry-burn counters,
+    # parked keys, per-host first-priority rows) are joined as literal
+    # ``create_map``/``isin`` expressions instead of
+    # createDataFrame+broadcast joins when they fit: every broadcast of
+    # a driver-row table costs a separate broadcast-build job
+    # (~0.25-0.3 s of scheduling on tiny waves) plus a py4j
+    # createDataFrame round trip — at a handful of such joins per wave
+    # that overhead is what caps politeness-wave throughput.  Above the
+    # threshold (the plan-literal blowup limit, NOT a data limit) the
+    # callers keep their broadcast-join fallback, which is the right
+    # physical plan at 10^6-seed scale.
+    _LIT_LOOKUP_MAX = 256
+
+    def _lit_map(self, mapping: dict, key_col, value_type: str):
+        """``mapping`` as a literal map-lookup Column, or None if too
+        large (caller falls back to a broadcast join)."""
+        if len(mapping) > self._LIT_LOOKUP_MAX:
+            return None
+        pairs = [x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))]
+        if not pairs:
+            return F.lit(None).cast(value_type)
+        return F.element_at(F.create_map(*pairs), key_col).cast(value_type)
 
     def _apply_stop_filter(self, df: DataFrame, page_col="page_number") -> DataFrame:
         """Drop rows of stopped seeds at/beyond their captcha page."""
@@ -807,8 +885,16 @@ class CrawlEngine:
         pending = self._apply_stop_filter(
             self.store.read("frontier").filter(F.col("wave") == wave)
         )
-        pending, robots_dead, robots_offers = self._robots_gate(pending, wave)
-        marked, fully_selected, n_fast = self._select_budget(pending, self._debt)
+        blocked_expr = self._robots_blocked_expr()
+        marked, fully_selected, n_fast, n_blocked = self._select_budget(
+            pending, self._debt, blocked=blocked_expr)
+        robots_dead = None
+        if n_blocked:
+            robots_dead = pending.filter(blocked_expr).select(
+                "url", F.lit("robots-list").alias("kind"),
+                "seed_id", "page_number", "attempt",
+                F.lit(wave).cast("long").alias("wave"),
+            )
 
         # --- driver collect #1: selection stats.  When every host fits
         # its budget (the common wave at scale and the whole fast path)
@@ -832,9 +918,6 @@ class CrawlEngine:
         robots_appends: dict[str, DataFrame] = {}
         if robots_dead is not None:
             robots_appends["dead"] = robots_dead
-        if robots_offers is not None:
-            robots_appends["offers"] = robots_offers.select(
-                *model.OFFER_COLS, "seed_id", "page_number", "card_index", "wave")
         if n_selected == 0 and n_deferred == 0:
             if robots_appends:
                 self.store.commit_wave(wave, appends=robots_appends)
@@ -1148,10 +1231,14 @@ class CrawlEngine:
                     self.store.read("staged").unionByName(new_cards)
                 )
                 if min_pending:
-                    wm_df = self.spark.createDataFrame(
-                        [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
-                    )
-                    staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
+                    wm_col = self._lit_map(wm, F.col("seed_id"), "long")
+                    if wm_col is None:  # many-seed fallback: broadcast join
+                        wm_df = self.spark.createDataFrame(
+                            [(sid, w) for sid, w in wm.items()], "seed_id long, wm long"
+                        )
+                        staged = staged.join(F.broadcast(wm_df), "seed_id", "left")
+                    else:
+                        staged = staged.withColumn("wm", wm_col)
                     finalize = staged.filter(F.col("page_number") <= F.col("wm")).drop("wm")
                     leftover_df = staged.filter(F.col("page_number") > F.col("wm")).drop("wm") \
                         .select(*[f.name for f in model.STAGED_SCHEMA.fields])
@@ -1212,8 +1299,6 @@ class CrawlEngine:
 
         offers_parts = []
         seen_parts = []
-        if robots_offers is not None:
-            offers_parts.append(robots_offers)
         need_detail = None
         if n_accepted:
             if extra_ids:
@@ -1251,12 +1336,13 @@ class CrawlEngine:
         if offer_emit_df is not None:
             offers_parts.append(offer_emit_df)
             seen_parts.append(offer_emit_df)
+        seen_df = None
         if seen_parts:
             seen_src = seen_parts[0].select("seed_id", "deal_url_id")
             for p in seen_parts[1:]:
                 seen_src = seen_src.unionByName(p.select("seed_id", "deal_url_id"))
             seen_dk = F.coalesce(F.col("deal_url_id"), F.lit("-1"))
-            appends["seen"] = seen_src.select(
+            seen_df = seen_src.select(
                 seen_dk.alias("deal_url_id"), "seed_id",
                 F.xxhash64(F.concat_ws("|", F.col("seed_id"), seen_dk)).alias("key_hash"),
                 F.lit(wave).cast("long").alias("wave"),
@@ -1280,16 +1366,22 @@ class CrawlEngine:
                 if "dead" in appends else robots_dead
             )
 
-        frontier_next = None
         n_frontier_next = 0
         if frontier_parts:
             frontier_next = frontier_parts[0]
             for p in frontier_parts[1:]:
                 frontier_next = frontier_next.unionByName(p)
-            frontier_next = frontier_next.persist()
-            n_frontier_next = frontier_next.count()
+            # write-once + adopt-by-rename: the row count rides the
+            # write as an Observation, so "count, then write at commit"
+            # (two executions of the same plan, or a persist + an extra
+            # job) collapses into ONE job per wave
+            fr_spool = os.path.join(self.store.root, "scratch", f"frontier-w{wave:05d}")
+            obs_fr = Observation(f"fr-w{wave}")
+            frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")) \
+                .write.mode("overwrite").parquet(fr_spool)
+            n_frontier_next = int(obs_fr.get["n"])
             if n_frontier_next:
-                appends["frontier"] = frontier_next
+                adopt["frontier"] = fr_spool
             self._tick("frontier_count")
         if self._paused and not n_frontier_next:
             # cannot happen: every paused walk blocks on a key whose
@@ -1371,20 +1463,47 @@ class CrawlEngine:
             replaces["stopped"] = (
                 [(k, v) for k, v in sorted(self._stopped.items())], model.STOPPED_SCHEMA
             )
-        if "seen" in appends and n_frontier_next:
-            # the Bloom sidecar only exists to pre-filter FUTURE waves'
-            # dedup; on the final wave (empty frontier) nothing will
-            # ever read it — don't build the index nobody consults
-            replaces["bloom"] = self._update_bloom(
-                appends["seen"], n_keys=n_accepted + n_detail_ok)
-            self._tick("bloom_update")
-        if "seen" in appends and self._seen_rows is not None:
-            self._seen_rows += n_accepted + n_detail_ok
+        n_seen = 0
+        if seen_df is not None:
+            # same write-once + adopt pattern as the frontier; when the
+            # Bloom sidecar will be consulted again (non-final wave)
+            # and the wave is politeness-bounded, the keys ride the
+            # SAME write as a collect_list Observation and the sidecar
+            # merge becomes pure driver work — the separate
+            # bloom-collect job disappears from the wave
+            n_keys = n_accepted + n_detail_ok
+            want_bloom = bool(n_frontier_next)
+            small = n_keys <= 20_000
+            seen_spool = os.path.join(self.store.root, "scratch", f"seen-w{wave:05d}")
+            obs_seen = Observation(f"seen-w{wave}")
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if want_bloom and small:
+                aggs.append(F.collect_list(
+                    F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("keys"))
+            seen_df.observe(obs_seen, *aggs).write.mode("overwrite").parquet(seen_spool)
+            row = obs_seen.get
+            n_seen = int(row["n"])
+            if n_seen:
+                adopt["seen"] = seen_spool
+            if want_bloom and small:
+                # the Bloom sidecar only exists to pre-filter FUTURE
+                # waves' dedup; on the final wave (empty frontier)
+                # nothing will ever read it — don't build the index
+                # nobody consults
+                replaces["bloom"] = self._merge_bloom_keys(list(row["keys"]))
+                self._tick("bloom_update")
+            elif want_bloom and n_seen:
+                replaces["bloom"] = self._update_bloom(
+                    self.spark.read.schema(model.TABLE_SCHEMAS["seen"])
+                    .parquet(seen_spool))
+                self._tick("bloom_update")
+            if self._seen_rows is not None:
+                self._seen_rows += n_seen
 
         self.store.commit_wave(wave, appends=appends, replaces=replaces, adopt=adopt)
         self._tick("commit")
         self._next_pending = n_frontier_next
-        if "seen" in appends:
+        if n_seen:
             self._seen_nonempty = True
         if "keystate" in replaces:
             self._ks_nonempty = True
@@ -1393,8 +1512,6 @@ class CrawlEngine:
             marked.unpersist()
         if leftover_df is not None:
             leftover_df.unpersist()
-        if frontier_next is not None:
-            frontier_next.unpersist()
         # scratch spools are dead once the wave is committed
         shutil.rmtree(os.path.join(self.store.root, "scratch"), ignore_errors=True)
         return True
@@ -1549,6 +1666,27 @@ class CrawlEngine:
             ).drop("_dk")
         return batch_first.drop("_dk")
 
+    def _merge_bloom_keys(self, key_list: list[str]) -> tuple:
+        """Merge already-collected ``seed|deal_url_id`` keys into the
+        driver's Bloom buckets — zero Spark jobs.  The per-wave key
+        list is politeness-bounded; callers feed it from an
+        ``Observation`` riding the seen-table write, so maintaining the
+        sidecar costs no extra job at all on wave-bound crawls."""
+        import numpy as np
+
+        merged = self._bloom
+        if key_list:
+            keys = np.array(key_list, dtype=object)
+            bucket = pd.util.hash_array(
+                keys, hash_key="0123456789abcdef") % np.uint64(self.bloom_buckets)
+            for b in np.unique(bucket):
+                bf = merged.get(int(b))
+                if bf is None:
+                    bf = merged[int(b)] = BloomFilter(_BLOOM_BITS)
+                bf.add(keys[bucket == b])
+        return ([(b, f.to_bytes()) for b, f in sorted(merged.items())],
+                model.BLOOM_SCHEMA)
+
     def _update_bloom(self, seen_new: DataFrame, n_keys: int | None = None) -> tuple:
         """Merge this wave's accepted keys into fixed-size per-bucket
         Bloom blobs.  Partial filters are built per bucket with
@@ -1567,19 +1705,8 @@ class CrawlEngine:
         n_buckets = self.bloom_buckets
         if n_keys is not None and n_keys <= 20_000:
             rows = seen_new.select("seed_id", "deal_url_id").collect()
-            keys = np.array([f"{r['seed_id']}|{r['deal_url_id']}" for r in rows],
-                            dtype=object)
-            merged = self._bloom
-            if len(keys):
-                bucket = pd.util.hash_array(
-                    keys, hash_key="0123456789abcdef") % np.uint64(n_buckets)
-                for b in np.unique(bucket):
-                    bf = merged.get(int(b))
-                    if bf is None:
-                        bf = merged[int(b)] = BloomFilter(_BLOOM_BITS)
-                    bf.add(keys[bucket == b])
-            return ([(b, f.to_bytes()) for b, f in sorted(merged.items())],
-                    model.BLOOM_SCHEMA)
+            return self._merge_bloom_keys(
+                [f"{r['seed_id']}|{r['deal_url_id']}" for r in rows])
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             bf = BloomFilter(_BLOOM_BITS)
