@@ -605,6 +605,47 @@ def q_crawl_dead_letter(spark, sf_dir):
     )
 
 
+def q_s4_proxy_rotation(spark, sf_dir):
+    """S4 driver-visible: the reference's proxy-pool rotation
+    (proxy_pool.py:35-61 — probe candidates in order, permanently drop
+    the unavailable and the captcha-walled, first healthy wins, an
+    exhausted pool means direct fetching) run as the ENGINE runs it —
+    the real ``engine.proxies.ProxyPool`` executing inside an
+    ``applyInPandas`` group task, one pool per group, exactly the
+    executor-local placement the fetch kernel uses (stage.py session
+    prologue).  Oracle: DuckDB re-derives first-healthy-wins + the
+    dropped prefix + the probe count with window SQL over the same
+    pinned config table."""
+    import pandas as pd
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine.proxies import ProxyPool
+
+    pools_path = truth.ensure_proxy_pools()
+
+    def rotate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        un = frozenset(pdf.loc[pdf["unavailable"], "proxy"])
+        cap = frozenset(pdf.loc[pdf["captcha"], "proxy"])
+        pool = ProxyPool(list(pdf["proxy"]),
+                         lambda _u, p: (p not in un, p in cap))
+        selected = pool.get_available_proxy("https://cian.ru/")
+        return pd.DataFrame([{
+            "pool_id": int(pdf["pool_id"].iloc[0]),
+            "selected_proxy": selected,
+            "n_probes": pool.n_probes,
+            "dropped_csv": ",".join(pool.dropped),
+        }])
+
+    return (
+        spark.read.parquet(pools_path)
+        .groupBy("pool_id")
+        .applyInPandas(rotate, "pool_id long, selected_proxy string, "
+                               "n_probes long, dropped_csv string")
+        .orderBy("pool_id")
+    )
+
+
 def q_stream_crawl_metrics(spark, sf_dir):
     """ST3: Structured Streaming tail of a finished crawl's metrics
     table (each wave commit = one micro-batch), complete-mode per-host
@@ -816,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_suburban": q_crawl_suburban,
         "crawl_newobject": q_crawl_newobject,
         "crawl_faults": q_crawl_faults,
+        "s4_proxy_rotation": q_s4_proxy_rotation,
         "crawl_dead_letter": q_crawl_dead_letter,
         "a5_progress": q_a5_progress,
         "j2_metro_join": q_j2_metro_join,
@@ -864,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
     faults_path = truth.ensure_crawl_faults_truth()
     dead_path = truth.ensure_crawl_dead_truth()
     stream_metrics_path = truth.ensure_stream_metrics_truth()
+    proxy_pools_path = truth.ensure_proxy_pools()
     # A5 progress denominator: PAGE_SIZE × planned pages of the flagship
     # seed (reference base_list.py:49-56's offers_per_page·count_of_pages)
     from cianparser_spark.corpus import webgen as _webgen
@@ -1217,6 +1260,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT seed_id, page_number, attempt
             FROM read_parquet('{dead_path}')
             ORDER BY seed_id, page_number
+        """,
+        # S4: first-healthy-wins proxy rotation re-derived with window
+        # SQL over the pinned pool-config table — selected proxy, probe
+        # count, and the dropped prefix must all match the engine's
+        # ProxyPool executing inside the Spark group task
+        "s4_proxy_rotation": f"""
+            WITH h AS (
+                SELECT pool_id, pos, proxy,
+                       (NOT unavailable AND NOT captcha) AS ok
+                FROM read_parquet('{proxy_pools_path}')
+            ), w AS (
+                SELECT pool_id,
+                       min(pos) FILTER (WHERE ok) AS first_pos,
+                       count(*) AS n
+                FROM h GROUP BY pool_id
+            )
+            SELECT h.pool_id AS pool_id,
+                   max(CASE WHEN h.pos = w.first_pos THEN h.proxy END)
+                       AS selected_proxy,
+                   CAST(coalesce(w.first_pos + 1, w.n) AS BIGINT) AS n_probes,
+                   coalesce(string_agg(h.proxy, ',' ORDER BY h.pos)
+                            FILTER (WHERE h.pos < coalesce(w.first_pos, w.n)),
+                            '') AS dropped_csv
+            FROM h JOIN w USING (pool_id)
+            GROUP BY h.pool_id, w.first_pos, w.n
+            ORDER BY h.pool_id
         """,
         # ST3: streamed per-host metrics totals vs independently
         # derived truth (simulator pages/cards + deterministic 429 replay)

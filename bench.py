@@ -56,7 +56,7 @@ HEADLINE = [
     "text_langid", "text_fingerprint", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
-    "crawl_faults", "crawl_dead_letter", "crawl_resume",
+    "crawl_faults", "crawl_dead_letter", "crawl_resume", "s4_proxy_rotation",
     "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",

@@ -398,6 +398,47 @@ def ensure_stream_metrics_truth() -> str:
     return _write_parquet(pd.DataFrame(rows), path)
 
 
+def ensure_proxy_pools() -> str:
+    """S4 oracle INPUT: a deterministic table of proxy-pool configs —
+    (pool_id, pos, proxy, unavailable, captcha), one row per configured
+    candidate in probe order.  Both worlds read this same parquet: the
+    Spark query runs the engine's ``ProxyPool`` (the reference
+    rotation algorithm, proxy_pool.py:35-61) per pool; the DuckDB
+    oracle re-derives first-healthy-wins with window SQL.  Health
+    flags come from a seeded RNG plus pinned edge cases (healthy-first,
+    all-dead, captcha-walled, single-candidate)."""
+    path = _path("proxy_pools")
+    if os.path.exists(path):
+        return path
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(0xC1A0)
+    rows = []
+
+    def add_pool(pid, flags):
+        # flags: list of (unavailable, captcha) per candidate
+        for pos, (un, cap) in enumerate(flags):
+            rows.append({"pool_id": pid, "pos": pos,
+                         "proxy": f"proxy-{pid}-{pos}",
+                         "unavailable": un, "captcha": cap})
+
+    add_pool(0, [(False, False), (True, False)])        # healthy head
+    add_pool(1, [(True, False), (False, True), (False, False)])
+    add_pool(2, [(True, False), (False, True)])         # exhausted pool
+    add_pool(3, [(False, True)])                        # single captcha wall
+    add_pool(4, [(False, False)])                       # single healthy
+    for pid in range(5, 64):
+        n = rng.randint(1, 8)
+        flags = []
+        for _ in range(n):
+            r = rng.random()
+            flags.append((r < 0.35, 0.35 <= r < 0.55))
+        add_pool(pid, flags)
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
 def ensure_metro_truth() -> str:
     """The vendored metro dimension (dims_data.METRO_STATIONS — 7
     networks / 510 stations, reference constants.py:233-758) as a
