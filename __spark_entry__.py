@@ -361,6 +361,38 @@ def q_text_langid(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """Training-data PII redaction (ops.text.pii_scrub): deterministic
+    synthetic PII (emails / phones / IPv4s / card numbers derived from
+    doc_id) is injected into the documents text, then scrubbed by the
+    native regexp battery; per-category counts + md5 of the scrubbed
+    text must match DuckDB running the same injection and the same
+    patterns.  Zero shuffle, map-only — the 100-TB shape."""
+    from cianparser_spark.ops.text import pii_scrub
+
+    d = F.col("doc_id")
+    inject = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" contact user"),
+                                    d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(""),
+        F.when(d % 5 == 0, F.concat(F.lit(" call +7916"),
+                                    F.lpad((d % 1000000).cast("string"), 6, "0"))
+               ).otherwise(""),
+        F.when(d % 7 == 0, F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                                    F.lit("."), (d % 100).cast("string"),
+                                    F.lit("."), (d % 50).cast("string"))
+               ).otherwise(""),
+        F.when(d % 11 == 0, F.concat(F.lit(" card 4"),
+                                     F.lpad((d % 1000000000).cast("string"), 15, "0"))
+               ).otherwise(""),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", inject.alias("text"))
+    return pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ip", "n_cc", "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     from cianparser_spark.ops.text import fingerprint
 
@@ -605,6 +637,38 @@ def q_crawl_dead_letter(spark, sf_dir):
     )
 
 
+def q_crawl_robots(spark, sf_dir):
+    """R1 driver-visible: a two-seed crawl on a host whose robots.txt
+    Disallows the page-2/page-5 list URLs.  The engine's gate is a
+    native startswith prune over path+query whose blocked count rides
+    the politeness demand aggregate (crawler._robots_blocked_expr);
+    offers must byte-match the sequential simulator, which applies the
+    same parsed rules before every list fetch (simulator.py:109-114).
+    Reference behavior being modeled: a polite deployment of
+    cianparser.py's fetch loop honoring the site's robots rules."""
+    from cianparser_spark import truth
+
+    seeds, cfg = truth.robots_seeds_and_cfg()
+    eng = _cached_engine(spark, "robots", seeds, cfg, host_tokens=8)
+    return eng.offers().select(*truth.CRAWL_TRUTH_COLS)
+
+
+def q_robots_dead_letter(spark, sf_dir):
+    """R1's audit trail: every robots-refused list page dead-letters as
+    kind='robots-list' (no fetch token consumed, no retry).  Oracle:
+    the simulator's robots_blocked URL list."""
+    from cianparser_spark import truth
+
+    seeds, cfg = truth.robots_seeds_and_cfg()
+    eng = _cached_engine(spark, "robots", seeds, cfg, host_tokens=8)
+    return (
+        eng.store.read("dead")
+        .filter(F.col("kind") == "robots-list")
+        .select("url")
+        .orderBy("url")
+    )
+
+
 def q_s4_proxy_rotation(spark, sf_dir):
     """S4 driver-visible: the reference's proxy-pool rotation
     (proxy_pool.py:35-61 — probe candidates in order, permanently drop
@@ -845,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_pii_scrub": q_text_pii_scrub,
         "text_fingerprint": q_text_fingerprint,
         "a8_label_dedup": q_a8_label_dedup,
         "stream_first_wins": q_stream_first_wins,
@@ -858,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_newobject": q_crawl_newobject,
         "crawl_faults": q_crawl_faults,
         "s4_proxy_rotation": q_s4_proxy_rotation,
+        "crawl_robots": q_crawl_robots,
+        "robots_dead_letter": q_robots_dead_letter,
         "crawl_dead_letter": q_crawl_dead_letter,
         "a5_progress": q_a5_progress,
         "j2_metro_join": q_j2_metro_join,
@@ -907,6 +974,9 @@ def oracle_sql() -> dict[str, str]:
     dead_path = truth.ensure_crawl_dead_truth()
     stream_metrics_path = truth.ensure_stream_metrics_truth()
     proxy_pools_path = truth.ensure_proxy_pools()
+    robots_path = truth.ensure_crawl_robots_truth()
+    robots_blocked_path = truth.ensure_robots_blocked_truth()
+    from cianparser_spark.ops.text import PII_PATTERNS as _PII
     # A5 progress denominator: PAGE_SIZE × planned pages of the flagship
     # seed (reference base_list.py:49-56's offers_per_page·count_of_pages)
     from cianparser_spark.corpus import webgen as _webgen
@@ -1116,6 +1186,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
+        # PII scrub twin: identical injection, identical patterns (the
+        # Java/RE2-agreeing subset), counts on the original text,
+        # replacement in the pinned email→ip→cc→phone order
+        "text_pii_scrub": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' call +7916' || lpad((doc_id % 1000000)::VARCHAR, 6, '0') ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id % 100) || '.' || (doc_id % 50) ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' card 4' || lpad((doc_id % 1000000000)::VARCHAR, 15, '0') ELSE '' END
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII['email']}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text, '{_PII['ip']}'))::BIGINT AS n_ip,
+                   len(regexp_extract_all(text, '{_PII['cc']}'))::BIGINT AS n_cc,
+                   len(regexp_extract_all(text, '{_PII['phone']}'))::BIGINT AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text, '{_PII['email']}', '[EMAIL]', 'g'),
+                             '{_PII['ip']}', '[IP]', 'g'),
+                             '{_PII['cc']}', '[CC]', 'g'),
+                             '{_PII['phone']}', '[PHONE]', 'g')) AS scrub_md5
+            FROM injected
+        """,
         "a8_label_dedup": "SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label",
         "stream_first_wins": """
             SELECT user_id, event_type, event_id
@@ -1260,6 +1356,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT seed_id, page_number, attempt
             FROM read_parquet('{dead_path}')
             ORDER BY seed_id, page_number
+        """,
+        # R1: robots-gated crawl — offers byte-match the simulator
+        # running the same parsed Disallow rules sequentially
+        "crawl_robots": f"""
+            SELECT seed_id, page_number, card_index, deal_url_id, url,
+                   author_type, rooms_count, total_meters, price,
+                   district, street, house_number, underground, image_id
+            FROM read_parquet('{robots_path}')
+        """,
+        # R1 audit trail: the dead-lettered robots-list pages
+        "robots_dead_letter": f"""
+            SELECT url FROM read_parquet('{robots_blocked_path}')
+            ORDER BY url
         """,
         # S4: first-healthy-wins proxy rotation re-derived with window
         # SQL over the pinned pool-config table — selected proxy, probe

@@ -53,10 +53,11 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cosine_topk",
     "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",
     "text_token_count", "text_quality",
-    "text_langid", "text_fingerprint", "a8_label_dedup",
+    "text_langid", "text_fingerprint", "text_pii_scrub", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
     "crawl_faults", "crawl_dead_letter", "crawl_resume", "s4_proxy_rotation",
+    "crawl_robots", "robots_dead_letter",
     "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",

@@ -94,6 +94,40 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return scored.select(id_col, pred.alias("lang_pred"))
 
 
+# PII patterns shared by the Spark op and its SQL oracle twin: the
+# subset of regex that Java's engine (leftmost-first backtracking) and
+# RE2-family engines (leftmost-longest) match IDENTICALLY — character
+# classes, bounded repetition, \b anchors; no alternation-order or
+# greediness ambiguity, no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "cc": r"\b\d{16}\b",
+    "phone": r"\+\d{9,15}\b",
+}
+PII_ORDER = ("email", "ip", "cc", "phone")  # cc before phone: a 16-digit
+# run must become [CC], never a phone tail
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII redaction: replace emails / IPv4s / 16-digit
+    card runs / international phone numbers with typed placeholders and
+    count each category (counts on the ORIGINAL text, so they are
+    independent of replacement order).  Pure native ``regexp_replace``/
+    ``regexp_count`` chain — map-only, zero shuffle, codegen'd; at
+    100 TB this is a free rider on whatever scan already reads the
+    text column."""
+    out = F.col(text_col)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).cast("long")
+        .alias(f"n_{k}")
+        for k in PII_ORDER
+    ]
+    for k in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return docs.select(id_col, *counts, out.alias("scrubbed"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed
     text — identical in Spark and any SQL engine with md5()."""

@@ -398,6 +398,83 @@ def ensure_stream_metrics_truth() -> str:
     return _write_parquet(pd.DataFrame(rows), path)
 
 
+def robots_seeds_and_cfg():
+    """R1 driver-visible: two flat seeds (sale + rent) on one host whose
+    robots.txt Disallows the page-2 and page-5 list URLs — host-global
+    rules, so both seeds lose those pages.  Fault mods stay at the
+    flagship defaults so the gate is exercised *alongside* retries."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    seeds = [
+        CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                  additional_settings={"end_page": 6}),
+        CrawlSeed(2, "Москва", "flat", "rent_long", rooms="all",
+                  additional_settings={"end_page": 6}),
+    ]
+    cfg = dataclasses.replace(
+        webgen.DEFAULT_CONFIG,
+        robots_disallow=("/cat.php?engine_version=2&p=2&",
+                         "/cat.php?engine_version=2&p=5&"),
+    )
+    return seeds, cfg
+
+
+def ensure_crawl_robots_truth() -> str:
+    """Offers of the robots-gated crawl, dumped from the sequential
+    simulator (which applies the same parsed Disallow rules before
+    every list fetch, simulator.py:109-114/140)."""
+    path = _path("crawl_robots")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.engine import model
+    from cianparser_spark.semantics import urls
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    seeds, cfg = robots_seeds_and_cfg()
+    sim = ReferenceSimulator(cfg, project_fields=False).run(seeds)
+    out = []
+    for (sid, page, idx), row in zip(sim.order, sim.rows):
+        url = row["url"]
+        oid = int(url.rstrip("/").split("/")[-1])
+        rec = {
+            "seed_id": sid, "page_number": page, "card_index": idx,
+            "deal_url_id": urls.deal_url_id(url), "url": url,
+            "author_type": row.get("author_type"),
+            "rooms_count": row.get("rooms_count"),
+            "total_meters": row.get("total_meters"),
+            "price": row.get("price"),
+            "district": row.get("district"),
+            "street": row.get("street"),
+            "underground": row.get("underground"),
+            "house_number": row.get("house_number"),
+            "image_id": f"img{oid % cfg.n_images:08d}",
+        }
+        out.append({k: model.sentinel_to_null(v, k) if k in model.OFFER_COLS else v
+                    for k, v in rec.items()})
+    return _write_parquet(pd.DataFrame(out, columns=CRAWL_TRUTH_COLS), path)
+
+
+def ensure_robots_blocked_truth() -> str:
+    """The simulator's robots-refused list URLs — what the engine must
+    dead-letter as kind='robots-list', one row per blocked page."""
+    path = _path("robots_blocked")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    seeds, cfg = robots_seeds_and_cfg()
+    sim = ReferenceSimulator(cfg).run(seeds)
+    return _write_parquet(
+        pd.DataFrame({"url": sorted(sim.robots_blocked)}), path)
+
+
 def ensure_proxy_pools() -> str:
     """S4 oracle INPUT: a deterministic table of proxy-pool configs —
     (pool_id, pos, proxy, unavailable, captcha), one row per configured

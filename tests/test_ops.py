@@ -373,3 +373,29 @@ def test_cosine_near_pairs_bucketed_default_is_subset(spark, emb):
     assert bucketed <= allp
     # exact duplicates share every hyperplane sign → always same bucket
     assert {(i, i + 100000) for i in range(5)} <= bucketed
+
+
+def test_pii_scrub_patterns_and_precedence(spark):
+    """Typed placeholders, counts on the original text, and the pinned
+    cc-before-phone precedence (a 16-digit run is [CC], never a phone
+    tail)."""
+    from cianparser_spark.ops.text import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and x@y.io now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+        (3, "card 4111222233334444 paid"),
+        (4, "call +79161234567 or +123456789 today"),
+        (5, "clean text, nothing to scrub"),
+        (6, "mixed u@v.de 1.2.3.4 4000111122223333 +987654321 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["scrubbed"] == "mail [EMAIL] and [EMAIL] now"
+    assert got[2]["n_ip"] == 2 and got[2]["scrubbed"] == "server at [IP] and [IP] up"
+    assert got[3]["n_cc"] == 1 and got[3]["n_phone"] == 0
+    assert got[3]["scrubbed"] == "card [CC] paid"
+    assert got[4]["n_phone"] == 2 and got[4]["scrubbed"] == "call [PHONE] or [PHONE] today"
+    assert got[5] == {"doc_id": 5, "n_email": 0, "n_ip": 0, "n_cc": 0,
+                      "n_phone": 0, "scrubbed": "clean text, nothing to scrub"}
+    assert got[6]["scrubbed"] == "mixed [EMAIL] [IP] [CC] [PHONE] end"
