@@ -710,6 +710,126 @@ def q_s4_proxy_rotation(spark, sf_dir):
     )
 
 
+def q_t5_politeness_waves(spark, sf_dir):
+    """T5/T9 driver-visible: the politeness WAVE SCHEDULE itself.  A
+    fault-free, list-only, 3-seed/21-page crawl with a 4-token budget
+    (truth.politeness_seeds_and_cfg) makes the schedule a closed form:
+    per host, pages fetch in the engine's deterministic priority order
+    (page_number, seed_id — kind-rank and card_index are constant for
+    list rows) at ceil(rank/budget) waves.  Engine side: a page's fetch
+    wave = max(wave) over its frontier rows (unselected pages re-commit
+    at wave+1; fault-free ⇒ no retry rows).  Oracle: DuckDB RE-DERIVES
+    the schedule with window SQL over the bare page list — an
+    independent SQL twin of the salted two-phase token selection
+    (crawler._select_budget_windows).  Reference semantics modeled:
+    the per-page sleep budget of base_list.py's sequential loop,
+    re-expressed as per-host tokens-per-wave."""
+    from cianparser_spark import truth
+
+    seeds, cfg = truth.politeness_seeds_and_cfg()
+    eng = _cached_engine(spark, "politeness", seeds, cfg,
+                         host_tokens=truth.T5_HOST_TOKENS)
+    return (
+        eng.store.read("frontier")
+        .filter(F.col("kind") == "list")
+        .groupBy("seed_id", "page_number")
+        .agg(F.max("wave").alias("wave"))
+        .orderBy("seed_id", "page_number")
+    )
+
+
+def q_a4_offers_per_page(spark, sf_dir):
+    """A4: the offers-per-page counter (reference base_list.py:38-41
+    counts parsed offers per fetched page) over the flagship crawl —
+    post-dedup card counts per (seed, page) vs the simulator's dump."""
+    eng = _flagship_engine(spark)
+    return (
+        eng.offers()
+        .groupBy("seed_id", "page_number")
+        .agg(F.count("*").alias("n_cards"))
+        .orderBy("seed_id", "page_number")
+    )
+
+
+def q_j5_offers_images(spark, sf_dir):
+    """J5 driver-visible: offers ⋈ images — the crawl's offer rows
+    joined to the images DIMENSION (metadata-only twin of the
+    BASELINE.json payload table) on the image_id the columnar widen
+    EXTRACTED from each card's HTML.  Spark side: broadcast hash join
+    (engine/payload.join_offers_images — the wave-local dim shape);
+    oracle: DuckDB joins the same dimension parquet against the
+    sequential simulator's dump.  A green row proves key extraction +
+    join semantics agree end-to-end."""
+    from cianparser_spark import truth
+    from cianparser_spark.engine import payload
+
+    meta = spark.read.parquet(truth.ensure_images_meta_truth())
+    eng = _flagship_engine(spark)
+    j = payload.join_offers_images(eng.offers(), meta, broadcast_images=True)
+    return j.select("deal_url_id", "url", "image_id", "w", "h", "fmt",
+                    "phash", "caption")
+
+
+def q_s5_csv_roundtrip(spark, sf_dir):
+    """S5/S7/S8 driver-visible: the reference-compat sink round-trip.
+    The flagship run's offers go through the in-memory reference-row
+    sink (S7, compat.to_reference_rows — sentinel re-materialization +
+    per-deal-type projection) and the ``;``-CSV writer (S5,
+    compat.write_reference_csv, reference base_list.py:88-95) into a
+    reference-named file (S8 format, flat/list.py:14-17), then Spark
+    READS the CSV back; the stable string projection must match the
+    simulator truth re-serialized by DuckDB (ints via CAST, null
+    strings round-tripping through the '' sentinel to CSV-null)."""
+    import os
+    import tempfile
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine import compat
+
+    seed, _ = truth.flagship_seed_and_cfg()
+    eng = _flagship_engine(spark)
+    rows = compat.to_reference_rows(eng.offers(), [seed])
+    start, end = seed.pages()
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="csv_"),
+        f"cian_flat_sale_{start}_{end}_moskva_run{seed.seed_id}.csv")
+    compat.write_reference_csv(rows, path)
+    df = (spark.read.option("sep", ";").option("header", True)
+          .option("encoding", "UTF-8").csv(path))
+    return df.select("url", "author_type", "rooms_count", "price",
+                     "district", "street", "house_number", "underground")
+
+
+def q_u1_url_builder(spark, sf_dir):
+    """U1/U2/U3/U8 + J3 driver-visible: the FULL list-URL grammar
+    compiled by ONE Catalyst expression (semantics/urls.list_url_expr —
+    whole-stage codegen, zero Python) over a 220-config dataframe
+    spanning every deal-type rewrite, room token (valid + silently
+    dropped), suburban code, additional_settings key in serialization
+    order, unknown sort keys, and metro lookups (J3: the vendored
+    510-station dim as a broadcast join; unknown station ⇒ silent
+    no-op).  Oracle: the driver-side Python compiler's golden strings
+    (build_list_url_template — the bit-tested reference grammar,
+    cianparser/url_builder.py:4-120)."""
+    from cianparser_spark import dims, truth
+    from cianparser_spark.semantics import urls
+
+    params = spark.read.parquet(
+        truth.ensure_url_grammar_truth()).drop("golden")
+    # first-match semantics of dims.metro_station_id: keep the first
+    # (network, station) pair only
+    seen = {}
+    for net, pairs in dims.METRO_STATIONS.items():
+        for st, mid in pairs:
+            seen.setdefault((net, st), mid)
+    mdim = spark.createDataFrame(
+        [(net, st, mid) for (net, st), mid in seen.items()],
+        "metro string, metro_station string, metro_id string")
+    cfg = params.join(F.broadcast(mdim), ["metro", "metro_station"], "left")
+    return cfg.select("cfg_id", urls.list_url_expr().alias("url")) \
+        .orderBy("cfg_id")
+
+
 def q_stream_crawl_metrics(spark, sf_dir):
     """ST3: Structured Streaming tail of a finished crawl's metrics
     table (each wave commit = one micro-batch), complete-mode per-host
@@ -923,6 +1043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_newobject": q_crawl_newobject,
         "crawl_faults": q_crawl_faults,
         "s4_proxy_rotation": q_s4_proxy_rotation,
+        "t5_politeness_waves": q_t5_politeness_waves,
+        "a4_offers_per_page": q_a4_offers_per_page,
+        "j5_offers_images": q_j5_offers_images,
+        "s5_csv_roundtrip": q_s5_csv_roundtrip,
+        "u1_url_builder": q_u1_url_builder,
         "crawl_robots": q_crawl_robots,
         "robots_dead_letter": q_robots_dead_letter,
         "crawl_dead_letter": q_crawl_dead_letter,
@@ -976,6 +1101,9 @@ def oracle_sql() -> dict[str, str]:
     proxy_pools_path = truth.ensure_proxy_pools()
     robots_path = truth.ensure_crawl_robots_truth()
     robots_blocked_path = truth.ensure_robots_blocked_truth()
+    politeness_path = truth.ensure_politeness_pages_truth()
+    images_meta_path = truth.ensure_images_meta_truth()
+    url_grammar_path = truth.ensure_url_grammar_truth()
     from cianparser_spark.ops.text import PII_PATTERNS as _PII
     # A5 progress denominator: PAGE_SIZE × planned pages of the flagship
     # seed (reference base_list.py:49-56's offers_per_page·count_of_pages)
@@ -1395,6 +1523,53 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN w USING (pool_id)
             GROUP BY h.pool_id, w.first_pos, w.n
             ORDER BY h.pool_id
+        """,
+        # T5/T9: the politeness wave schedule re-derived with window SQL
+        # over the bare page list — an independent SQL twin of the
+        # engine's salted two-phase token selection (one host, list
+        # cost 1, priority (page_number, seed_id), budget T5_HOST_TOKENS)
+        "t5_politeness_waves": f"""
+            SELECT seed_id, page_number,
+                   CAST(1 + (ROW_NUMBER() OVER (ORDER BY page_number, seed_id)
+                             - 1) // {truth.T5_HOST_TOKENS} AS BIGINT) AS wave
+            FROM read_parquet('{politeness_path}')
+            ORDER BY seed_id, page_number
+        """,
+        # A4: per-page post-dedup card counts from the simulator dump
+        "a4_offers_per_page": f"""
+            SELECT seed_id, page_number, count(*) AS n_cards
+            FROM read_parquet('{crawl_path}')
+            GROUP BY seed_id, page_number
+            ORDER BY seed_id, page_number
+        """,
+        # J5: the same images dimension joined against the simulator's
+        # crawl dump (the Spark side broadcast-joins it against the
+        # engine's extracted image_id column)
+        "j5_offers_images": f"""
+            SELECT t.deal_url_id, t.url, t.image_id,
+                   m.w, m.h, m.fmt, m.phash, m.caption
+            FROM read_parquet('{crawl_path}') t
+            LEFT JOIN read_parquet('{images_meta_path}') m USING (image_id)
+        """,
+        # S5/S7/S8: the ;-CSV sink round-trip — truth rows re-serialized
+        # the way the reference sink writes them (ints stringified,
+        # null longs -> -1 sentinel, null strings -> empty cell -> NULL
+        # on read-back)
+        "s5_csv_roundtrip": f"""
+            SELECT url, author_type,
+                   coalesce(CAST(CAST(rooms_count AS BIGINT) AS VARCHAR), '-1')
+                       AS rooms_count,
+                   coalesce(CAST(CAST(price AS BIGINT) AS VARCHAR), '-1')
+                       AS price,
+                   district, street, house_number, underground
+            FROM read_parquet('{crawl_path}')
+        """,
+        # U1/U2/U3/U8+J3: the Python URL compiler's golden strings; the
+        # Spark side recomputes them with the Catalyst-native twin
+        "u1_url_builder": f"""
+            SELECT cfg_id, golden AS url
+            FROM read_parquet('{url_grammar_path}')
+            ORDER BY cfg_id
         """,
         # ST3: streamed per-host metrics totals vs independently
         # derived truth (simulator pages/cards + deterministic 429 replay)

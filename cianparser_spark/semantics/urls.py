@@ -233,3 +233,113 @@ def validate_suburban_args(suburban_type: str, deal_type: str) -> None:
             f'You entered deal_type={deal_type}, which is not valid. '
             f'Try one of: "rent_long", "sale".'
         )
+
+
+# --------------------------------------------------- Catalyst-native twin
+
+def list_url_expr():
+    """The URL compiler as ONE native Catalyst expression — the
+    JVM-side twin of ``build_list_url_template`` + ``rewrite_deal_type``
+    + ``format_page_url`` (reference grammar:
+    cianparser/url_builder.py:4-120, cianparser/cianparser.py:232-251).
+
+    Why it exists at scale: a 10^6-query frontier arrives as a
+    DATAFRAME of crawl configs, not a driver-side seed list — the URL
+    grammar must run inside the plan (whole-stage codegen, zero Python)
+    or the driver becomes the compiler bottleneck.  The engine's
+    per-seed driver path (``CrawlSeed.url_template``) stays the
+    convenience API; this expression is the fan-out path.
+
+    Operates on a config row with columns: location_id, deal_type,
+    accommodation_type, rooms (array<string> of room tokens, null =
+    no rooms clause), suburban_type, page, metro_id (the pre-joined
+    (metro, metro_station) -> id lookup, null = no metro clause —
+    J3's lookup expressed as a broadcast join of the vendored dim),
+    plus one nullable column per additional_settings key.  Invalid
+    room tokens are dropped silently and an unknown sort key emits
+    nothing, exactly like the reference (url_builder.py:28-47,110-120).
+    Parameter ORDER is the grammar's (load-bearing; tests assert string
+    equality against the Python builder on randomized configs)."""
+    from pyspark.sql import functions as F
+
+    c = F.col
+    deal = F.when(c("deal_type").isin("rent_long", "rent_short"),
+                  F.lit("rent")).otherwise(c("deal_type"))
+    rent_period = (
+        F.when(c("deal_type") == "rent_long", F.lit("&type=4"))
+        .when(c("deal_type") == "rent_short", F.lit("&type=2"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(c("accommodation_type") == "newobject",
+                  F.lit(NEWOBJECT_PATH)).otherwise(F.lit(LIST_PATH))
+    rooms = F.when(
+        c("rooms").isNotNull(),
+        F.concat_ws("", F.transform(
+            F.filter(c("rooms"),
+                     lambda r: r.isin("1", "2", "3", "4", "5", "studio")),
+            lambda r: F.concat(
+                F.lit("&room"),
+                F.when(r == "studio", F.lit("9")).otherwise(r),
+                F.lit("=1")),
+        )),
+    ).otherwise(F.lit(""))
+    sub_code = None
+    for k, v in SUBURBAN_TYPES.items():
+        sub_code = (F.when(c("suburban_type") == k, F.lit(v)) if sub_code is None
+                    else sub_code.when(c("suburban_type") == k, F.lit(v)))
+    suburban = F.when(
+        c("suburban_type").isNotNull(),
+        F.concat(F.lit("&object_type%5B0%5D="), sub_code),
+    ).otherwise(F.lit(""))
+
+    def val(key: str, fmt: str):
+        pre, _, post = fmt.partition("{}")
+        return F.when(c(key).isNotNull(),
+                      F.concat(F.lit(pre), c(key).cast("string"), F.lit(post))
+                      ).otherwise(F.lit(""))
+
+    def flag(key: str, fmt: str):
+        return F.when(c(key) == True, F.lit(fmt)).otherwise(F.lit(""))  # noqa: E712
+
+    obj_code = (F.when(c("object_type") == "secondary", F.lit("1"))
+                .when(c("object_type") == "new", F.lit("2")))
+    sort_code = None
+    for k, v in SORT_BY.items():
+        sort_code = (F.when(c("sort_by") == k, F.lit(v)) if sort_code is None
+                     else sort_code.when(c("sort_by") == k, F.lit(v)))
+    # _SETTING_SPECS order, transliterated 1:1
+    settings = [
+        F.when(c("object_type").isNotNull(),
+               F.concat(F.lit("&object_type%5B0%5D="), obj_code)
+               ).otherwise(F.lit("")),
+        flag("is_by_homeowner", "&is_by_homeowner=1"),
+        val("min_balconies", "&min_balconies={}"),
+        flag("have_loggia", "&loggia=1"),
+        val("min_house_year", "&min_house_year={}"),
+        val("max_house_year", "&max_house_year={}"),
+        val("min_price", "&minprice={}"),
+        val("max_price", "&maxprice={}"),
+        val("min_floor", "&minfloor={}"),
+        val("max_floor", "&maxfloor={}"),
+        val("min_total_floor", "&minfloorn={}"),
+        val("max_total_floor", "&maxfloorn={}"),
+        val("house_material_type", "&house_material%5B0%5D={}"),
+        F.when(c("metro_id").isNotNull(),
+               F.concat(F.lit("&metro%5B0%5D="), c("metro_id"))
+               ).otherwise(F.lit("")),
+        val("metro_foot_minute", "&only_foot=2&foot_min={}"),
+        val("flat_share", "&flat_share={}"),
+        flag("only_flat", "&only_flat=1"),
+        flag("only_apartment", "&apartment=1"),
+        F.when(sort_code.isNotNull(), F.concat(F.lit("&sort="), sort_code)
+               ).otherwise(F.lit("")),
+    ]
+    return F.concat(
+        F.lit(BASE_URL), path,
+        F.lit("engine_version=2&p="), c("page").cast("string"),
+        F.lit("&with_neighbors=0"),
+        F.lit("&region="), c("location_id"),
+        F.lit("&deal_type="), deal,
+        F.lit("&offer_type="), c("accommodation_type"),
+        rooms, rent_period, suburban, *settings,
+    )

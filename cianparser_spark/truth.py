@@ -715,3 +715,209 @@ def ivf_centroid_literals(sf_dir: str = SF001_DIR, n_lists: int = 16,
     x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     cents = kmeans_lite(x, n_lists, iters, seed)
     return ["[" + ",".join(repr(float(v)) for v in c) + "]" for c in cents]
+
+
+# -------------------------------------------- politeness wave schedule
+
+T5_HOST_TOKENS = 4
+
+
+def politeness_seeds_and_cfg():
+    """T5/T9 driver-visible: a fault-FREE, list-only, 3-seed / 21-page
+    crawl on one host with a 4-token budget, so the wave schedule is a
+    pure function of the politeness selection: per host, pages ordered
+    by the engine's deterministic priority (page_number, seed_id — all
+    rows are lists, so kind-rank/card_index are constant) fetch
+    ceil(rank / budget) waves in.  Fault mods are pushed past any
+    64-bit hash hit (the static-frontier precondition is ASSERTED in
+    ensure_politeness_pages_truth) so no retry row ever perturbs the
+    schedule."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    seeds = [
+        CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                  additional_settings={"end_page": 9}),
+        CrawlSeed(2, "Москва", "flat", "rent_long", rooms="all",
+                  additional_settings={"end_page": 7}),
+        CrawlSeed(3, "Казань", "suburban", "sale", suburban_type="house",
+                  additional_settings={"end_page": 5}),
+    ]
+    cfg = dataclasses.replace(
+        webgen.DEFAULT_CONFIG, faults_on_details=False,
+        fail_500_mod=1_000_000_007, fail_429_mod=1_000_000_009,
+    )
+    return seeds, cfg
+
+
+def ensure_politeness_pages_truth() -> str:
+    """Dump the t5 frontier as bare (seed_id, page_number) rows —
+    derived from the same ``seed.pages()`` bounds the engine's frontier
+    generator uses.  The DuckDB oracle then RE-DERIVES the wave
+    schedule with window SQL (``1 + (row_number() over the priority
+    order - 1) // budget``) — an independent SQL twin of the engine's
+    salted two-phase token selection (crawler._select_budget_windows).
+
+    Asserts the preconditions the twin rests on: every page really
+    exists on the synthetic site (end_page <= page_count) and no fault
+    fires on any (url, attempt 0/1/2), so the frontier is static."""
+    path = _path("politeness_pages")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics import urls
+
+    seeds, cfg = politeness_seeds_and_cfg()
+    rows = []
+    for s in seeds:
+        template = s.url_template()
+        start, end = s.pages()
+        assert end <= webgen.page_count(urls.format_page_url(template, 1), cfg)
+        for p in range(start, end + 1):
+            u = urls.format_page_url(template, p)
+            for att in (0, 1, 2):
+                assert webgen.status_for(u, att, cfg) == 200, (u, att)
+            rows.append({"seed_id": s.seed_id, "page_number": p})
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
+# ----------------------------------------------------- images dimension
+
+def ensure_images_meta_truth() -> str:
+    """J5 oracle INPUT: the images DIMENSION — metadata only
+    (image_id, w, h, fmt, caption, phash), no bytes — for the corpus's
+    full id space (DEFAULT_CONFIG.n_images).  Both worlds read this
+    same parquet; what differs is the JOIN: the Spark query broadcast
+    hash-joins it against the crawl engine's extracted image_id column
+    (engine/payload.join_offers_images), the DuckDB oracle joins it
+    against the simulator's truth dump.  Metadata comes from the same
+    pure generator the byte-level corpus uses (corpus/webgen.image_pixels
+    + imaging.phash64 + caption_text), skipping the encode."""
+    path = _path("images_meta")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+
+    rows = []
+    for i in range(webgen.DEFAULT_CONFIG.n_images):
+        px = webgen.image_pixels(i)
+        rows.append({
+            "image_id": f"img{i:08d}",
+            "w": int(px.shape[1]),
+            "h": int(px.shape[0]),
+            "fmt": "png" if i % 2 == 0 else "jpeg",
+            "caption": webgen.caption_text(i),
+            "phash": imaging.phash64(px),
+        })
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
+# ------------------------------------------------------- URL grammar
+
+def ensure_url_grammar_truth() -> str:
+    """U1/U2/U3/U8 + J3 driver-visible: 220 randomized-but-pinned crawl
+    configs spanning the FULL list-URL grammar — every deal type
+    (incl. the rent_long/rent_short rewrite, U3), room tokens valid and
+    silently-dropped-invalid (U2), suburban object codes, every
+    additional_settings key in cianparser/url_builder.py's serialization
+    order (incl. zero values, false flags, an unknown sort key and
+    metro stations both real and unknown — J3's silent no-op), and the
+    page-number hole (U8).  ``golden`` is the driver-side Python
+    compiler's output (build_list_url_template + format_page_url, the
+    bit-tested reference grammar); the Spark query recomputes the URL
+    with the Catalyst-native twin (urls.list_url_expr) and must match
+    string-for-string."""
+    path = _path("url_grammar")
+    if os.path.exists(path):
+        return path
+    import random
+
+    import pandas as pd
+
+    from cianparser_spark import dims
+    from cianparser_spark.semantics import urls
+
+    rng = random.Random(0x0C1A0)
+    networks = sorted(dims.METRO_STATIONS)
+    room_tokens = ["1", "2", "3", "4", "5", "studio", "0", "7", "all"]
+    rows = []
+    for cfg_id in range(220):
+        kind = rng.choice(["flat", "flat", "flat", "suburban", "newobject"])
+        deal = rng.choice(["sale", "rent_long", "rent_short"])
+        rooms = None
+        if kind == "flat" and rng.random() < 0.8:
+            rooms = rng.sample(room_tokens, rng.randint(1, 4))
+        suburban_type = (rng.choice(sorted(urls.SUBURBAN_TYPES))
+                         if kind == "suburban" and rng.random() < 0.85 else None)
+
+        def maybe(p, fn):
+            return fn() if rng.random() < p else None
+
+        metro = maybe(0.35, lambda: rng.choice(networks + ["Неизвестная сеть"]))
+        metro_station = None
+        if metro is not None and rng.random() < 0.85:
+            if metro in dims.METRO_STATIONS and rng.random() < 0.8:
+                metro_station = rng.choice(dims.METRO_STATIONS[metro])[0]
+            else:
+                metro_station = "Несуществующая станция"
+        settings = {
+            "object_type": maybe(0.3, lambda: rng.choice(["secondary", "new"])),
+            "is_by_homeowner": maybe(0.3, lambda: rng.random() < 0.7),
+            "min_balconies": maybe(0.25, lambda: rng.randint(0, 3)),
+            "have_loggia": maybe(0.25, lambda: rng.random() < 0.7),
+            "min_house_year": maybe(0.25, lambda: rng.randint(1950, 2010)),
+            "max_house_year": maybe(0.25, lambda: rng.randint(2010, 2026)),
+            "min_price": maybe(0.35, lambda: rng.choice([0, 1, 3_000_000, 12_500_000])),
+            "max_price": maybe(0.35, lambda: rng.randint(1, 60) * 1_000_000),
+            "min_floor": maybe(0.25, lambda: rng.randint(1, 10)),
+            "max_floor": maybe(0.25, lambda: rng.randint(10, 40)),
+            "min_total_floor": maybe(0.2, lambda: rng.randint(1, 9)),
+            "max_total_floor": maybe(0.2, lambda: rng.randint(9, 40)),
+            "house_material_type": maybe(0.25, lambda: rng.randint(1, 8)),
+            "metro": metro,
+            "metro_station": metro_station,
+            "metro_foot_minute": maybe(0.25, lambda: rng.randint(1, 45)),
+            "flat_share": maybe(0.2, lambda: rng.randint(1, 2)),
+            "only_flat": maybe(0.25, lambda: rng.random() < 0.7),
+            "only_apartment": maybe(0.25, lambda: rng.random() < 0.7),
+            "sort_by": maybe(0.4, lambda: rng.choice(
+                sorted(urls.SORT_BY) + ["bogus_sort_key"])),
+        }
+        page = rng.randint(1, 54)
+        location_id = rng.choice(["1", "2", "4777", "176245"])
+
+        # golden: the Python compiler (semantics/urls.py, bit-tested
+        # against the reference's imperative append chain)
+        site_deal, rent_period = urls.rewrite_deal_type(deal)
+        py_rooms = None
+        if rooms is not None:
+            py_rooms = tuple(int(t) if t.isdigit() else t for t in rooms)
+        template = urls.build_list_url_template(
+            location_id, site_deal, kind, rooms=py_rooms,
+            rent_period_type=rent_period, suburban_type=suburban_type,
+            additional_settings={k: v for k, v in settings.items()
+                                 if v is not None},
+        )
+        rows.append({
+            "cfg_id": cfg_id, "location_id": location_id, "deal_type": deal,
+            "accommodation_type": kind, "rooms": rooms,
+            "suburban_type": suburban_type, "page": page,
+            **settings,
+            "golden": urls.format_page_url(template, page),
+        })
+    df = pd.DataFrame(rows)
+    for col in ("min_balconies", "min_house_year", "max_house_year",
+                "min_price", "max_price", "min_floor", "max_floor",
+                "min_total_floor", "max_total_floor",
+                "house_material_type", "metro_foot_minute", "flat_share"):
+        df[col] = df[col].astype("Int64")
+    for col in ("is_by_homeowner", "have_loggia", "only_flat",
+                "only_apartment"):
+        df[col] = df[col].astype("boolean")
+    return _write_parquet(df, path)

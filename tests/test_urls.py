@@ -168,3 +168,62 @@ def test_canonical_url_hash_collapses_variants(spark):
     df = spark.createDataFrame([(u,) for u in variants], "url string")
     keys = {r["k"] for r in df.select(canonical_url_hash("url").alias("k")).collect()}
     assert len(keys) == 1
+
+
+def test_list_url_expr_matches_python_builder(spark):
+    """The Catalyst-native URL compiler (urls.list_url_expr) must equal
+    the Python builder string-for-string on the 220 pinned grammar
+    configs (valid/invalid rooms, deal rewrites, every settings key,
+    unknown metro/sort keys) — the same pairing the driver's
+    u1_url_builder contract row checks."""
+    from pyspark.sql import functions as F
+
+    from cianparser_spark import dims, truth
+    from cianparser_spark.semantics import urls
+
+    pdf_path = truth.ensure_url_grammar_truth()
+    params = spark.read.parquet(pdf_path)
+    seen = {}
+    for net, pairs in dims.METRO_STATIONS.items():
+        for st, mid in pairs:
+            seen.setdefault((net, st), mid)
+    mdim = spark.createDataFrame(
+        [(net, st, mid) for (net, st), mid in seen.items()],
+        "metro string, metro_station string, metro_id string")
+    got = (
+        params.join(F.broadcast(mdim), ["metro", "metro_station"], "left")
+        .select("cfg_id", urls.list_url_expr().alias("url"), "golden")
+        .collect()
+    )
+    assert len(got) == 220
+    for r in got:
+        assert r["url"] == r["golden"], (r["cfg_id"], r["url"], r["golden"])
+
+
+def test_politeness_schedule_closed_form(spark, tmp_run_dir):
+    """T5: on the fault-free list-only config, the engine's wave
+    schedule equals ceil(rank/budget) over the (page_number, seed_id)
+    priority — the closed form the DuckDB window-SQL oracle re-derives."""
+    from pyspark.sql import functions as F
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine.crawler import CrawlEngine
+
+    seeds, cfg = truth.politeness_seeds_and_cfg()
+    eng = CrawlEngine(spark, tmp_run_dir, seeds, cfg,
+                      host_tokens=truth.T5_HOST_TOKENS)
+    eng.run()
+    got = {
+        (r["seed_id"], r["page_number"]): r["wave"]
+        for r in eng.store.read("frontier").filter(F.col("kind") == "list")
+        .groupBy("seed_id", "page_number").agg(F.max("wave").alias("wave"))
+        .collect()
+    }
+    pages = sorted(
+        ((p, s.seed_id) for s in seeds
+         for p in range(s.pages()[0], s.pages()[1] + 1)))
+    expect = {
+        (sid, p): 1 + i // truth.T5_HOST_TOKENS
+        for i, (p, sid) in enumerate(pages)
+    }
+    assert got == expect
