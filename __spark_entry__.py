@@ -738,6 +738,30 @@ def q_t5_politeness_waves(spark, sf_dir):
     )
 
 
+def q_lineage_waves(spark, sf_dir):
+    """North-rule lineage driver-visible: the WaveStore's per-partition
+    lineage table (wave, partition_id, input_rows=fetched urls,
+    output_rows=parsed cards — crawler.py wave commit) aggregated per
+    wave over the fault-free politeness crawl.  Both totals are closed
+    forms the DuckDB oracle re-derives from the bare page list: pages
+    per wave via the same window-SQL schedule twin as
+    t5_politeness_waves, cards as pages × PAGE_SIZE (no fetched page is
+    its query's last, so every page is full — pinned in
+    tests/test_urls.py::test_politeness_pages_all_full)."""
+    from cianparser_spark import truth
+
+    seeds, cfg = truth.politeness_seeds_and_cfg()
+    eng = _cached_engine(spark, "politeness", seeds, cfg,
+                         host_tokens=truth.T5_HOST_TOKENS)
+    return (
+        eng.store.read("lineage")
+        .groupBy("wave")
+        .agg(F.sum("input_rows").alias("pages_fetched"),
+             F.sum("output_rows").alias("cards_emitted"))
+        .orderBy("wave")
+    )
+
+
 def q_a4_offers_per_page(spark, sf_dir):
     """A4: the offers-per-page counter (reference base_list.py:38-41
     counts parsed offers per fetched page) over the flagship crawl —
@@ -1044,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_faults": q_crawl_faults,
         "s4_proxy_rotation": q_s4_proxy_rotation,
         "t5_politeness_waves": q_t5_politeness_waves,
+        "lineage_waves": q_lineage_waves,
         "a4_offers_per_page": q_a4_offers_per_page,
         "j5_offers_images": q_j5_offers_images,
         "s5_csv_roundtrip": q_s5_csv_roundtrip,
@@ -1534,6 +1559,18 @@ def oracle_sql() -> dict[str, str]:
                              - 1) // {truth.T5_HOST_TOKENS} AS BIGINT) AS wave
             FROM read_parquet('{politeness_path}')
             ORDER BY seed_id, page_number
+        """,
+        # north-rule lineage: per-wave fetched-url / parsed-card totals
+        # re-derived from the bare page list (schedule twin × PAGE_SIZE)
+        "lineage_waves": f"""
+            SELECT wave, count(*) AS pages_fetched,
+                   count(*) * {_webgen.PAGE_SIZE} AS cards_emitted
+            FROM (
+                SELECT CAST(1 + (ROW_NUMBER() OVER (ORDER BY page_number,
+                            seed_id) - 1) // {truth.T5_HOST_TOKENS} AS BIGINT)
+                       AS wave
+                FROM read_parquet('{politeness_path}')
+            ) GROUP BY wave ORDER BY wave
         """,
         # A4: per-page post-dedup card counts from the simulator dump
         "a4_offers_per_page": f"""

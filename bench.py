@@ -58,7 +58,7 @@ HEADLINE = [
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
     "crawl_faults", "crawl_dead_letter", "crawl_resume", "s4_proxy_rotation",
     "crawl_robots", "robots_dead_letter",
-    "t5_politeness_waves", "a4_offers_per_page", "j5_offers_images",
+    "t5_politeness_waves", "lineage_waves", "a4_offers_per_page", "j5_offers_images",
     "s5_csv_roundtrip", "u1_url_builder",
     "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup",

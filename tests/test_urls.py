@@ -227,3 +227,20 @@ def test_politeness_schedule_closed_form(spark, tmp_run_dir):
         for i, (p, sid) in enumerate(pages)
     }
     assert got == expect
+
+
+def test_politeness_pages_all_full():
+    """The lineage_waves oracle multiplies pages × PAGE_SIZE, which is
+    only valid if no fetched page is its query's LAST (partial) page —
+    pin that property of the pinned t5 config."""
+    from cianparser_spark import truth
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics import urls
+
+    seeds, cfg = truth.politeness_seeds_and_cfg()
+    for s in seeds:
+        template = s.url_template()
+        start, end = s.pages()
+        for p in range(start, end + 1):
+            oids = webgen.page_oids(urls.format_page_url(template, p), cfg)
+            assert len(oids) == webgen.PAGE_SIZE, (s.seed_id, p, len(oids))
