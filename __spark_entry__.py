@@ -762,6 +762,30 @@ def q_lineage_waves(spark, sf_dir):
     )
 
 
+def q_frontier_membership(spark, sf_dir):
+    """The 10^10 URL-seen membership path driver-visible: candidates
+    vs seen through bench_frontier's per-bucket Bloom PREFILTER + exact
+    anti-join for the maybe-seen sliver (the same build/probe recipe —
+    and bucket hash — as crawler._update_bloom/_dedup), against a plain
+    DuckDB ANTI JOIN on the shared input tables.  Blooms are sized
+    deliberately tight (4096 bits/bucket for ~3,500 keys) so the
+    false-positive path does real work; a single false NEGATIVE
+    (dropped fresh URL / silently re-seen key) hash-mismatches.
+    Reference semantics being scaled: the in-memory result_set of
+    base_list.py:24 + flat/list.py:57-68."""
+    from cianparser_spark import bench_frontier, truth
+
+    cand_path, seen_path = truth.ensure_frontier_truth()
+    cand = spark.read.parquet(cand_path)
+    seen = spark.read.parquet(seen_path)
+    blobs = bench_frontier.build_blooms(seen, n_buckets=8, n_bits=4096)
+    return (
+        bench_frontier.membership_split(cand, seen, blobs, n_buckets=8)
+        .select("id", "url", "key")
+        .orderBy("id")
+    )
+
+
 def q_a4_offers_per_page(spark, sf_dir):
     """A4: the offers-per-page counter (reference base_list.py:38-41
     counts parsed offers per fetched page) over the flagship crawl —
@@ -1069,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_proxy_rotation": q_s4_proxy_rotation,
         "t5_politeness_waves": q_t5_politeness_waves,
         "lineage_waves": q_lineage_waves,
+        "frontier_membership": q_frontier_membership,
         "a4_offers_per_page": q_a4_offers_per_page,
         "j5_offers_images": q_j5_offers_images,
         "s5_csv_roundtrip": q_s5_csv_roundtrip,
@@ -1129,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
     politeness_path = truth.ensure_politeness_pages_truth()
     images_meta_path = truth.ensure_images_meta_truth()
     url_grammar_path = truth.ensure_url_grammar_truth()
+    frontier_cand_path, frontier_seen_path = truth.ensure_frontier_truth()
     from cianparser_spark.ops.text import PII_PATTERNS as _PII
     # A5 progress denominator: PAGE_SIZE × planned pages of the flagship
     # seed (reference base_list.py:49-56's offers_per_page·count_of_pages)
@@ -1571,6 +1597,15 @@ def oracle_sql() -> dict[str, str]:
                        AS wave
                 FROM read_parquet('{politeness_path}')
             ) GROUP BY wave ORDER BY wave
+        """,
+        # Frontier seen-set membership: plain ANTI JOIN twin of the
+        # Bloom-prefilter + exact-join split (bench_frontier)
+        "frontier_membership": f"""
+            SELECT c.id, c.url, c.key
+            FROM read_parquet('{frontier_cand_path}') c
+            ANTI JOIN read_parquet('{frontier_seen_path}') s
+              ON c.key = s.key
+            ORDER BY c.id
         """,
         # A4: per-page post-dedup card counts from the simulator dump
         "a4_offers_per_page": f"""

@@ -41,6 +41,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "4608"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "10000000"))
 
 # headline queries: every oracle-checked operator family + the heavy
 # training-data ops + the crawl engine itself
@@ -58,7 +59,8 @@ HEADLINE = [
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
     "crawl_faults", "crawl_dead_letter", "crawl_resume", "s4_proxy_rotation",
     "crawl_robots", "robots_dead_letter",
-    "t5_politeness_waves", "lineage_waves", "a4_offers_per_page", "j5_offers_images",
+    "t5_politeness_waves", "lineage_waves", "frontier_membership",
+    "a4_offers_per_page", "j5_offers_images",
     "s5_csv_roundtrip", "u1_url_builder",
     "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup",
@@ -100,10 +102,22 @@ def run_queries() -> tuple[dict, float]:
         times[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    # frontier seen-set microbench: the north-rule metric's per-URL
+    # machinery at 10^7 URLs / 5×10^6 seen keys — canonicalize+hash
+    # codegen ceiling, distributed Bloom build, and the prefilter+
+    # anti-join membership wave (bench_frontier docstring has the
+    # 10^10 extrapolation).  Runs inside the suite session, after the
+    # timed queries; set SPARK_GRAFT_FRONTIER_URLS=0 to skip.
+    frontier: dict = {}
+    if FRONTIER_URLS:
+        from cianparser_spark.bench_frontier import run_bench as _fr
+
+        frontier = _fr(spark, n_urls=FRONTIER_URLS)
+        print(f"  frontier: {frontier}", file=sys.stderr)
     # free the JVM + python workers so the scaling subprocesses measure
     # an otherwise-idle machine
     spark.stop()
-    return times, total
+    return times, total, frontier
 
 
 def run_scaling() -> dict:
@@ -306,7 +320,7 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
 
 
 def main() -> None:
-    times, total = run_queries()
+    times, total, frontier = run_queries()
     crawl = {} if SKIP_SCALING else run_scaling()
 
     # Full-fidelity record (rep arrays, platform controls, method
@@ -323,7 +337,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({"value_s": round(total, 3), "queries_s": times,
                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                   "crawl": crawl}, fh, indent=1)
+                   "frontier": frontier, "crawl": crawl}, fh, indent=1)
         fh.write("\n")
     print(f"full bench detail written to {detail_path}", file=sys.stderr)
 
@@ -351,6 +365,8 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": compact_crawl,
     }
+    if frontier:
+        result["frontier_urls_per_sec"] = frontier["member_urls_per_sec"]
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1800:  # paranoia: never outgrow the tail capture again
         result["queries"] = {k: round(v, 1) for k, v in times.items()}

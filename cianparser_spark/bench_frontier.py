@@ -1,0 +1,268 @@
+"""Frontier seen-set throughput microbench: URLs/sec through the REAL
+membership path at 10^7 scale.
+
+The north-rule metric is frontier-URLs-processed/sec on a 10^10-URL
+frontier.  The crawl bench (`bench_crawl`) measures the full wave loop
+at ~250k politeness-scheduled pages; THIS bench isolates the frontier's
+per-URL machinery — canonicalize → 64-bit seen-key → partitioned-Bloom
+prefilter → exact anti-join for the maybe-seen sliver — and runs it at
+10,000,000 candidate URLs against a 5,000,000-key seen set, i.e. the
+exact pipeline a single wave of a 10^10 crawl would run per partition,
+40× the page scale of the crawl bench.
+
+Every piece is the engine's own recipe, not a bench-only rewrite:
+
+- key function: ``ops.urlnorm.canonical_url_expr`` + ``xxhash64``
+  (pure Catalyst codegen — the `url_canonical` contract query oracles
+  it against an independent urllib twin);
+- Bloom build: per-bucket partial filters with ``applyInPandas``,
+  OR-merged driver-side (``crawler._update_bloom`` shape, same
+  ``pd.util.hash_array`` bucket function, same ``BloomFilter`` blob
+  format — a bucket-hash mismatch between build and probe would turn
+  false-positives into false NEGATIVES, so sharing one implementation
+  is correctness, not convenience);
+- membership: vectorized pandas_udf Bloom probe splits candidates into
+  definitely-fresh (bypass) vs maybe-seen (exact ``left_anti`` against
+  the seen table) exactly like ``crawler._dedup``; the union of the
+  two IS the fresh frontier.
+
+Correctness is pinned two ways: ``tests/test_bench_frontier.py``
+checks the split+reunion equals a plain exact anti-join (counts + key
+checksum) including under a deliberately saturated Bloom, and the
+``frontier_membership`` contract query runs the same split against a
+DuckDB ANTI JOIN oracle on shared input tables, so a false negative
+anywhere becomes a driver-visible hash mismatch.
+
+Reference parity note: the reference keeps its URL-seen set as an
+in-memory Python ``set`` per run (cianparser/base_list.py:24,
+flat/list.py:57-68) — correct at 10^4 offers, impossible at 10^10.
+This module is that set's scale-out replacement, with identical
+first-wins semantics (see crawler._dedup for the engine wiring).
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cianparser_spark.engine.bloom import BloomFilter
+from cianparser_spark.ops.urlnorm import canonical_url_expr, messy_url_expr
+
+# Engine-identical bucket hashing (crawler._update_bloom / _dedup).
+_BUCKET_HASH_KEY = "0123456789abcdef"
+
+
+def _bucket_of(arr: np.ndarray, n_buckets: int) -> np.ndarray:
+    return pd.util.hash_array(arr, hash_key=_BUCKET_HASH_KEY) % np.uint64(n_buckets)
+
+
+def build_blooms(seen: DataFrame, key_col: str = "key",
+                 n_buckets: int = 64, n_bits: int = 1 << 20) -> dict[int, bytes]:
+    """Distributed per-bucket partial Bloom build, driver OR-merge.
+
+    ``applyInPandas`` groups the seen keys by Bloom bucket; each group
+    builds one fixed-size filter executor-side, so the driver only ever
+    sees ``n_buckets`` small blobs — never the keys.  At 10^10 the seen
+    table is bucketed on disk by the same hash and each bucket's blob
+    is built by the partition that owns it (no shuffle at all); here
+    the groupBy IS that shuffle, on a narrow 1-column frame.
+    """
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits)
+        keys = pdf["_k"].to_numpy(dtype=object)
+        if len(keys):
+            bf.add(keys)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "blob": [bf.to_bytes()]})
+
+    nb = n_buckets
+
+    @F.pandas_udf("long")
+    def bucket_of(keys: pd.Series) -> pd.Series:
+        arr = keys.to_numpy(dtype=object)
+        return pd.Series(_bucket_of(arr, nb).astype("int64"))
+
+    partial = (
+        seen.select(F.col(key_col).cast("string").alias("_k"))
+        .withColumn("bucket", bucket_of(F.col("_k")))
+        .groupBy("bucket")
+        .applyInPandas(build, "bucket long, blob binary")
+        .collect()
+    )
+    merged: dict[int, BloomFilter] = {}
+    for r in partial:
+        b = int(r["bucket"])
+        incoming = BloomFilter.from_bytes(bytes(r["blob"]))
+        if b in merged:
+            merged[b].bits |= incoming.bits
+        else:
+            merged[b] = incoming
+    return {b: f.to_bytes() for b, f in merged.items()}
+
+
+def membership_split(cand: DataFrame, seen: DataFrame, blobs: dict[int, bytes],
+                     n_buckets: int, key_col: str = "key") -> DataFrame:
+    """Fresh-URL filter: Bloom prefilter, exact join only for maybe-seen.
+
+    Returns ``cand`` rows whose key is NOT in ``seen`` — bit-identical
+    to a plain ``left_anti`` join, but only the Bloom's maybe-seen
+    sliver (true hits + the ~0.2 % false-positive rate at 13 bits/key)
+    ever reaches the join.  The definitely-fresh bypass is what makes
+    the 10^10 wave cheap: the seen table is scanned only against a few
+    percent of the wave, not all of it.
+    """
+    blob_bytes = dict(blobs)
+    nb = n_buckets
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(keys: pd.Series) -> pd.Series:
+        local = {b: BloomFilter.from_bytes(raw) for b, raw in blob_bytes.items()}
+        arr = keys.to_numpy(dtype=object)
+        bucket = _bucket_of(arr, nb)
+        out = np.zeros(len(arr), dtype=bool)
+        for b, f in local.items():
+            mask = bucket == b
+            if mask.any():
+                out[mask] = f.contains(arr[mask])
+        return pd.Series(out)
+
+    keyed = cand.withColumn("_maybe", maybe_seen(F.col(key_col).cast("string")))
+    fresh = keyed.filter(~F.col("_maybe")).drop("_maybe")
+    suspect = keyed.filter(F.col("_maybe")).drop("_maybe")
+    checked = suspect.join(seen.select(key_col), [key_col], "left_anti")
+    return fresh.unionByName(checked)
+
+
+def _candidates(spark: SparkSession, n: int, par: int) -> DataFrame:
+    """n deterministic messy URLs + their canonical 64-bit seen-key —
+    the whole expression pipeline is Catalyst codegen (zero Python)."""
+    return (
+        spark.range(0, n, 1, par)
+        .select(
+            F.col("id"),
+            messy_url_expr("id").alias("url"),
+        )
+        .select(
+            "id", "url",
+            F.xxhash64(canonical_url_expr(F.col("url"))).alias("key"),
+        )
+    )
+
+
+def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
+              seen_frac: float = 0.5, n_buckets: int = 64,
+              scratch: str | None = None) -> dict:
+    """Three timed phases; returns the metrics dict.
+
+    1. ``hash``    — canonicalize + xxhash64 over n_urls (pure codegen,
+                     noop sink): the key function's ceiling.
+    2. ``build``   — distributed Bloom build over the seen keys.
+    3. ``member``  — the full wave shape: generate → canonicalize →
+                     hash → Bloom prefilter → exact anti-join for the
+                     maybe-seen → count fresh.
+    """
+    par = spark.sparkContext.defaultParallelism * 2
+    n_seen = int(n_urls * seen_frac)
+    scratch = scratch or tempfile.mkdtemp(prefix="bench_frontier_")
+    seen_path = os.path.join(scratch, "seen")
+
+    # --- untimed: persist the seen table (even ids), as the engine's
+    # WaveStore would have committed it
+    _candidates(spark, n_urls, par).filter(F.col("id") % 2 == 0) \
+        .select("key").write.mode("overwrite").parquet(seen_path)
+    seen = spark.read.parquet(seen_path)
+
+    # warm Python workers + Arrow path so phase timings measure
+    # throughput, not pool spawn
+    spark.range(0, par * 4, 1, par).mapInPandas(
+        lambda it: it, "id long").count()
+
+    t0 = time.time()
+    _candidates(spark, n_urls, par).select("key").write.format("noop") \
+        .mode("overwrite").save()
+    t_hash = time.time() - t0
+
+    t0 = time.time()
+    blobs = build_blooms(seen, n_buckets=n_buckets)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    fresh_n = _fresh_count(_candidates(spark, n_urls, par), seen, blobs,
+                           n_buckets)
+    t_member = time.time() - t0
+    # untimed diagnostic: prefilter selectivity (prefilter-only pass)
+    maybe_n = _maybe_count(_candidates(spark, n_urls, par), blobs, n_buckets)
+
+    expect_fresh = n_urls - n_seen
+    assert fresh_n == expect_fresh, (fresh_n, expect_fresh)
+    return {
+        "n_urls": n_urls, "n_seen": n_seen, "n_buckets": n_buckets,
+        "bloom_mbytes": round(sum(len(b) for b in blobs.values()) / 1e6, 2),
+        "hash_s": round(t_hash, 3),
+        "hash_urls_per_sec": round(n_urls / t_hash),
+        "bloom_build_s": round(t_build, 3),
+        "bloom_build_keys_per_sec": round(n_seen / t_build),
+        "member_s": round(t_member, 3),
+        "member_urls_per_sec": round(n_urls / t_member),
+        "fresh_rows": fresh_n,
+        "maybe_seen_rows": maybe_n,
+        "false_positive_rate": round((maybe_n - n_seen) / max(expect_fresh, 1), 5),
+    }
+
+
+def _fresh_count(cand, seen, blobs, n_buckets) -> int:
+    """The timed membership job: split+reunion exactly as
+    ``membership_split``, counted via an Observation riding a noop sink
+    so the bench measures the membership machinery, not a writer."""
+    from pyspark.sql import Observation
+
+    obs = Observation("frontier-member")
+    out = membership_split(cand, seen, blobs, n_buckets) \
+        .observe(obs, F.count(F.lit(1)).alias("fresh"))
+    out.write.format("noop").mode("overwrite").save()
+    return int(obs.get["fresh"])
+
+
+def _maybe_count(cand, blobs, n_buckets) -> int:
+    blob_bytes = dict(blobs)
+    nb = n_buckets
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(keys: pd.Series) -> pd.Series:
+        local = {b: BloomFilter.from_bytes(raw) for b, raw in blob_bytes.items()}
+        arr = keys.to_numpy(dtype=object)
+        bucket = _bucket_of(arr, nb)
+        out = np.zeros(len(arr), dtype=bool)
+        for b, f in local.items():
+            mask = bucket == b
+            if mask.any():
+                out[mask] = f.contains(arr[mask])
+        return pd.Series(out)
+
+    return (
+        cand.select(maybe_seen(F.col("key").cast("string")).alias("m"))
+        .filter("m").count()
+    )
+
+
+def main() -> None:
+    import json
+    import sys
+
+    from cianparser_spark.engine.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench_frontier", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    res = run_bench(spark, n_urls=n)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -921,3 +921,47 @@ def ensure_url_grammar_truth() -> str:
                 "only_apartment"):
         df[col] = df[col].astype("boolean")
     return _write_parquet(df, path)
+
+
+# ------------------------------------------------------------- frontier
+
+def ensure_frontier_truth() -> tuple[str, str]:
+    """Frontier-membership oracle INPUTS: a candidates table
+    (id, url, key) and a seen-key table (key), shared verbatim by both
+    worlds.  The Spark side runs the 10^10 seen-set path
+    (bench_frontier.build_blooms + membership_split: per-bucket Bloom
+    prefilter, exact anti-join only for the maybe-seen sliver); the
+    DuckDB oracle is a plain ANTI JOIN over the same two tables — so
+    any Bloom false NEGATIVE (the one failure mode a Bloom must never
+    have) or a build/probe bucket-hash mismatch becomes a driver-visible
+    row/hash mismatch.
+
+    Keys are pre-hashed here (pandas hash_array of the canonical URL,
+    stored in the table — both sides read values, neither recomputes)
+    because the membership semantics under test are set-difference on a
+    64-bit key column; the key DERIVATION (canonicalize + xxhash64) is
+    separately oracled by ``url_canonical``.  The seen table includes
+    500 keys matching NO candidate (departed frontier entries) and
+    every even-id candidate; expected fresh = the 3,000 odd ids."""
+    cand_path = _path("frontier_candidates")
+    seen_path = _path("frontier_seen")
+    if os.path.exists(cand_path) and os.path.exists(seen_path):
+        return cand_path, seen_path
+    import numpy as np
+    import pandas as pd
+
+    from cianparser_spark.ops.urlnorm import canonicalize_url, messy_url_py
+
+    ids = np.arange(6000)
+    urls = [messy_url_py(int(i)) for i in ids]
+    canon = np.array([canonicalize_url(u) for u in urls], dtype=object)
+    keys = pd.util.hash_array(canon).view("int64")
+    cand = pd.DataFrame({"id": ids.astype("int64"), "url": urls,
+                         "key": keys})
+    extra = pd.util.hash_array(
+        np.array([f"departed-{i}" for i in range(500)], dtype=object)
+    ).view("int64")
+    seen = pd.DataFrame({"key": np.concatenate([keys[ids % 2 == 0], extra])})
+    _write_parquet(cand, cand_path)
+    _write_parquet(seen, seen_path)
+    return cand_path, seen_path
