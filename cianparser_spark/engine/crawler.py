@@ -1681,6 +1681,7 @@ class CrawlEngine:
         if blobs and (self._seen_rows is None or self._seen_rows > 50_000):
             blob_bytes = {b: f.to_bytes() for b, f in blobs.items()}
             n_buckets = self.bloom_buckets
+            _state: dict = {}
 
             @F.pandas_udf("boolean")
             def maybe_seen(keys: pd.Series) -> pd.Series:
@@ -1688,7 +1689,14 @@ class CrawlEngine:
 
                 from cianparser_spark.engine.bloom import BloomFilter as BF
 
-                local = {b: BF.from_bytes(raw) for b, raw in blob_bytes.items()}
+                # deserialize the blobs once per task (zero-copy views),
+                # not once per Arrow batch — the filter state outweighs
+                # a batch's worth of probes
+                local = _state.get("f")
+                if local is None:
+                    local = _state["f"] = {
+                        b: BF.from_bytes_ro(raw) for b, raw in blob_bytes.items()
+                    }
                 arr = keys.to_numpy(dtype=object)
                 bucket = pd.util.hash_array(arr, hash_key="0123456789abcdef") % np.uint64(n_buckets)
                 out = np.zeros(len(arr), dtype=bool)
