@@ -159,6 +159,7 @@ def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
     """
     par = spark.sparkContext.defaultParallelism * 2
     n_seen = int(n_urls * seen_frac)
+    own_scratch = scratch is None
     scratch = scratch or tempfile.mkdtemp(prefix="bench_frontier_")
     seen_path = os.path.join(scratch, "seen")
     cand_path = os.path.join(scratch, "cand")
@@ -195,7 +196,8 @@ def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
 
     expect_fresh = n_urls - n_seen
     assert fresh_n == expect_fresh, (fresh_n, expect_fresh)
-    shutil.rmtree(scratch, ignore_errors=True)
+    if own_scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
     return {
         "n_urls": n_urls, "n_seen": n_seen, "n_buckets": n_buckets,
         "bloom_mbytes": round(sum(len(b) for b in blobs.values()) / 1e6, 2),
