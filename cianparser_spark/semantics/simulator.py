@@ -191,7 +191,12 @@ class ReferenceSimulator:
 
     def _parse_offer(self, seed, card, page_number, idx, deal, kind, is_sale, res) -> None:
         url = extract.card_url(card)
-        key = urls.deal_url_id(url)
+        # seen is PER SEED: each CrawlSeed models one reference
+        # ``get_*`` call, and the reference's result_set is an instance
+        # attribute of the parser built fresh per call
+        # (base_list.py:24) — two seeds sharing a universe must each
+        # emit the shared offers, exactly like two separate runs would
+        key = (seed.seed_id, urls.deal_url_id(url))
         # dedup BEFORE the expensive detail fetch (flat/list.py:57-63)
         if key in res.seen:
             return
@@ -253,8 +258,9 @@ class ReferenceSimulator:
             "url": common["url"],
             "full_full_location_address": common["full_full_location_address"],
         }
-        # dedup key = scheme+host (newobject/list.py:71,74)
-        if common["url"] in res.seen:
+        # dedup key = scheme+host (newobject/list.py:71,74), per seed
+        # (fresh result_set per reference run — see _parse_offer)
+        if (seed.seed_id, common["url"]) in res.seen:
             return
         # detail fetch is unconditional for newobjects (newobject/list.py:77-79)
         durl = common["url"] + "/"
@@ -265,7 +271,7 @@ class ReferenceSimulator:
             detail_html = ""
         page_data = extract.detail_newobject(detail_html)
         res.count_parsed_offers += 1
-        res.seen.add(common["url"])
+        res.seen.add((seed.seed_id, common["url"]))
         res.rows.append({**common, **page_data})
         res.order.append((seed.seed_id, page_number, idx))
 

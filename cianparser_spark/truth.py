@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 6  # bump to invalidate previously dumped truth files
+_VERSION = 7  # bump to invalidate previously dumped truth files
 
 
 def _path(name: str) -> str:

@@ -23,12 +23,14 @@ def _bit_match(spark, tmp_run_dir, seeds, cfg, **engine_kw):
     assert len(rows) == len(sim.rows)
     for i, (a, b) in enumerate(zip(sim.rows, rows)):
         assert a == b, f"row {i} differs: {a} != {b}"
-    # seen-set equality (flat/suburban key = deal_url_id; newobject = url)
+    # seen-set equality, PER SEED on both sides (flat/suburban key =
+    # deal_url_id; newobject = url) — each seed models one reference
+    # run with its own fresh result_set (base_list.py:24)
     eng_seen = {
         (r["seed_id"], r["deal_url_id"])
         for r in eng.store.read("seen").collect()
     }
-    assert {k for _, k in eng_seen} == sim.seen or len(seeds) > 1
+    assert eng_seen == sim.seen
     return sim, eng
 
 

@@ -28,3 +28,14 @@ def test_fuzz_trial_detail_resume(spark):
     info = fuzz.run_trial(spark, random.Random((2 << 20) | 1), 1,
                           resume=True)
     assert info["ok"] and info["resume_ok"]
+
+
+def test_fuzz_trial_shared_universe_seeds(spark):
+    """seed 10 trial 18 (regression): TWO flat/sale seeds over the SAME
+    location/universe, one with detail enrichment whose list page dies
+    mid-walk.  Each seed models one reference run with its own fresh
+    result_set (base_list.py:24), so BOTH must emit the shared offers —
+    the simulator once wrongly deduped across seeds and dropped seed 2's
+    copies of seed 1's detail-fetched rows."""
+    info = fuzz.run_trial(spark, random.Random((10 << 20) | 18), 18)
+    assert info["ok"] and info["rows"] == 37
