@@ -1032,6 +1032,118 @@ def q_payload_phash_recompute(spark, sf_dir):
     )
 
 
+def q_payload_dup_clusters(spark, sf_dir):
+    """Duplicate clustering as transitive closure over the key-union
+    graph (exact phash match OR exact caption match), computed with
+    the distributed connected-components operator (ops/graph.py:
+    hub-contracted edges + pointer-jumping min-label propagation).
+    The oracle recomputes components with a DuckDB recursive CTE over
+    the pure-Python payload truth dump — a wholly different algorithm
+    (sequential fixpoint reachability) over independently derived
+    inputs, so a green row checks both the edge semantics and the
+    iterative convergence."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+    from cianparser_spark.ops import graph
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    return graph.dup_clusters(images).orderBy("image_id")
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """5-iteration damped PageRank over the politeness sub-site's link
+    graph (list→next-list, list→offer, offer→breadcrumb edges; shared
+    input parquet, see truth.ensure_link_graph_truth).  Spark side:
+    distributed iterative joins with dangling-mass redistribution
+    (ops/graph.pagerank); oracle: a 5-iteration UNROLLED SQL twin.
+    Ranks are reported scaled by N (so values are O(1)) and rounded to
+    6 dp on both sides."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops import graph
+
+    edges = spark.read.parquet(truth.ensure_link_graph_truth())
+    ranks = graph.pagerank(edges, iters=5, damping=0.85)
+    n = ranks.count()
+    return (
+        ranks.select("node", F.round(F.col("rank") * n, 6).alias("rank_n"))
+        .orderBy("node")
+    )
+
+
+def q_export_shards(spark, sf_dir):
+    """Training-export shard manifest: deterministic shard assignment
+    (numeric id suffix mod 16 — expressible identically in both
+    engines) + per-shard manifest (row count, total payload bytes,
+    id range, phash xor-checksum).  The Spark side re-encodes the
+    corpus DISTRIBUTED and measures length(bytes); the oracle reads
+    the pure-Python encoder's byte lengths (truth dump), so a
+    single-byte difference anywhere in the distributed encode path
+    fails the hash compare.  At 10^10 rows this is one map-side-
+    combined groupBy on a uniform derived key — no skew by
+    construction."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    shard = (F.substring("image_id", 4, 8).cast("int") % 16).alias("shard")
+    return (
+        images.groupBy(shard)
+        .agg(F.count("*").alias("n_images"),
+             F.sum(F.length("bytes")).alias("total_bytes"),
+             F.min("image_id").alias("min_id"),
+             F.max("image_id").alias("max_id"),
+             F.expr("bit_xor(phash)").alias("xor_phash"))
+        .orderBy("shard")
+    )
+
+
+def q_stream_sessionization(spark, sf_dir):
+    """Per-user sessionization of the events stream with a 4-hour
+    inactivity gap — Spark's native session_window (the same operator
+    the streaming path uses with a watermark) vs a gaps-and-islands
+    SQL twin (lag + cumulative break-sum).  Session end = last event
+    + gap, per session_window semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "4 hours"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            # string timestamps: physical units (ns vs us) differ
+            # between Arrow readers and would break value hashing
+            # (same convention as stream_window_counts)
+            F.date_format("session_window.start",
+                          "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end",
+                          "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q_image_tiles(spark, sf_dir):
+    """ViT-style fixed-grid patch extraction (32×32 tiles, one row per
+    tile with luma mean/std) via Arrow-batched mapInPandas — the
+    distributed fan-out is what the pure-Python sequential truth dump
+    oracles (truth.ensure_image_tiles_truth)."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+    from cianparser_spark.ops import multimodal
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    return (
+        multimodal.tile_stats(images, tile=32)
+        .orderBy("image_id", "tile_y", "tile_x")
+    )
+
+
 # ----------------------------------------------------------------- driver API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1109,6 +1221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_phash_dedup": q_payload_phash_dedup,
         "payload_phash_recompute": q_payload_phash_recompute,
         "payload_near_dup": q_payload_near_dup,
+        "payload_dup_clusters": q_payload_dup_clusters,
+        "graph_pagerank": q_graph_pagerank,
+        "export_shards": q_export_shards,
+        "stream_sessionization": q_stream_sessionization,
+        "image_tiles": q_image_tiles,
     }
 
 
@@ -1130,6 +1247,52 @@ def _definer_city_reject_sql() -> str:
     return " OR ".join(
         f"contains(lower(location_name), '{s}')" for s in CITY_REJECT_SUBSTRINGS
     )
+
+
+def _pagerank_oracle_sql(edges_path: str, iters: int, damping: float) -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL CTEs — the
+    sequential twin of ops/graph.pagerank.  Damping constants are
+    written as the same literals the Spark side folds, so both engines
+    perform the identical IEEE-double operations; the only divergence
+    is summation order (≈1e-15), absorbed by the 6-dp rounding."""
+    ctes = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        ctes.append(f"""
+        d{i} AS (
+            SELECT coalesce(sum(r.rank), 0) AS dang
+            FROM {prev} r LEFT JOIN deg ON deg.node = r.node
+            WHERE deg.odeg IS NULL
+        ), c{i} AS (
+            SELECT e.dst AS node, sum(r.rank / deg.odeg) AS contrib
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN deg ON deg.node = e.src
+            GROUP BY 1
+        ), r{i} AS (
+            SELECT n.node,
+                   (1 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * (coalesce(c.contrib, 0)
+                                  + (SELECT dang FROM d{i}) / (SELECT n FROM nn))
+                   AS rank
+            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+        )""")
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT src, dst FROM read_parquet('{edges_path}')
+        ), nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), nn AS (
+            SELECT count(*)::DOUBLE AS n FROM nodes
+        ), deg AS (
+            SELECT src AS node, count(*)::DOUBLE AS odeg
+            FROM edges GROUP BY 1
+        ), r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ), {','.join(ctes)}
+        SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_n
+        FROM r{iters} ORDER BY node
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1164,6 +1327,9 @@ def oracle_sql() -> dict[str, str]:
     a5_cap = max(1, _webgen.PAGE_SIZE
                  * int(_a5_seed.additional_settings["end_page"]))
     payload_path = truth.ensure_payload_truth()
+    shard_truth_path = truth.ensure_shard_manifest_truth()
+    tiles_truth_path = truth.ensure_image_tiles_truth()
+    link_graph_path = truth.ensure_link_graph_truth()
     metro_path = truth.ensure_metro_truth()
     defcity_path = truth.ensure_definer_cities_truth()
     defmetro_path = truth.ensure_definer_metro_truth()
@@ -1742,5 +1908,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{payload_path}') r ON l.image_id < r.image_id
             WHERE bit_count(xor(l.phash, r.phash)) <= 3
             ORDER BY left_id, right_id
+        """,
+        # Components via sequential fixpoint reachability (recursive
+        # CTE) — a wholly different algorithm from the distributed
+        # pointer-jumping label propagation it checks.
+        "payload_dup_clusters": f"""
+            WITH RECURSIVE imgs AS (
+                SELECT image_id, phash, caption
+                FROM read_parquet('{payload_path}')
+            ), hub AS (
+                SELECT image_id AS src,
+                       min(image_id) OVER (PARTITION BY phash) AS dst
+                FROM imgs
+                UNION
+                SELECT image_id AS src,
+                       min(image_id) OVER (PARTITION BY caption) AS dst
+                FROM imgs
+            ), edges AS (
+                SELECT src, dst FROM hub UNION SELECT dst, src FROM hub
+            ), reach AS (
+                SELECT src AS node, src AS lab FROM edges
+                UNION
+                SELECT e.src AS node, r.lab
+                FROM edges e JOIN reach r ON r.node = e.dst
+            )
+            SELECT node AS image_id, min(lab) AS cluster_id
+            FROM reach GROUP BY node ORDER BY image_id
+        """,
+        "graph_pagerank": _pagerank_oracle_sql(link_graph_path,
+                                               iters=5, damping=0.85),
+        "export_shards": f"""
+            SELECT (substr(image_id, 4)::INT % 16) AS shard,
+                   count(*) AS n_images,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   min(image_id) AS min_id,
+                   max(image_id) AS max_id,
+                   bit_xor(phash) AS xor_phash
+            FROM read_parquet('{shard_truth_path}')
+            GROUP BY 1 ORDER BY shard
+        """,
+        # Gaps-and-islands twin of session_window: break when the gap
+        # >= 4h (windows [t, t+gap) merely touching do NOT merge),
+        # session end = last event + gap.
+        "stream_sessionization": """
+            WITH x AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), y AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 4 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM y GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "image_tiles": f"""
+            SELECT image_id, tile_y, tile_x, mean_luma, std_luma
+            FROM read_parquet('{tiles_truth_path}')
+            ORDER BY image_id, tile_y, tile_x
         """,
     }

@@ -79,6 +79,61 @@ def decode_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(run, _FEAT_SCHEMA)
 
 
+def tile_grid(px: np.ndarray, tile: int = 32) -> list[dict]:
+    """Per-tile luma statistics of decoded pixels — the shared
+    per-image definition used by the Spark operator below and by the
+    oracle truth dump (truth.ensure_image_tiles_truth), mirroring the
+    image_features/ensure_payload_truth pattern: the driver compare
+    then verifies the DISTRIBUTED plumbing (Arrow batches, one-row-per-
+    tile fan-out, decode placement) against a sequential loop.
+
+    Patch/tile extraction is the standard pre-training prep for vision
+    models (ViT-style fixed-size patches); partial edge tiles are
+    dropped (floor grid), matching the common crop-to-multiple
+    convention."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    out = []
+    for ty in range(h // tile):
+        for tx in range(w // tile):
+            blk = luma[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            out.append({
+                "tile_y": ty, "tile_x": tx,
+                "mean_luma": float(blk.mean()),
+                "std_luma": float(blk.std()),
+            })
+    return out
+
+
+_TILE_SCHEMA = ("image_id string, tile_y int, tile_x int, "
+                "mean_luma double, std_luma double")
+
+
+def tile_stats(images: DataFrame, tile: int = 32,
+               id_col: str = "image_id") -> DataFrame:
+    """Decode → fixed-grid tile statistics, one output row per tile
+    (ViT-style patch prep).  Arrow-batched mapInPandas: the per-row
+    Python is one decode + one vectorized numpy pass; the fan-out
+    (rows × tiles) happens inside the batch, never on the driver.  At
+    10^9 images this is a map-only stage — no shuffle, no skew, output
+    partitioning inherits the scan."""
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = _decode(bytes(r.bytes), r.fmt)
+                rid = getattr(r, id_col)
+                for t in tile_grid(px, tile):
+                    out.append({"image_id": rid, **t})
+            yield pd.DataFrame(
+                out, columns=["image_id", "tile_y", "tile_x",
+                              "mean_luma", "std_luma"])
+
+    return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(
+        run, _TILE_SCHEMA)
+
+
 def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") -> DataFrame:
     """Mean-pool resize; output re-encoded as PNG bytes."""
 

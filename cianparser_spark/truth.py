@@ -623,6 +623,102 @@ def ensure_payload_truth(n: int = PAYLOAD_N) -> str:
     return _write_parquet(pd.DataFrame(out), path)
 
 
+def ensure_shard_manifest_truth(n: int = PAYLOAD_N) -> str:
+    """Export-shard oracle INPUT: (image_id, n_bytes, phash) per image,
+    with ``n_bytes`` the length of the PURE-PYTHON encoder's output in
+    a plain loop.  The DuckDB oracle aggregates the shard manifest from
+    this table; the Spark query re-encodes the corpus distributed
+    (engine/payload.build_images_table) and aggregates ``length(bytes)``
+    — a byte-length mismatch anywhere in the distributed encode path
+    becomes a driver-visible hash mismatch."""
+    path = _path(f"shard_manifest_{n}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+
+    out = []
+    for i in range(n):
+        row = webgen.image_row(i)
+        out.append({
+            "image_id": row["image_id"],
+            "n_bytes": len(row["bytes"]),
+            "phash": row["phash"],
+        })
+    return _write_parquet(pd.DataFrame(out), path)
+
+
+def ensure_image_tiles_truth(n: int = PAYLOAD_N, tile: int = 32) -> str:
+    """Per-tile luma statistics ground truth: decode each image with
+    the pure-Python codec in a plain loop and compute the 32×32 tile
+    grid via the shared per-image definition
+    (ops/multimodal.tile_grid).  What the driver compare then verifies
+    is the DISTRIBUTED half: Arrow batching, mapInPandas fan-out of
+    one row per tile, and decode placement — against this sequential
+    loop."""
+    path = _path(f"image_tiles_{n}_{tile}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import tile_grid
+
+    out = []
+    for i in range(n):
+        row = webgen.image_row(i)
+        px = imaging.decode(row["bytes"], row["fmt"])
+        for t in tile_grid(px, tile):
+            out.append({"image_id": row["image_id"], **t})
+    return _write_parquet(pd.DataFrame(out), path)
+
+
+# ----------------------------------------------------------- link graph
+
+def ensure_link_graph_truth() -> str:
+    """Link-graph oracle INPUT: the directed (src, dst) edge list of
+    the politeness sub-site (3 seeds × 5-9 list pages, ~560 offers) —
+    list page → next list page, list page → each offer card URL on it,
+    offer page → the query's first list page (the synthetic site's
+    breadcrumb link).  Derived in a plain pure-Python loop from the
+    corpus generator (webgen.page_oids / offer_truth), the same source
+    the simulator trusts.  Both worlds read this one parquet; what
+    differs is the PageRank computation itself: distributed iterative
+    joins (ops/graph.pagerank) vs a 5-iteration unrolled SQL twin."""
+    path = _path("link_graph")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.semantics import urls as umod
+
+    seeds, cfg = politeness_seeds_and_cfg()
+    edges = []
+    for s in seeds:
+        template = s.url_template()
+        start, end = s.pages()
+        end = min(end, webgen.page_count(umod.format_page_url(template, 1), cfg))
+        first = umod.format_page_url(template, start)
+        for p in range(start, end + 1):
+            u = umod.format_page_url(template, p)
+            if p < end:
+                edges.append((u, umod.format_page_url(template, p + 1)))
+            parsed = webgen.parse_list_url(u)
+            deal = "sale" if parsed["deal_type"] == "sale" else "rent"
+            kind = ("newobject" if parsed["newobject"]
+                    else ("suburban" if parsed["offer_type"] == "suburban"
+                          else "flat"))
+            for oid in webgen.page_oids(u, cfg):
+                t = webgen.offer_truth(oid, deal, kind, cfg)
+                ou = webgen._offer_url(parsed["host"], deal, kind, t)
+                edges.append((u, ou))
+                edges.append((ou, first))
+    df = pd.DataFrame(edges, columns=["src", "dst"]).drop_duplicates()
+    return _write_parquet(df.reset_index(drop=True), path)
+
+
 # -------------------------------------------------------------- simhash
 
 def ensure_simhash_truth(sf_dir: str = SF001_DIR) -> str:
