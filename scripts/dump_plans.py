@@ -62,6 +62,25 @@ PICKS = [
      "(true hits + Bloom false positives) while definitely-fresh rows "
      "bypass it entirely — the union is the fresh frontier, no global "
      "shuffle of the bypass branch"),
+    ("export_shards", "shard manifest: ONE hash aggregate on a uniform "
+     "derived key (id-suffix mod 16) with map-side partial aggregation — "
+     "the encode UDF feeds partials, so at 10^10 rows the exchange "
+     "carries 16 rows per task, never data"),
+    ("stream_sessionization", "native session_window: one exchange on "
+     "user_id, sessions merged inside the aggregate (no self-join, no "
+     "per-user collect); the same operator runs streaming with a "
+     "watermark"),
+    ("image_tiles", "tile/patch fan-out is map-only: scan → one "
+     "ArrowEvalPython(mapInPandas) stage, zero exchanges — output rows "
+     "(16× input) are produced executor-side and inherit the scan "
+     "partitioning"),
+    ("graph_pagerank", "the dumped plan is a Sort+Project over a "
+     "checkpointed LogicalRDD — which IS the scale property: "
+     "localCheckpoint truncates lineage each iteration so iteration N's "
+     "plan depth is O(1), not O(N).  Per-iteration shape (ops/graph.py): "
+     "contribs = edges ⋈ ranks ⋈ degree then ONE groupBy(dst) exchange; "
+     "the dangling mass rides a broadcast of a 1-row aggregate — no "
+     "collect anywhere"),
 ]
 
 
