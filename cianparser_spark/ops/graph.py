@@ -67,36 +67,52 @@ def connected_components(edges: DataFrame, src: str = "src",
       3. a single scalar count of changed labels decides convergence
          (one tiny driver value per round, never row data).
     """
-    und = _symmetrize(edges, src, dst)
+    # materialize the symmetrized edge set ONCE, hash-partitioned on
+    # the join key and CACHED (not checkpointed: the InMemoryRelation
+    # keeps its outputPartitioning, so every round's edges⋈labels join
+    # shuffles only the label side — the edge table never moves again;
+    # on a real cluster this is the bucketed/pre-partitioned edge
+    # table)
+    und = _symmetrize(edges, src, dst).repartition("dst").persist()
+    und.count()
     nodes = und.select(F.col("src").alias("node")).distinct()
     lbl = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
+    # active-set propagation: min-label aggregation is monotone, so a
+    # node whose label did not change since its last broadcast has
+    # nothing new to tell its neighbors — only CHANGED labels emit
+    # messages (round 1: everyone).  Shuffle volume collapses after the
+    # first rounds while the fixpoint stays identical.
+    active = lbl
     for _ in range(_MAX_CC_ROUNDS):
         nbr_min = (
-            und.join(lbl.withColumnRenamed("node", "dst"), "dst")
+            und.join(active.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
         stepped = (
             lbl.join(nbr_min, "node", "left")
-            .select("node", F.least("label", "nbr_label").alias("label"))
+            .select("node", F.col("label").alias("old_label"),
+                    F.least("label", "nbr_label").alias("label"))
         )
         jump = lbl.select(F.col("node").alias("jnode"),
                           F.col("label").alias("jlabel"))
+        # carry the round-start label through so convergence is a
+        # cheap scan of the materialized result, not an extra join
         new_lbl = (
             stepped.join(jump, stepped["label"] == jump["jnode"], "left")
-            .select("node", F.least("label", "jlabel").alias("label"))
+            .select("node",
+                    F.least("label", "jlabel").alias("label"),
+                    (F.least("label", "jlabel") != F.col("old_label"))
+                    .alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_lbl.withColumnRenamed("label", "new_label")
-            .join(lbl, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        lbl = new_lbl
+        changed = new_lbl.where("changed").count()
+        lbl = new_lbl.select("node", "label")
+        active = new_lbl.where("changed").select("node", "label")
         if changed == 0:
             break
+    und.unpersist()
     return lbl.select("node", F.col("label").alias("component"))
 
 
@@ -147,39 +163,50 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     per iteration with an eager localCheckpoint, so the plan stays
     O(1) deep regardless of ``iters``.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialized once, hash-partitioned on the per-iteration join key
+    # and cached so the edge side of contribs never re-shuffles (same
+    # rationale as connected_components' partitioned edge cache)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().repartition("src").persist())
+    e.count()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct().localCheckpoint(eager=True)
+        .distinct()
     )
-    n = nodes.count()
+    outdeg = e.groupBy("src").agg(
+        F.count("*").cast("double").alias("odeg")).withColumnRenamed("src", "node")
+    # ranks carries the STATIC out-degree through every iteration, so
+    # the per-iteration plan is ONE shuffle join (edges ⋈ ranks) + one
+    # co-keyed left join — the degree join happens once, here, and the
+    # dangling aggregate becomes a scan of the materialized frame
+    # instead of a join
+    ranks = (
+        nodes.join(outdeg, "node", "left")
+        .localCheckpoint(eager=True)
+    )
+    n = ranks.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = (
-        e.groupBy("src").agg(F.count("*").cast("double").alias("odeg"))
-        .withColumnRenamed("src", "node").localCheckpoint(eager=True)
-    )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        return ranks.select("node", F.lit(0.0).alias("rank"))
+    ranks = ranks.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
 
     for _ in range(iters):
-        with_deg = ranks.join(outdeg, "node", "left")
         dangling = (
-            with_deg.where(F.col("odeg").isNull())
+            ranks.where(F.col("odeg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         contribs = (
-            e.join(with_deg.withColumnRenamed("node", "src"), "src")
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
             .where(F.col("odeg").isNotNull())
             .select("dst", (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            ranks.select("node", "odeg").join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "node",
+                "node", "odeg",
                 (F.lit((1.0 - damping) / n)
                  + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0))
                                      + F.col("dang") / F.lit(float(n)))
@@ -187,4 +214,5 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    e.unpersist()
+    return ranks.select("node", "rank")

@@ -106,6 +106,17 @@ def test_pagerank_dangling_mass(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_bench_graph_small(spark):
+    """The microbench's closed-form ground truth holds at small scale
+    (chain blocks + random-tree blocks + cycle edges)."""
+    from cianparser_spark.bench_graph import run_bench
+
+    out = run_bench(spark, n_nodes=2048, pr_iters=2, partitions=8)
+    assert out["cc_mismatches"] == 0
+    assert abs(out["pr_rank_sum"] - 1.0) < 1e-9
+    assert out["n_edges"] > 2048  # tree edges + cycle extras
+
+
 def test_tile_stats_matches_sequential(spark, tmp_run_dir):
     from cianparser_spark.corpus import imaging, webgen
     from cianparser_spark.engine import payload
