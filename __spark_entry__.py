@@ -1144,6 +1144,23 @@ def q_image_tiles(spark, sf_dir):
     )
 
 
+def q_store_compaction(spark, sf_dir):
+    """Table-maintenance correctness driver-visible: compact the
+    flagship run's committed offers table (Iceberg-style
+    rewrite_data_files + atomic snapshot swap, engine/store.py:compact)
+    and expire the superseded snapshots (vacuum), then read the table
+    back.  The oracle is the SAME simulator truth as crawl_flagship, so
+    any row the rewrite loses, duplicates, or mutates — and any read
+    that still depends on a vacuumed directory — becomes a
+    driver-visible mismatch."""
+    from cianparser_spark import truth
+
+    eng = _flagship_engine(spark)
+    eng.store.compact("offers", target_file_bytes=64 << 20)
+    eng.store.vacuum()
+    return eng.offers().select(*truth.CRAWL_TRUTH_COLS)
+
+
 # ----------------------------------------------------------------- driver API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1226,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "stream_sessionization": q_stream_sessionization,
         "image_tiles": q_image_tiles,
+        "store_compaction": q_store_compaction,
     }
 
 
@@ -1976,5 +1994,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, tile_y, tile_x, mean_luma, std_luma
             FROM read_parquet('{tiles_truth_path}')
             ORDER BY image_id, tile_y, tile_x
+        """,
+        # identical truth to crawl_flagship: compaction must be
+        # invisible to readers
+        "store_compaction": f"""
+            SELECT seed_id, page_number, card_index, deal_url_id, url,
+                   author_type, rooms_count, total_meters, price,
+                   district, street, house_number, underground, image_id
+            FROM read_parquet('{crawl_path}')
         """,
     }

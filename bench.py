@@ -67,7 +67,7 @@ HEADLINE = [
     "payload_phash_recompute", "payload_near_dup",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
     "payload_dup_clusters", "graph_pagerank", "export_shards",
-    "stream_sessionization", "image_tiles",
+    "stream_sessionization", "image_tiles", "store_compaction",
 ]
 
 

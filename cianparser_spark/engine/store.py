@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A commit published a new snapshot while a maintenance rewrite
+    (compact) was in flight; the rewrite was discarded — retry against
+    the new snapshot."""
+
+
 class WaveStore:
     def __init__(self, spark: SparkSession, root: str, schemas: dict[str, T.StructType],
                  replace_tables: frozenset[str] = frozenset()):
@@ -91,20 +97,7 @@ class WaveStore:
             os.rename(src, dst)
             tables.setdefault(name, []).append(rel)
 
-        version = snap["version"] + 1
-        manifest = {"version": version, "wave": wave, "tables": tables}
-        fname = f"v{version}.json"
-        path = os.path.join(self.root, "snapshots", fname)
-        with open(path, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(fname)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._current_path())  # the atomic commit point
+        self._publish(tables, wave, snap["version"])
 
     def _write(self, name: str, df: DataFrame, wave: int) -> str | None:
         if df is None:
@@ -156,6 +149,108 @@ class WaveStore:
         pq.write_table(pa.Table.from_arrays(arrays, names=names),
                        os.path.join(absdir, "part-00000.parquet"))
         return rel
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, name: str, target_file_bytes: int = 128 << 20,
+                on_before_publish=None) -> dict:
+        """Rewrite an append table's accumulated per-wave files into
+        right-sized ones and swap the manifest atomically — the
+        ``rewrite_data_files`` + snapshot-swap maintenance Iceberg runs
+        on long-lived tables.  A wave-per-commit crawl writes O(waves ×
+        partitions) small files; at 10^10 URLs that is the classic
+        small-file problem (every read pays per-file open/footer cost),
+        and compaction restores scan efficiency without touching
+        semantics: readers of the OLD snapshot keep working because the
+        old directories stay on disk until ``vacuum()``.
+
+        Optimistic concurrency (Iceberg's model): the base snapshot
+        version is captured before the rewrite; if any commit lands
+        before publish, the rewrite is discarded and
+        ``ConcurrentCommitError`` raised — data written by the loser is
+        unreferenced, never half-visible.  ``on_before_publish`` is a
+        test seam for injecting a concurrent commit at the worst
+        moment.
+
+        Returns {files_before, files_after, bytes, compacted}.
+        """
+        snap = self._load_snapshot()
+        dirs = snap["tables"].get(name, [])
+        paths = [os.path.join(self.root, d) for d in dirs]
+        files = [os.path.join(p, f) for p in paths
+                 for f in os.listdir(p) if f.endswith(".parquet")]
+        if len(files) <= 1:
+            return {"files_before": len(files), "files_after": len(files),
+                    "bytes": 0, "compacted": False}
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.spark.read.schema(self.schemas[name]).parquet(*paths)
+        rel = os.path.join("data", name,
+                           f"c{snap['version']:05d}-{uuid.uuid4().hex[:8]}")
+        absdir = os.path.join(self.root, rel)
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(absdir)
+        if on_before_publish is not None:
+            on_before_publish()
+        cur = self._load_snapshot()
+        if cur["version"] != snap["version"]:
+            import shutil
+
+            shutil.rmtree(absdir, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"snapshot advanced {snap['version']}→{cur['version']} "
+                f"during compaction of {name!r}; rewrite discarded")
+        tables = {k: list(v) for k, v in snap["tables"].items()}
+        tables[name] = [rel]
+        self._publish(tables, snap["wave"], snap["version"])
+        files_after = len([f for f in os.listdir(absdir)
+                           if f.endswith(".parquet")])
+        return {"files_before": len(files), "files_after": files_after,
+                "bytes": int(total), "compacted": True}
+
+    def vacuum(self) -> dict:
+        """Delete data directories not referenced by the CURRENT
+        manifest and expire superseded snapshot files (Iceberg's
+        ``expire_snapshots`` + ``remove_orphan_files``).  Time travel
+        to pre-vacuum snapshots is gone afterwards — run it only once
+        no reader can hold a stale snapshot (the engine runs it
+        between waves, where the driver is the only committer)."""
+        import shutil
+
+        snap = self._load_snapshot()
+        referenced = {d for dirs in snap["tables"].values() for d in dirs}
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        for table in os.listdir(data_root):
+            tdir = os.path.join(data_root, table)
+            for d in os.listdir(tdir):
+                rel = os.path.join("data", table, d)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed += 1
+        expired = 0
+        snap_root = os.path.join(self.root, "snapshots")
+        keep = f"v{snap['version']}.json"
+        for f in os.listdir(snap_root):
+            if f.startswith("v") and f.endswith(".json") and f != keep:
+                os.remove(os.path.join(snap_root, f))
+                expired += 1
+        return {"dirs_removed": removed, "snapshots_expired": expired}
+
+    def _publish(self, tables: dict, wave: int, base_version: int) -> None:
+        version = base_version + 1
+        manifest = {"version": version, "wave": wave, "tables": tables}
+        fname = f"v{version}.json"
+        path = os.path.join(self.root, "snapshots", fname)
+        with open(path, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(fname)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._current_path())  # the atomic commit point
 
     # ----------------------------------------------------------------- read
 

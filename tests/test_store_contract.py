@@ -114,3 +114,95 @@ def test_local_write_rows_roundtrip(spark, tmp_path):
     # mixed commit: Spark DataFrame append still works alongside
     st.commit_wave(2, appends={"stopped": ([(9, 2)], model.STOPPED_SCHEMA)})
     assert st.read("stopped").collect()[0]["seed_id"] == 9
+
+
+def test_compact_preserves_rows_and_swaps_snapshot(spark, tmp_run_dir):
+    """Compaction = Iceberg rewrite_data_files + snapshot swap: same
+    rows, fewer files, old snapshot's directories still on disk (a
+    stale reader keeps working) until vacuum removes them."""
+    st = _store(spark, tmp_run_dir)
+    for w in range(6):
+        st.commit_wave(w, appends={"stopped": _stopped(spark, [(w, w * 10)])})
+    before = sorted((r.seed_id, r.captcha_page)
+                    for r in st.read("stopped").collect())
+    data_dir = os.path.join(tmp_run_dir, "data", "stopped")
+    dirs_before = set(os.listdir(data_dir))
+    assert len(dirs_before) == 6
+
+    stats = st.compact("stopped")
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+    after = sorted((r.seed_id, r.captcha_page)
+                   for r in st.read("stopped").collect())
+    assert after == before
+    assert st.last_wave() == 5  # maintenance does not advance the wave
+    # old dirs still on disk (stale snapshot readers unaffected)...
+    assert dirs_before < set(os.listdir(data_dir))
+    removed = st.vacuum()
+    assert removed["dirs_removed"] == 6
+    # ...and reads still identical after vacuum
+    assert sorted((r.seed_id, r.captcha_page)
+                  for r in st.read("stopped").collect()) == before
+    # appends after maintenance keep working
+    st.commit_wave(6, appends={"stopped": _stopped(spark, [(99, 990)])})
+    assert st.read("stopped").count() == 7
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_run_dir):
+    """Optimistic concurrency: a commit landing mid-compaction wins;
+    the rewrite is discarded, nothing half-visible, data intact."""
+    import pytest
+
+    from cianparser_spark.engine.store import ConcurrentCommitError
+
+    st = _store(spark, tmp_run_dir)
+    for w in range(3):
+        st.commit_wave(w, appends={"stopped": _stopped(spark, [(w, w)])})
+
+    def sneak_commit():
+        st.commit_wave(3, appends={"stopped": _stopped(spark, [(7, 70)])})
+
+    with pytest.raises(ConcurrentCommitError):
+        st.compact("stopped", on_before_publish=sneak_commit)
+    got = sorted((r.seed_id, r.captcha_page)
+                 for r in st.read("stopped").collect())
+    assert got == [(0, 0), (1, 1), (2, 2), (7, 70)]  # winner's row present
+    # the discarded rewrite left no referenced directory: vacuum only
+    # removes the loser's orphan (if any), reads unchanged
+    st.vacuum()
+    assert sorted((r.seed_id, r.captcha_page)
+                  for r in st.read("stopped").collect()) == got
+
+
+def test_compact_noop_on_single_file(spark, tmp_run_dir):
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 1)])})
+    st.compact("stopped")  # may or may not compact (1 dir, N part files)
+    stats = st.compact("stopped")
+    assert stats["compacted"] is False  # already one file
+
+
+def test_resume_after_compact_and_vacuum(spark, tmp_run_dir):
+    """A crawl interrupted mid-run, compacted AND vacuumed, then
+    resumed, bit-matches an uninterrupted run — maintenance must be
+    invisible to the engine's own resume path (seen-set reconstruction,
+    watermarks, frontier state)."""
+    from cianparser_spark.corpus import webgen as W
+    from cianparser_spark.engine.crawler import CrawlEngine
+    from cianparser_spark.semantics.simulator import CrawlSeed
+
+    seeds = [CrawlSeed(1, "Казань", "flat", "sale", rooms=(1, 2),
+                       additional_settings={"start_page": 1, "end_page": 4})]
+    d1 = os.path.join(tmp_run_dir, "interrupted")
+    e1 = CrawlEngine(spark, d1, seeds, W.DEFAULT_CONFIG, host_tokens=4)
+    e1.run(max_waves=2)
+    e1.store.compact("offers")
+    e1.store.compact("seen")
+    e1.store.vacuum()
+    e2 = CrawlEngine(spark, d1, seeds, W.DEFAULT_CONFIG, host_tokens=4)
+    e2.run()
+    resumed = [r.asDict() for r in e2.offers().collect()]
+
+    d2 = os.path.join(tmp_run_dir, "solid")
+    e3 = CrawlEngine(spark, d2, seeds, W.DEFAULT_CONFIG, host_tokens=4)
+    e3.run()
+    assert resumed == [r.asDict() for r in e3.offers().collect()]
