@@ -1161,6 +1161,59 @@ def q_store_compaction(spark, sf_dir):
     return eng.offers().select(*truth.CRAWL_TRUTH_COLS)
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """Exact percentile aggregation (p25/p50/p90) — Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the linear-
+    interpolation definition, so values match bit-for-bit (probed)
+    before the 4-dp rounding.  At 100 TB the approximate sibling
+    (percentile_approx / t-digest) takes over; the exact one stays the
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("round(percentile(l_extendedprice, 0.25), 4)").alias("p25"),
+             F.expr("round(percentile(l_extendedprice, 0.5), 4)").alias("p50"),
+             F.expr("round(percentile(l_extendedprice, 0.9), 4)").alias("p90"),
+             F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy aggregation (per-group, per-flag subtotal,
+    grand total in one pass).  Subtotal NULL keys are coalesced to the
+    literal 'ALL' on both sides so the compare never leans on NULL
+    representation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n", "sum_qty", "sum_price")
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Frame-based running aggregation: per-user cumulative event-value
+    sum + running row index over event time.  (user_id, ts) is unique
+    in the corpus, so both engines sum in the identical order — the
+    running double is bit-deterministic, rounded 4 dp anyway."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("ts")).alias("rn"),
+            F.round(F.sum("value").over(w), 4).alias("running_value"))
+        .orderBy("user_id", "rn")
+    )
+
+
 # ----------------------------------------------------------------- driver API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1244,6 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionization": q_stream_sessionization,
         "image_tiles": q_image_tiles,
         "store_compaction": q_store_compaction,
+        "agg_percentiles": q_agg_percentiles,
+        "agg_rollup": q_agg_rollup,
+        "window_running": q_window_running,
     }
 
 
@@ -2002,5 +2058,33 @@ def oracle_sql() -> dict[str, str]:
                    author_type, rooms_count, total_meters, price,
                    district, street, house_number, underground, image_id
             FROM read_parquet('{crawl_path}')
+        """,
+        "agg_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
+        """,
+        "window_running": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING), 4)
+                       AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ORDER BY user_id, rn
         """,
     }
