@@ -1161,6 +1161,26 @@ def q_store_compaction(spark, sf_dir):
     return eng.offers().select(*truth.CRAWL_TRUTH_COLS)
 
 
+def q_crawl_recrawl(spark, sf_dir):
+    """Invalidation + re-crawl driver-visible (the J4 delete path): a
+    completed flagship run has its LAST list page invalidated — its
+    offers leave the table, their keys leave the exact seen set, the
+    Bloom sidecar is rebuilt (deletes make it stale; a stale positive
+    routes to the exact join, crawler.py invalidate_and_recrawl) — and
+    the page re-fetched.  The deterministic web is unchanged, so the
+    final table must equal the ORIGINAL simulator truth: rows lost by
+    the delete, keys left dangling in the seen set, or duplicates
+    introduced by the re-fetch all become driver-visible mismatches.
+    Invalidating the last page sidesteps the documented lost-duplicate
+    limitation (duplicates only ever shadow EARLIER pages)."""
+    from cianparser_spark import truth
+
+    seed, cfg = truth.flagship_seed_and_cfg()
+    eng = _cached_engine(spark, "recrawl", [seed], cfg, host_tokens=64)
+    eng.invalidate_and_recrawl([(seed.seed_id, 2)])
+    return eng.offers().select(*truth.CRAWL_TRUTH_COLS)
+
+
 def q_agg_percentiles(spark, sf_dir):
     """Exact percentile aggregation (p25/p50/p90) — Spark's exact
     `percentile` and DuckDB's `quantile_cont` share the linear-
@@ -1300,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "agg_rollup": q_agg_rollup,
         "window_running": q_window_running,
+        "crawl_recrawl": q_crawl_recrawl,
     }
 
 
@@ -2086,5 +2107,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ORDER BY user_id, rn
+        """,
+        # identical truth to crawl_flagship: invalidate+recrawl of the
+        # last page over an unchanged web must converge to the same table
+        "crawl_recrawl": f"""
+            SELECT seed_id, page_number, card_index, deal_url_id, url,
+                   author_type, rooms_count, total_meters, price,
+                   district, street, house_number, underground, image_id
+            FROM read_parquet('{crawl_path}')
         """,
     }

@@ -68,7 +68,7 @@ HEADLINE = [
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
     "payload_dup_clusters", "graph_pagerank", "export_shards",
     "stream_sessionization", "image_tiles", "store_compaction",
-    "agg_percentiles", "agg_rollup", "window_running",
+    "agg_percentiles", "agg_rollup", "window_running", "crawl_recrawl",
 ]
 
 

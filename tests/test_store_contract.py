@@ -206,3 +206,29 @@ def test_resume_after_compact_and_vacuum(spark, tmp_run_dir):
     e3 = CrawlEngine(spark, d2, seeds, W.DEFAULT_CONFIG, host_tokens=4)
     e3.run()
     assert resumed == [r.asDict() for r in e3.offers().collect()]
+
+
+def test_schema_evolution_add_nullable_column(spark, tmp_run_dir):
+    """Iceberg-style additive schema evolution: widening a table's
+    schema with a new nullable column leaves old data readable (nulls)
+    while new commits populate it — the read path applies the CURRENT
+    schema to every referenced directory, old and new alike."""
+    from pyspark.sql import types as T
+
+    v1 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType())])
+    v2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType()),
+                       T.StructField("extra", T.DoubleType(), True)])
+    st = WaveStore(spark, tmp_run_dir, {"t": v1})
+    st.commit_wave(0, appends={"t": spark.createDataFrame([(1, "a")], v1)})
+
+    evolved = WaveStore(spark, tmp_run_dir, {"t": v2})
+    evolved.commit_wave(1, appends={
+        "t": spark.createDataFrame([(2, "b", 2.5)], v2)})
+    got = {(r.k, r.v, r.extra) for r in evolved.read("t").collect()}
+    assert got == {(1, "a", None), (2, "b", 2.5)}
+    # compaction rewrites old files under the evolved schema
+    evolved.compact("t")
+    assert {(r.k, r.v, r.extra)
+            for r in evolved.read("t").collect()} == got
