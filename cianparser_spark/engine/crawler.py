@@ -885,7 +885,19 @@ class CrawlEngine:
         have contained a duplicate of the invalidated keys, which
         requires a (key, page) duplicate log the reference has no
         analog of; deployments that need it can widen ``pages`` to the
-        affected range."""
+        affected range.
+
+        Detail-mode note (fuzz-found, seed 5 trial 0): a re-crawled
+        page's DETAIL walk resumes the session-global detail-URL
+        attempt counters (the reference's one exception counter per
+        session, cianparser.py:71-83), so a page that previously died
+        mid-walk gets its re-fetch at ADVANCED attempts — under
+        attempt-indexed synthetic faults the outcome can differ from
+        the original run.  That is the intended production behavior
+        ("give the page another try with the retry budget it has
+        left"), but it means convergence-to-original is only a
+        guaranteed invariant for list-only crawls, where fetch attempts
+        are per-frontier-row and replay deterministically from 0."""
         self._load_state()
         marker = self.store.last_wave() + 1
         cond = None

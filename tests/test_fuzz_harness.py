@@ -39,3 +39,24 @@ def test_fuzz_trial_shared_universe_seeds(spark):
     copies of seed 1's detail-fetched rows."""
     info = fuzz.run_trial(spark, random.Random((10 << 20) | 18), 18)
     assert info["ok"] and info["rows"] == 37
+
+
+def test_fuzz_trial_maintenance_invalidate(spark):
+    """seed 5 trial 7: list-only flat crawl — compact+vacuum, then
+    invalidate each seed's last page and re-crawl; must converge back
+    to the simulator rows (list attempts replay deterministically)."""
+    info = fuzz.run_trial(spark, random.Random((5 << 20) | 7), 7,
+                          maintenance=True)
+    assert info["ok"] and info["maint_ok"] and info["rows"] == 35
+
+
+def test_fuzz_trial_maintenance_detail_compact_only(spark):
+    """seed 5 trial 0 (regression): detail-mode suburban crawl whose
+    page died mid-detail-walk.  The maintenance leg must NOT
+    invalidate here — re-fetched detail walks resume the session-global
+    attempt counters and legitimately diverge under attempt-indexed
+    faults (crawler.invalidate_and_recrawl detail-mode note) — but
+    compact+vacuum alone must stay convergent."""
+    info = fuzz.run_trial(spark, random.Random((5 << 20) | 0), 0,
+                          maintenance=True)
+    assert info["ok"] and info["maint_ok"] and info["rows"] == 4
