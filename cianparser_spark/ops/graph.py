@@ -133,14 +133,16 @@ def dup_clusters(images: DataFrame, id_col: str = "image_id",
     bounded by the number of keys — CC converges in 2-3 rounds at any
     scale.  Returns (``id_col``, cluster_id) for every input row.
     """
-    edge_parts = []
+    # self-edges first: every row appears in the output even when all
+    # its keys are NULL (a null key matches nothing — null phash means
+    # "no hash", not "equal to every other missing hash")
+    edges = images.select(F.col(id_col).alias("src"),
+                          F.col(id_col).alias("dst"))
     for key in keys:
-        roots = images.groupBy(key).agg(F.min(id_col).alias("dst"))
-        edge_parts.append(
-            images.join(roots, key).select(F.col(id_col).alias("src"), "dst"))
-    edges = edge_parts[0]
-    for e in edge_parts[1:]:
-        edges = edges.union(e)
+        keyed = images.where(F.col(key).isNotNull())
+        roots = keyed.groupBy(key).agg(F.min(id_col).alias("dst"))
+        edges = edges.union(
+            keyed.join(roots, key).select(F.col(id_col).alias("src"), "dst"))
     return (
         connected_components(edges)
         .select(F.col("node").alias(id_col),
@@ -187,6 +189,7 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     )
     n = ranks.count()
     if n == 0:
+        e.unpersist()
         return ranks.select("node", F.lit(0.0).alias("rank"))
     ranks = ranks.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
 

@@ -136,3 +136,23 @@ def test_tile_stats_matches_sequential(spark, tmp_run_dir):
             want[(row["image_id"], t["tile_y"], t["tile_x"])] = (
                 t["mean_luma"], t["std_luma"])
     assert got == want  # float64 numpy both sides: bit-identical
+
+
+def test_dup_clusters_null_keys_do_not_match(spark):
+    """NULL keys mean "value missing", never "equal to other missing
+    values": two images with null phash and distinct captions stay
+    separate clusters, and a row with ALL keys null still appears in
+    the output (as its own singleton)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("caption", T.StringType(), True),
+    ])
+    rows = [("i1", None, "cap_a"), ("i2", None, "cap_b"),
+            ("i3", None, None), ("i4", 5, "cap_a")]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["image_id"]: r["cluster_id"]
+           for r in graph.dup_clusters(df).collect()}
+    assert got == {"i1": "i1", "i2": "i2", "i3": "i3", "i4": "i1"}
