@@ -2012,13 +2012,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT image_id, phash, caption
                 FROM read_parquet('{payload_path}')
             ), hub AS (
+                -- self-edges keep all-NULL-key rows in the output;
+                -- NULL keys are EXCLUDED from the equality partitions
+                -- (missing value != every other missing value),
+                -- matching ops/graph.dup_clusters
+                SELECT image_id AS src, image_id AS dst FROM imgs
+                UNION
                 SELECT image_id AS src,
                        min(image_id) OVER (PARTITION BY phash) AS dst
-                FROM imgs
+                FROM imgs WHERE phash IS NOT NULL
                 UNION
                 SELECT image_id AS src,
                        min(image_id) OVER (PARTITION BY caption) AS dst
-                FROM imgs
+                FROM imgs WHERE caption IS NOT NULL
             ), edges AS (
                 SELECT src, dst FROM hub UNION SELECT dst, src FROM hub
             ), reach AS (
@@ -2042,14 +2048,15 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{shard_truth_path}')
             GROUP BY 1 ORDER BY shard
         """,
-        # Gaps-and-islands twin of session_window: break when the gap
-        # >= 4h (windows [t, t+gap) merely touching do NOT merge),
-        # session end = last event + gap.
+        # Gaps-and-islands twin of session_window: break only when the
+        # gap is STRICTLY greater than 4h — probed on this pyspark:
+        # events exactly gap apart MERGE (their windows [t, t+gap]
+        # touch); session end = last event + gap.
         "stream_sessionization": """
             WITH x AS (
                 SELECT user_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                                 OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
                             THEN 1 ELSE 0 END AS brk
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -72,7 +72,7 @@ HEADLINE = [
 ]
 
 
-def run_queries() -> tuple[dict, float]:
+def run_queries() -> tuple[dict, float, dict, dict]:
     import __spark_entry__ as entrymod
     from cianparser_spark.engine.session import get_spark
 

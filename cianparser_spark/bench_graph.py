@@ -60,7 +60,13 @@ def synth_graph(spark: SparkSession, n_nodes: int,
                 (F.col("base") + F.pmod(F.xxhash64("id", F.lit(2)),
                                         F.col("id") - F.col("base"))).alias("dst"))
     )
-    return tree.union(extra)
+    # self-edges for block roots: CC derives its node set from edges,
+    # and a truncated final block (n_nodes % BLOCK == 1) would
+    # otherwise leave its root edgeless — silently absent from the
+    # output and from the ground-truth compare
+    roots = nodes.where(F.col("id") == F.col("base")).select(
+        F.col("id").alias("src"), F.col("id").alias("dst"))
+    return tree.union(extra).union(roots)
 
 
 def run_bench(spark: SparkSession, n_nodes: int = 1_000_000,
@@ -72,10 +78,13 @@ def run_bench(spark: SparkSession, n_nodes: int = 1_000_000,
 
     t0 = time.time()
     comp = connected_components(edges)
+    n_labeled = comp.count()
     mismatches = comp.where(
         F.col("component") != F.col("node") - (F.col("node") % F.lit(BLOCK))
     ).count()
     cc_wall = time.time() - t0
+    assert n_labeled == n_nodes, (
+        f"CC lost nodes: {n_labeled} labeled of {n_nodes}")
 
     t0 = time.time()
     ranks = pagerank(edges, iters=pr_iters)

@@ -105,10 +105,6 @@ def tile_grid(px: np.ndarray, tile: int = 32) -> list[dict]:
     return out
 
 
-_TILE_SCHEMA = ("image_id string, tile_y int, tile_x int, "
-                "mean_luma double, std_luma double")
-
-
 def tile_stats(images: DataFrame, tile: int = 32,
                id_col: str = "image_id") -> DataFrame:
     """Decode → fixed-grid tile statistics, one output row per tile
@@ -116,7 +112,10 @@ def tile_stats(images: DataFrame, tile: int = 32,
     Python is one decode + one vectorized numpy pass; the fan-out
     (rows × tiles) happens inside the batch, never on the driver.  At
     10^9 images this is a map-only stage — no shuffle, no skew, output
-    partitioning inherits the scan."""
+    partitioning inherits the scan.  The id column keeps its caller
+    name in the output."""
+    schema = (f"{id_col} string, tile_y int, tile_x int, "
+              "mean_luma double, std_luma double")
 
     def run(iterator):
         for pdf in iterator:
@@ -125,13 +124,13 @@ def tile_stats(images: DataFrame, tile: int = 32,
                 px = _decode(bytes(r.bytes), r.fmt)
                 rid = getattr(r, id_col)
                 for t in tile_grid(px, tile):
-                    out.append({"image_id": rid, **t})
+                    out.append({id_col: rid, **t})
             yield pd.DataFrame(
-                out, columns=["image_id", "tile_y", "tile_x",
+                out, columns=[id_col, "tile_y", "tile_x",
                               "mean_luma", "std_luma"])
 
     return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(
-        run, _TILE_SCHEMA)
+        run, schema)
 
 
 def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") -> DataFrame:
