@@ -66,6 +66,15 @@ def connected_components(edges: DataFrame, src: str = "src",
          O(diameter) rounds into O(log n));
       3. a single scalar count of changed labels decides convergence
          (one tiny driver value per round, never row data).
+
+    Two scale refinements, both fixpoint-preserving: the symmetrized
+    edge table is cached hash-partitioned on the join key (only the
+    label side shuffles per round), and after round 1 only CHANGED
+    labels emit messages — min aggregation is monotone, so a label
+    already broadcast and unchanged has been incorporated by every
+    neighbor; each decrease re-triggers a broadcast, so the fixpoint
+    (all neighbors label-equal, every label self-rooted by the jump
+    step) is exactly the per-component minimum.
     """
     # materialize the symmetrized edge set ONCE, hash-partitioned on
     # the join key and CACHED (not checkpointed: the InMemoryRelation
