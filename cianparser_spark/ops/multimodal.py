@@ -158,18 +158,30 @@ def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") 
 
 
 def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
-                         seconds: float = 0.5) -> DataFrame:
-    """Synthetic audio rows: raw 16-bit mono PCM (deterministic sine
-    mixes keyed by clip id) with typed metadata — the audio modality's
-    schema/plumbing, no external codec required."""
+                         seconds: float = 0.5, fmt: str = "pcm_s16le") -> DataFrame:
+    """Synthetic audio rows: deterministic sine mixes keyed by clip id
+    with typed metadata — the audio modality's schema/plumbing, no
+    external codec required.  ``fmt`` picks the encoding: raw 16-bit
+    PCM (default) or G.711 companded ``pcm_mulaw``/``pcm_alaw``
+    (1 byte/sample, encoded by the pure-numpy corpus.g711 codec)."""
+    from cianparser_spark.corpus import g711
+
     rows = []
     n = int(sr * seconds)
     t = np.arange(n) / sr
     for i in range(n_clips):
         f0 = 220.0 + 55.0 * (i % 8)
         wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
-        pcm = (wave * 32767).astype("<i2").tobytes()
-        rows.append((f"aud{i:04d}", pcm, sr, n, "pcm_s16le"))
+        pcm16 = (wave * 32767).astype("<i2")
+        if fmt == "pcm_s16le":
+            data = pcm16.tobytes()
+        elif fmt == "pcm_mulaw":
+            data = g711.ulaw_encode(pcm16)
+        elif fmt == "pcm_alaw":
+            data = g711.alaw_encode(pcm16)
+        else:
+            raise ValueError(f"unknown synthetic audio fmt {fmt!r}")
+        rows.append((f"aud{i:04d}", data, sr, n, fmt))
     return spark.createDataFrame(
         rows, "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string"
     )
@@ -177,15 +189,24 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
 
 def audio_features(audio: DataFrame) -> DataFrame:
     """Arrow-batched audio decode → (rms, zero-crossing rate, dominant
-    frequency via FFT argmax).  Raw PCM decodes for real; compressed
-    formats (mp3/ogg/flac) are STUBBED: this container has no audio
-    codec libraries, so they yield ok=false rows (documented limitation;
-    a real deployment plugs ffmpeg/soundfile into ``_pcm``)."""
+    frequency via FFT argmax).  Raw PCM and G.711 mu-law/A-law decode
+    for real (corpus.g711, pure vectorized numpy — bit-exact vs the
+    canonical g711.c tables, see tests/test_ops.py); perceptual codecs
+    (mp3/ogg/flac) are STUBBED: this container has no audio codec
+    libraries, so they yield ok=false rows (documented limitation; a
+    real deployment plugs ffmpeg/soundfile into ``_pcm``)."""
+    from cianparser_spark.corpus import g711
 
     def _pcm(data: bytes, fmt: str, n: int) -> np.ndarray:
-        if fmt != "pcm_s16le":
+        if fmt == "pcm_s16le":
+            x = np.frombuffer(data, dtype="<i2", count=n).astype(np.float64)
+        elif fmt == "pcm_mulaw":
+            x = g711.ulaw_decode(data[:n]).astype(np.float64)
+        elif fmt == "pcm_alaw":
+            x = g711.alaw_decode(data[:n]).astype(np.float64)
+        else:
             raise NotImplementedError(f"no audio codec for fmt={fmt!r} here")
-        return np.frombuffer(data, dtype="<i2", count=n).astype(np.float64) / 32767.0
+        return x / 32767.0
 
     def run(iterator):
         for pdf in iterator:

@@ -139,6 +139,74 @@ def test_audio_features_and_stub(spark):
     assert all(not r["ok"] for r in rows)
 
 
+def test_g711_codec_bit_exact():
+    """Vectorized mu-law/A-law decode must equal the canonical g711.c
+    scalar tables on every possible byte; encoders must be consistent
+    inverses (the lone exception is mu-law 0x7F, negative zero, which
+    re-encodes to positive zero 0xFF exactly as linear2ulaw(0) does)."""
+    import numpy as np
+
+    from cianparser_spark.corpus import g711
+
+    def ulaw2linear_ref(u):
+        u = ~u & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2linear_ref(a):
+        a ^= 0x55
+        t, seg = (a & 0x0F) << 4, (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    allb = bytes(range(256))
+    assert np.array_equal(
+        g711.ulaw_decode(allb),
+        np.array([ulaw2linear_ref(b) for b in range(256)], dtype=np.int16),
+    )
+    assert np.array_equal(
+        g711.alaw_decode(allb),
+        np.array([alaw2linear_ref(b) for b in range(256)], dtype=np.int16),
+    )
+    ube = np.frombuffer(g711.ulaw_encode(g711.ulaw_decode(allb)), dtype=np.uint8)
+    assert np.array_equal(np.delete(ube, 0x7F), np.delete(np.arange(256, dtype=np.uint8), 0x7F))
+    assert ube[0x7F] == 0xFF and g711.ulaw_decode(bytes([0xFF]))[0] == 0
+    abe = np.frombuffer(g711.alaw_encode(g711.alaw_decode(allb)), dtype=np.uint8)
+    assert np.array_equal(abe, np.arange(256, dtype=np.uint8))
+    # round-trip quantization error is segment-relative-bounded
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, 50000).astype(np.int16)
+    xc = np.clip(x.astype(np.int32), -32635, 32635)
+    eu = np.abs(g711.ulaw_decode(g711.ulaw_encode(x)).astype(np.int32) - xc)
+    assert np.all(eu <= np.maximum(np.abs(xc) // 16, 32))
+    ea = np.abs(g711.alaw_decode(g711.alaw_encode(x)).astype(np.int32) - x.astype(np.int32))
+    assert np.all(ea <= np.maximum(np.abs(x.astype(np.int32)) // 16, 64))
+
+
+def test_audio_features_g711(spark):
+    """G.711-companded clips decode for real through the Spark operator
+    and land within companding error of the raw-PCM features."""
+    from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
+
+    ref = {r["audio_id"]: r for r in
+           audio_features(make_synthetic_audio(spark, n_clips=6, seconds=0.25)).collect()}
+    for fmt in ("pcm_mulaw", "pcm_alaw"):
+        aud = make_synthetic_audio(spark, n_clips=6, seconds=0.25, fmt=fmt)
+        one = aud.limit(1).collect()[0]
+        assert len(bytes(one["bytes"])) == one["n_samples"]  # 1 byte/sample
+        feats = {r["audio_id"]: r for r in audio_features(aud).collect()}
+        assert len(feats) == 6 and all(r["ok"] for r in feats.values())
+        for k, r in feats.items():
+            assert r["dominant_hz"] == ref[k]["dominant_hz"]  # FFT argmax is companding-robust
+            assert abs(r["rms"] - ref[k]["rms"]) < 0.02
+            assert abs(r["zcr"] - ref[k]["zcr"]) < 0.05
+
+
 def test_video_frame_sampling(spark):
     from cianparser_spark.ops.multimodal import frame_sample, make_synthetic_video
 
