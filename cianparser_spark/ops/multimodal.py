@@ -162,9 +162,11 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
     """Synthetic audio rows: deterministic sine mixes keyed by clip id
     with typed metadata — the audio modality's schema/plumbing, no
     external codec required.  ``fmt`` picks the encoding: raw 16-bit
-    PCM (default) or G.711 companded ``pcm_mulaw``/``pcm_alaw``
-    (1 byte/sample, encoded by the pure-numpy corpus.g711 codec)."""
-    from cianparser_spark.corpus import g711
+    PCM (default), G.711 companded ``pcm_mulaw``/``pcm_alaw``
+    (1 byte/sample, encoded by the pure-numpy corpus.g711 codec), or a
+    full RIFF/WAVE container ``wav``/``wav_mulaw``/``wav_alaw`` (the
+    binary column holds an actual .wav file, corpus.riffwav)."""
+    from cianparser_spark.corpus import g711, riffwav
 
     rows = []
     n = int(sr * seconds)
@@ -173,15 +175,19 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
         f0 = 220.0 + 55.0 * (i % 8)
         wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
         pcm16 = (wave * 32767).astype("<i2")
+        col_fmt = fmt
         if fmt == "pcm_s16le":
             data = pcm16.tobytes()
         elif fmt == "pcm_mulaw":
             data = g711.ulaw_encode(pcm16)
         elif fmt == "pcm_alaw":
             data = g711.alaw_encode(pcm16)
+        elif fmt in ("wav", "wav_mulaw", "wav_alaw"):
+            codec = {"wav": "pcm", "wav_mulaw": "mulaw", "wav_alaw": "alaw"}[fmt]
+            data, col_fmt = riffwav.wav_encode(pcm16, sr, codec), "wav"
         else:
             raise ValueError(f"unknown synthetic audio fmt {fmt!r}")
-        rows.append((f"aud{i:04d}", data, sr, n, fmt))
+        rows.append((f"aud{i:04d}", data, sr, n, col_fmt))
     return spark.createDataFrame(
         rows, "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string"
     )
@@ -189,34 +195,39 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
 
 def audio_features(audio: DataFrame) -> DataFrame:
     """Arrow-batched audio decode → (rms, zero-crossing rate, dominant
-    frequency via FFT argmax).  Raw PCM and G.711 mu-law/A-law decode
-    for real (corpus.g711, pure vectorized numpy — bit-exact vs the
-    canonical g711.c tables, see tests/test_ops.py); perceptual codecs
-    (mp3/ogg/flac) are STUBBED: this container has no audio codec
-    libraries, so they yield ok=false rows (documented limitation; a
-    real deployment plugs ffmpeg/soundfile into ``_pcm``)."""
-    from cianparser_spark.corpus import g711
+    frequency via FFT argmax).  Real decode paths: raw PCM, bare G.711
+    mu-law/A-law sample buffers (corpus.g711, pure vectorized numpy —
+    bit-exact vs the canonical g711.c tables, see tests/test_ops.py),
+    and full RIFF/WAVE container files (fmt="wav": corpus.riffwav
+    chunk-walks the container; PCM 8/16-bit + G.711 tags decode, the
+    container's own sample rate wins over the metadata column).
+    Perceptual codecs (mp3/ogg/flac) are STUBBED: this container has
+    no audio codec libraries, so they yield ok=false rows (documented
+    limitation; a real deployment plugs ffmpeg/soundfile in)."""
+    from cianparser_spark.corpus import g711, riffwav
 
-    def _pcm(data: bytes, fmt: str, n: int) -> np.ndarray:
+    def _pcm(data: bytes, fmt: str, n: int, sr: int) -> tuple[np.ndarray, int]:
         if fmt == "pcm_s16le":
-            x = np.frombuffer(data, dtype="<i2", count=n).astype(np.float64)
+            x = np.frombuffer(data, dtype="<i2", count=n).astype(np.float64) / 32767.0
         elif fmt == "pcm_mulaw":
-            x = g711.ulaw_decode(data[:n]).astype(np.float64)
+            x = g711.ulaw_decode(data[:n]).astype(np.float64) / 32767.0
         elif fmt == "pcm_alaw":
-            x = g711.alaw_decode(data[:n]).astype(np.float64)
+            x = g711.alaw_decode(data[:n]).astype(np.float64) / 32767.0
+        elif fmt == "wav":
+            x, sr, _codec = riffwav.wav_parse(data)
         else:
             raise NotImplementedError(f"no audio codec for fmt={fmt!r} here")
-        return x / 32767.0
+        return x, sr
 
     def run(iterator):
         for pdf in iterator:
             out = []
             for r in pdf.itertuples(index=False):
                 try:
-                    x = _pcm(bytes(r.bytes), r.fmt, int(r.n_samples))
+                    x, sr = _pcm(bytes(r.bytes), r.fmt, int(r.n_samples), int(r.sample_rate))
                     zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
                     spec = np.abs(np.fft.rfft(x))
-                    dom = float(np.argmax(spec[1:]) + 1) * r.sample_rate / len(x)
+                    dom = float(np.argmax(spec[1:]) + 1) * sr / len(x)
                     out.append({"audio_id": r.audio_id, "ok": True,
                                 "rms": float(np.sqrt(np.mean(x * x))),
                                 "zcr": zc, "dominant_hz": dom})

@@ -188,6 +188,69 @@ def test_g711_codec_bit_exact():
     assert np.all(ea <= np.maximum(np.abs(x.astype(np.int32)) // 16, 64))
 
 
+def test_riffwav_container():
+    """RIFF/WAVE parse: round-trips every supported codec, survives
+    chunk reordering / unknown chunks / odd-size padding, downmixes
+    multi-channel, and rejects unsupported format tags with
+    NotImplementedError (the operator's ok=false path)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cianparser_spark.corpus import riffwav
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-30000, 30000, 4001).astype(np.int16)  # odd length
+    for codec in ("pcm", "mulaw", "alaw"):
+        data = riffwav.wav_encode(pcm, 8000, codec)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) % 2 == 0
+        x, sr, name = riffwav.wav_parse(data)
+        assert sr == 8000 and name == codec and len(x) == 4001
+        err = np.abs(x * 32767.0 - pcm.astype(np.float64))
+        assert err.max() <= (1.0 if codec == "pcm" else np.maximum(np.abs(pcm) / 16, 64).max())
+    # unknown chunk before fmt, fmt after data: parser must chunk-walk
+    base = riffwav.wav_encode(pcm[:100], 8000, "pcm")
+    fmt_c, data_c = base[12:36], base[36:]
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    reordered = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(data_c) + len(fmt_c)) + b"WAVE" \
+        + junk + data_c + fmt_c
+    x2, _, _ = riffwav.wav_parse(reordered)
+    assert np.array_equal(x2, riffwav.wav_parse(base)[0])
+    # stereo downmix: interleave L=pcm, R=0 → mean = pcm/2
+    inter = np.zeros(200, dtype=np.int16)
+    inter[0::2] = pcm[:100]
+    stereo = riffwav.wav_encode(inter, 8000, "pcm")
+    stereo = stereo.replace(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+                            struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16), 1)
+    xs, _, _ = riffwav.wav_parse(stereo)
+    assert len(xs) == 100 and np.allclose(xs * 32767.0, pcm[:100] / 2.0, atol=0.5)
+    # unsupported tag (IEEE float 0x0003) → NotImplementedError
+    bad = base.replace(struct.pack("<H", 1), struct.pack("<H", 3), 1)
+    with pytest.raises(NotImplementedError):
+        riffwav.wav_parse(bad)
+    with pytest.raises(NotImplementedError):
+        riffwav.wav_parse(b"\x89PNG not audio at all")
+
+
+def test_audio_features_wav_container(spark):
+    """A binary column holding actual .wav files decodes through the
+    Spark operator; the container's sample rate wins (metadata column
+    deliberately poisoned)."""
+    from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
+
+    ref = {r["audio_id"]: r for r in
+           audio_features(make_synthetic_audio(spark, n_clips=4, seconds=0.25)).collect()}
+    for fmt in ("wav", "wav_mulaw", "wav_alaw"):
+        aud = make_synthetic_audio(spark, n_clips=4, seconds=0.25, fmt=fmt) \
+            .withColumn("sample_rate", F.lit(44100))  # poison: container must win
+        feats = {r["audio_id"]: r for r in audio_features(aud).collect()}
+        assert len(feats) == 4 and all(r["ok"] for r in feats.values())
+        for k, r in feats.items():
+            assert r["dominant_hz"] == ref[k]["dominant_hz"]
+            assert abs(r["rms"] - ref[k]["rms"]) < 0.02
+
+
 def test_audio_features_g711(spark):
     """G.711-companded clips decode for real through the Spark operator
     and land within companding error of the raw-PCM features."""
