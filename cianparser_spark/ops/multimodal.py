@@ -241,41 +241,63 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
 
 def make_synthetic_video(spark, n_videos: int = 8, frames: int = 12,
-                         w: int = 32, h: int = 32) -> DataFrame:
-    """Synthetic 'video' rows: length-prefixed concatenated PNG frames
-    (a stand-in container; plumbing, not codec, is the point)."""
+                         w: int = 32, h: int = 32, fmt: str = "pngseq") -> DataFrame:
+    """Synthetic video rows.  ``fmt="pngseq"`` (default): length-prefixed
+    concatenated PNG frames (the simple plumbing fixture).  ``fmt="avi"``:
+    the binary column holds an actual RIFF/AVI file (uncompressed BI_RGB
+    frames, corpus.aviriff) — a real container format end to end."""
     import struct
 
-    from cianparser_spark.corpus import imaging
+    from cianparser_spark.corpus import aviriff, imaging
 
     rows = []
     for v in range(n_videos):
-        blob = b""
-        for f in range(frames):
-            data = imaging.png_encode(imaging.gen_pixels(v * 1000 + f, w, h))
-            blob += struct.pack(">I", len(data)) + data
-        rows.append((f"vid{v:04d}", blob, frames, "pngseq"))
+        px = [imaging.gen_pixels(v * 1000 + f, w, h) for f in range(frames)]
+        if fmt == "pngseq":
+            blob = b"".join(
+                struct.pack(">I", len(d)) + d for d in (imaging.png_encode(p) for p in px)
+            )
+        elif fmt == "avi":
+            blob = aviriff.avi_encode(px, fps=10)
+        else:
+            raise ValueError(f"unknown synthetic video fmt {fmt!r}")
+        rows.append((f"vid{v:04d}", blob, frames, fmt))
     return spark.createDataFrame(rows, "video_id string, bytes binary, n_frames int, fmt string")
 
 
 def frame_sample(videos: DataFrame, every: int = 4) -> DataFrame:
-    """Deterministic 1-in-every frame sampling → one row per kept frame."""
+    """Deterministic 1-in-every frame sampling → one row per kept frame
+    (bytes = PNG).  Real demux paths: the pngseq fixture container and
+    actual RIFF/AVI files (corpus.aviriff — uncompressed BI_RGB frames
+    decode and re-encode to PNG so downstream consumers see one frame
+    format; compressed fourccs like MJPG demux but raise
+    ``NotImplementedError`` at decode, the honest codec boundary)."""
     import struct
+
+    from cianparser_spark.corpus import aviriff, imaging
+
+    def _frames(blob: bytes, fmt: str):
+        if fmt == "pngseq":
+            pos, idx = 0, 0
+            while pos < len(blob):
+                (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+                yield idx, blob[pos + 4 : pos + 4 + ln]
+                pos += 4 + ln
+                idx += 1
+        elif fmt == "avi":
+            meta, raw = aviriff.avi_demux(blob)
+            for idx, fb in enumerate(raw):
+                yield idx, imaging.png_encode(aviriff.dib_decode(fb, meta))
+        else:
+            raise NotImplementedError(f"no demuxer for {fmt!r} here")
 
     def run(iterator):
         for pdf in iterator:
             out = []
             for r in pdf.itertuples(index=False):
-                if r.fmt != "pngseq":
-                    raise NotImplementedError(f"no demuxer for {r.fmt!r} here")
-                blob, pos, idx = bytes(r.bytes), 0, 0
-                while pos < len(blob):
-                    (ln,) = struct.unpack(">I", blob[pos : pos + 4])
-                    frame = blob[pos + 4 : pos + 4 + ln]
+                for idx, frame in _frames(bytes(r.bytes), r.fmt):
                     if idx % every == 0:
                         out.append({"video_id": r.video_id, "frame_index": idx, "bytes": frame})
-                    pos += 4 + ln
-                    idx += 1
             yield pd.DataFrame(out, columns=["video_id", "frame_index", "bytes"])
 
     return videos.mapInPandas(run, "video_id string, frame_index int, bytes binary")
