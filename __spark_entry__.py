@@ -343,6 +343,53 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_wav(spark, sf_dir):
+    """MM2 driver-visible: real RIFF/WAVE container files (PCM + G.711
+    mu-law/A-law format tags) decoded distributed by audio_features vs
+    a pure-Python wav_parse+feature loop (truth.ensure_av_truth)."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
+
+    parts = []
+    for fmt, codec in (("wav", "pcm"), ("wav_mulaw", "mulaw"), ("wav_alaw", "alaw")):
+        aud = make_synthetic_audio(
+            spark, n_clips=truth.AV_AUDIO_CLIPS, seconds=0.25, fmt=fmt)
+        parts.append(audio_features(aud).withColumn("codec", F.lit(codec)))
+    df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return df.select(
+        "codec", "audio_id", "ok",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("dominant_hz", 6).alias("dominant_hz"),
+    ).orderBy("codec", "audio_id")
+
+
+def q_multimodal_video_avi(spark, sf_dir):
+    """MM3 driver-visible: real RIFF/AVI files demuxed + BI_RGB frames
+    decoded distributed (frame_sample → decode_features) vs a
+    pure-Python avi_demux+dib_decode loop (truth.ensure_av_truth)."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import (
+        decode_features, frame_sample, make_synthetic_video)
+
+    vids = make_synthetic_video(
+        spark, n_videos=truth.AV_VIDEO_N, frames=truth.AV_VIDEO_FRAMES, fmt="avi")
+    frames = frame_sample(vids, every=truth.AV_FRAME_EVERY)
+    imgs = frames.select(
+        F.concat_ws("#", "video_id", F.col("frame_index").cast("string")).alias("image_id"),
+        "bytes", F.lit("png").alias("fmt"))
+    return (
+        decode_features(imgs)
+        .withColumn("video_id", F.split("image_id", "#")[0])
+        .withColumn("frame_index", F.split("image_id", "#")[1].cast("long"))
+        .select("video_id", "frame_index",
+                F.round("mean_luma", 4).alias("mean_luma"),
+                F.round("std_luma", 4).alias("std_luma"),
+                F.round("edge_energy", 4).alias("edge_energy"))
+        .orderBy("video_id", "frame_index")
+    )
+
+
 def q_text_token_count(spark, sf_dir):
     from cianparser_spark.ops.text import token_count
 
@@ -1276,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio_wav": q_multimodal_audio_wav,
+        "multimodal_video_avi": q_multimodal_video_avi,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1422,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
     a5_cap = max(1, _webgen.PAGE_SIZE
                  * int(_a5_seed.additional_settings["end_page"]))
     payload_path = truth.ensure_payload_truth()
+    av_audio_path, av_video_path = truth.ensure_av_truth()
     shard_truth_path = truth.ensure_shard_manifest_truth()
     tiles_truth_path = truth.ensure_image_tiles_truth()
     link_graph_path = truth.ensure_link_graph_truth()
@@ -1747,6 +1797,20 @@ def oracle_sql() -> dict[str, str]:
                    round(edge_energy, 4) AS edge_energy
             FROM read_parquet('{payload_path}')
             ORDER BY image_id
+        """,
+        # MM2: real WAV container decode (PCM + G.711 tags) vs the
+        # pure-Python wav_parse+feature truth loop
+        "multimodal_audio_wav": f"""
+            SELECT codec, audio_id, ok, rms, zcr, dominant_hz
+            FROM read_parquet('{av_audio_path}')
+            ORDER BY codec, audio_id
+        """,
+        # MM3: real AVI demux + BI_RGB frame decode vs the pure-Python
+        # avi_demux+dib_decode truth loop
+        "multimodal_video_avi": f"""
+            SELECT video_id, frame_index, mean_luma, std_luma, edge_energy
+            FROM read_parquet('{av_video_path}')
+            ORDER BY video_id, frame_index
         """,
         # the sequential reference-semantics simulator's offers, in
         # crawl order, with corpus-ground-truth image ids — the

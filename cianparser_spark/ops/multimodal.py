@@ -157,6 +157,28 @@ def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") 
     )
 
 
+def synth_pcm16(i: int, sr: int, n: int) -> np.ndarray:
+    """Deterministic clip-``i`` waveform (sine mix keyed by clip id) —
+    the shared per-clip definition used by the Spark fixture builder
+    below and by the oracle truth dump (truth.ensure_av_truth), so the
+    driver's DuckDB compare verifies the distributed container decode
+    end to end."""
+    t = np.arange(n) / sr
+    f0 = 220.0 + 55.0 * (i % 8)
+    wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+    return (wave * 32767).astype("<i2")
+
+
+def audio_feature_dict(x: np.ndarray, sr: int) -> dict:
+    """(rms, zero-crossing rate, dominant frequency via FFT argmax) of
+    normalized samples — shared between the Spark operator and the
+    oracle truth dump."""
+    zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
+    spec = np.abs(np.fft.rfft(x))
+    dom = float(np.argmax(spec[1:]) + 1) * sr / len(x)
+    return {"rms": float(np.sqrt(np.mean(x * x))), "zcr": zc, "dominant_hz": dom}
+
+
 def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
                          seconds: float = 0.5, fmt: str = "pcm_s16le") -> DataFrame:
     """Synthetic audio rows: deterministic sine mixes keyed by clip id
@@ -170,11 +192,8 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
 
     rows = []
     n = int(sr * seconds)
-    t = np.arange(n) / sr
     for i in range(n_clips):
-        f0 = 220.0 + 55.0 * (i % 8)
-        wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
-        pcm16 = (wave * 32767).astype("<i2")
+        pcm16 = synth_pcm16(i, sr, n)
         col_fmt = fmt
         if fmt == "pcm_s16le":
             data = pcm16.tobytes()
@@ -225,12 +244,8 @@ def audio_features(audio: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     x, sr = _pcm(bytes(r.bytes), r.fmt, int(r.n_samples), int(r.sample_rate))
-                    zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
-                    spec = np.abs(np.fft.rfft(x))
-                    dom = float(np.argmax(spec[1:]) + 1) * sr / len(x)
                     out.append({"audio_id": r.audio_id, "ok": True,
-                                "rms": float(np.sqrt(np.mean(x * x))),
-                                "zcr": zc, "dominant_hz": dom})
+                                **audio_feature_dict(x, sr)})
                 except NotImplementedError:
                     out.append({"audio_id": r.audio_id, "ok": False,
                                 "rms": None, "zcr": None, "dominant_hz": None})

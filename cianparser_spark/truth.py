@@ -623,6 +623,57 @@ def ensure_payload_truth(n: int = PAYLOAD_N) -> str:
     return _write_parquet(pd.DataFrame(out), path)
 
 
+AV_AUDIO_CLIPS = 8          # per codec; × 3 codecs = 24 rows
+AV_VIDEO_N = 6
+AV_VIDEO_FRAMES = 12
+AV_FRAME_EVERY = 3
+
+
+def ensure_av_truth() -> tuple[str, str]:
+    """Ground truth for the compressed A/V container paths: a plain
+    pure-Python loop encodes each deterministic clip into a real WAV
+    (PCM / G.711 mu-law / A-law) or a real AVI (BI_RGB), parses the
+    container back and computes the same feature math the distributed
+    operators use (ops.multimodal.audio_feature_dict / image_features)
+    — so a DuckDB compare against these tables verifies the Spark-side
+    demux+decode end to end, driver-visible."""
+    apath, vpath = _path("av_audio"), _path("av_video")
+    if os.path.exists(apath) and os.path.exists(vpath):
+        return apath, vpath
+    import pandas as pd
+
+    from cianparser_spark.corpus import aviriff, imaging, riffwav
+    from cianparser_spark.ops.multimodal import (
+        audio_feature_dict, image_features, synth_pcm16)
+
+    sr, n = 8000, 2000  # 0.25 s clips, matching the Spark fixture
+    arows = []
+    for codec in ("pcm", "mulaw", "alaw"):
+        for i in range(AV_AUDIO_CLIPS):
+            wav = riffwav.wav_encode(synth_pcm16(i, sr, n), sr, codec)
+            x, got_sr, got_codec = riffwav.wav_parse(wav)
+            assert got_sr == sr and got_codec == codec
+            arows.append({"codec": codec, "audio_id": f"aud{i:04d}", "ok": True,
+                          **{k: round(v, 6)
+                             for k, v in audio_feature_dict(x, got_sr).items()}})
+    _write_parquet(pd.DataFrame(arows), apath)
+
+    vrows = []
+    for v in range(AV_VIDEO_N):
+        px = [imaging.gen_pixels(v * 1000 + f, 32, 32) for f in range(AV_VIDEO_FRAMES)]
+        meta, raw = aviriff.avi_demux(aviriff.avi_encode(px, fps=10))
+        for f in range(0, AV_VIDEO_FRAMES, AV_FRAME_EVERY):
+            decoded = aviriff.dib_decode(raw[f], meta)
+            assert (decoded == px[f]).all()
+            feats = image_features(decoded)
+            vrows.append({"video_id": f"vid{v:04d}", "frame_index": f,
+                          "mean_luma": round(feats["mean_luma"], 4),
+                          "std_luma": round(feats["std_luma"], 4),
+                          "edge_energy": round(feats["edge_energy"], 4)})
+    _write_parquet(pd.DataFrame(vrows), vpath)
+    return apath, vpath
+
+
 def ensure_shard_manifest_truth(n: int = PAYLOAD_N) -> str:
     """Export-shard oracle INPUT: (image_id, n_bytes, phash) per image,
     with ``n_bytes`` the length of the PURE-PYTHON encoder's output in
