@@ -365,28 +365,35 @@ def q_multimodal_audio_wav(spark, sf_dir):
 
 
 def q_multimodal_video_avi(spark, sf_dir):
-    """MM3 driver-visible: real RIFF/AVI files demuxed + BI_RGB frames
-    decoded distributed (frame_sample → decode_features) vs a
-    pure-Python avi_demux+dib_decode loop (truth.ensure_av_truth)."""
+    """MM3 driver-visible: real RIFF/AVI files — both classic BI_RGB
+    and Motion-JPEG (per-frame baseline JFIF, corpus/jpegbase.py) —
+    demuxed + decoded distributed (frame_sample → decode_features) vs a
+    pure-Python avi_demux+frame_decode loop (truth.ensure_av_truth)."""
     from cianparser_spark import truth
     from cianparser_spark.ops.multimodal import (
         decode_features, frame_sample, make_synthetic_video)
 
-    vids = make_synthetic_video(
-        spark, n_videos=truth.AV_VIDEO_N, frames=truth.AV_VIDEO_FRAMES, fmt="avi")
-    frames = frame_sample(vids, every=truth.AV_FRAME_EVERY)
-    imgs = frames.select(
-        F.concat_ws("#", "video_id", F.col("frame_index").cast("string")).alias("image_id"),
-        "bytes", F.lit("png").alias("fmt"))
+    parts = []
+    for fmt, codec in (("avi", "dib"), ("mjpg", "mjpg")):
+        vids = make_synthetic_video(
+            spark, n_videos=truth.AV_VIDEO_N,
+            frames=truth.AV_VIDEO_FRAMES, fmt=fmt)
+        frames = frame_sample(vids, every=truth.AV_FRAME_EVERY)
+        imgs = frames.select(
+            F.concat_ws("#", "video_id",
+                        F.col("frame_index").cast("string")).alias("image_id"),
+            "bytes", F.lit("png").alias("fmt"))
+        parts.append(decode_features(imgs).withColumn("codec", F.lit(codec)))
+    df = parts[0].unionByName(parts[1])
     return (
-        decode_features(imgs)
+        df
         .withColumn("video_id", F.split("image_id", "#")[0])
         .withColumn("frame_index", F.split("image_id", "#")[1].cast("long"))
-        .select("video_id", "frame_index",
+        .select("codec", "video_id", "frame_index",
                 F.round("mean_luma", 4).alias("mean_luma"),
                 F.round("std_luma", 4).alias("std_luma"),
                 F.round("edge_energy", 4).alias("edge_energy"))
-        .orderBy("video_id", "frame_index")
+        .orderBy("codec", "video_id", "frame_index")
     )
 
 
@@ -1805,12 +1812,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{av_audio_path}')
             ORDER BY codec, audio_id
         """,
-        # MM3: real AVI demux + BI_RGB frame decode vs the pure-Python
-        # avi_demux+dib_decode truth loop
+        # MM3: real AVI demux + BI_RGB and Motion-JPEG frame decode vs
+        # the pure-Python avi_demux+frame_decode truth loop
         "multimodal_video_avi": f"""
-            SELECT video_id, frame_index, mean_luma, std_luma, edge_energy
+            SELECT codec, video_id, frame_index,
+                   mean_luma, std_luma, edge_energy
             FROM read_parquet('{av_video_path}')
-            ORDER BY video_id, frame_index
+            ORDER BY codec, video_id, frame_index
         """,
         # the sequential reference-semantics simulator's offers, in
         # crawl order, with corpus-ground-truth image ids — the

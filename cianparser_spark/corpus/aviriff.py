@@ -7,13 +7,15 @@ demuxer chunk-walks the RIFF tree per the public AVI spec: ``hdrl``
 metadata, ``movi`` for the frame stream (``##db``/``##dc`` chunks of
 the video stream, word-aligned), ``idx1`` ignored.  Frame DECODE is
 real for uncompressed DIB video (``BITMAPINFOHEADER.biCompression ==
-BI_RGB``, 24-bit, bottom-up BGR rows — the classic raw AVI): pure
-numpy to an (h, w, 3) RGB array.  Compressed fourccs (MJPG, XVID, …)
-demux fine but raise ``NotImplementedError`` at decode — those need
-external codec libraries this container doesn't have.
+BI_RGB``, 24-bit, bottom-up BGR rows — the classic raw AVI) and for
+Motion JPEG (``MJPG`` fourcc: each frame is a standalone baseline
+JFIF image, decoded by corpus/jpegbase.py).  Other compressed fourccs
+(XVID, …) demux fine but raise ``NotImplementedError`` at decode —
+those need external codec libraries this container doesn't have.
 
-The encoder writes a minimal valid single-video-stream BI_RGB AVI so
-synthetic fixtures are self-contained and round-trip testable.
+The encoder writes a minimal valid single-video-stream AVI (BI_RGB or
+MJPG) so synthetic fixtures are self-contained and round-trip
+testable.
 """
 
 from __future__ import annotations
@@ -45,30 +47,50 @@ def _list(ltype: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", ltype + body)
 
 
-def avi_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """(h, w, 3) uint8 RGB frames -> minimal BI_RGB AVI file bytes."""
+BI_MJPG = struct.unpack("<I", b"MJPG")[0]  # mmioFOURCC('M','J','P','G')
+
+
+def avi_encode(frames: list[np.ndarray], fps: int = 10,
+               codec: str = "dib") -> bytes:
+    """(h, w, 3) uint8 RGB frames -> minimal single-video-stream AVI.
+
+    codec="dib" writes classic uncompressed BI_RGB bottom-up BGR frames
+    ("00db" chunks); codec="mjpg" writes Motion JPEG — one real
+    baseline JFIF image per frame (corpus/jpegbase.py) in "00dc"
+    chunks with biCompression = 'MJPG', the standard MJPG AVI layout.
+    """
     h, w, _ = frames[0].shape
     row = (w * 3 + 3) & ~3  # DIB rows pad to 4 bytes
-    frame_sz = row * h
 
-    def dib(px: np.ndarray) -> bytes:
-        bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR channel order
-        out = np.zeros((h, row), dtype=np.uint8)
-        out[:, : w * 3] = bgr.reshape(h, w * 3)
-        return out.tobytes()
+    if codec == "dib":
+        def enc(px: np.ndarray) -> bytes:
+            bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+            out = np.zeros((h, row), dtype=np.uint8)
+            out[:, : w * 3] = bgr.reshape(h, w * 3)
+            return out.tobytes()
+        fourcc, comp, chunk_id = b"DIB ", BI_RGB, b"00db"
+    elif codec == "mjpg":
+        from cianparser_spark.corpus import jpegbase
 
+        enc = jpegbase.encode
+        fourcc, comp, chunk_id = b"MJPG", BI_MJPG, b"00dc"
+    else:
+        raise NotImplementedError(f"unknown AVI codec {codec!r}")
+
+    payloads = [enc(px) for px in frames]
+    frame_sz = max(len(p) for p in payloads)
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps, frame_sz * fps, 0, 0x10, len(frames), 0, 1, frame_sz, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_sz, 0, 0, 0, 0, w, h,
+        b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, len(frames), frame_sz, 0, 0, 0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, BI_RGB, frame_sz, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_sz, 0, 0, 0, 0)
     hdrl = _list(b"hdrl", _chunk(b"avih", avih)
                  + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
-    movi = _list(b"movi", b"".join(_chunk(b"00db", dib(px)) for px in frames))
+    movi = _list(b"movi", b"".join(_chunk(chunk_id, p) for p in payloads))
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
@@ -110,6 +132,18 @@ def avi_demux(data: bytes) -> tuple[AviMeta, list[bytes]]:
     if not seen_video_strl or meta["compression"] == -1:
         raise NotImplementedError("AVI missing a video stream header")
     return AviMeta(**meta), frames
+
+
+def frame_decode(frame: bytes, meta: AviMeta) -> np.ndarray:
+    """Demuxed frame payload -> (h, w, 3) uint8 RGB, dispatching on the
+    stream's codec: BI_RGB raw DIB and MJPG (per-frame baseline JPEG,
+    corpus/jpegbase.py) are real; other fourccs (XVID, …) raise
+    ``NotImplementedError`` loudly."""
+    if meta.compression == BI_MJPG or meta.fourcc in (b"MJPG", b"mjpg"):
+        from cianparser_spark.corpus import jpegbase
+
+        return jpegbase.decode(frame)
+    return dib_decode(frame, meta)
 
 
 def dib_decode(frame: bytes, meta: AviMeta) -> np.ndarray:

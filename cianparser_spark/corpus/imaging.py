@@ -7,13 +7,15 @@ not available in this environment, so:
 * ``png``  — a real, spec-conformant PNG encoder/decoder implemented on
   ``zlib`` + ``struct`` (8-bit RGB, filter 0).  Lossless: decode is
   bit-exact.
-* ``qjpg`` — a DETERMINISTIC LOSSY STAND-IN for JPEG: channel
-  quantization to step 4 wrapped around the PNG container with a QJPG
-  magic.  It is NOT JPEG; it exists so the lossy path (PSNR >= 40 dB
-  allclose instead of bit-equality) is exercised end-to-end with the
-  same schema, UDF signatures and batch shapes a real JPEG decode
-  would use.  Swap ``decode``/``encode`` for PIL/libjpeg on a real
-  cluster; nothing else changes.
+* ``jpeg`` — a REAL baseline JPEG codec (ITU-T T.81 sequential DCT,
+  4:4:4, Annex-K tables) implemented in corpus/jpegbase.py on pure
+  numpy + stdlib; emits genuine JFIF bytes any standard decoder reads.
+  Round-trip PSNR >= 43 dB at the default quality (the input_hint's
+  lossy allclose bar is 40 dB).
+* ``qjpg`` — the round-2 DETERMINISTIC LOSSY STAND-IN (channel
+  quantization to step 4 in a magic-prefixed PNG container), kept for
+  decode compatibility with previously-materialized payloads; the
+  ``jpeg`` slot no longer uses it.
 
 Perceptual hash: 64-bit dHash (horizontal gradient sign over an 8x9
 mean-pooled grayscale), returned as signed int64 to fit the table's
@@ -100,7 +102,10 @@ def qjpg_decode(data: bytes) -> np.ndarray:
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(pixels)
-    if fmt in ("qjpg", "jpeg"):  # "jpeg" slot uses the stand-in codec here
+    if fmt == "jpeg":
+        from cianparser_spark.corpus import jpegbase
+        return jpegbase.encode(pixels)
+    if fmt == "qjpg":
         return qjpg_encode(pixels)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
@@ -109,7 +114,12 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt in ("qjpg", "jpeg"):
-        return qjpg_decode(data)
+        # "jpeg" rows materialized before the real codec landed carry
+        # QJPG-magic bytes; dispatch on content so both decode.
+        if data[:4] == QJPG_MAGIC:
+            return qjpg_decode(data)
+        from cianparser_spark.corpus import jpegbase
+        return jpegbase.decode(data)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 

@@ -4,8 +4,10 @@ Images/audio/video are carried as ``binary`` columns with typed
 metadata (w/h/fmt/...).  The Spark-side plumbing — schema, Arrow batch
 shape, partitioning, late materialization of bytes — is real and
 tested; decode for formats this container has no codec for is STUBBED
-behind ``NotImplementedError`` (clearly marked), while png/qjpg decode
-is fully real (cianparser_spark.corpus.imaging).
+behind ``NotImplementedError`` (clearly marked), while png decode,
+real baseline JPEG (corpus.jpegbase), the legacy qjpg stand-in, WAV/
+G.711 audio and BI_RGB/MJPG AVI video are fully real
+(cianparser_spark.corpus.*).
 
 Operators:
 * decode_features — decode → (mean/std luma, edge energy) features
@@ -260,7 +262,8 @@ def make_synthetic_video(spark, n_videos: int = 8, frames: int = 12,
     """Synthetic video rows.  ``fmt="pngseq"`` (default): length-prefixed
     concatenated PNG frames (the simple plumbing fixture).  ``fmt="avi"``:
     the binary column holds an actual RIFF/AVI file (uncompressed BI_RGB
-    frames, corpus.aviriff) — a real container format end to end."""
+    frames, corpus.aviriff).  ``fmt="mjpg"``: a real Motion-JPEG AVI —
+    each frame a standalone baseline JFIF image (corpus.jpegbase)."""
     import struct
 
     from cianparser_spark.corpus import aviriff, imaging
@@ -274,6 +277,8 @@ def make_synthetic_video(spark, n_videos: int = 8, frames: int = 12,
             )
         elif fmt == "avi":
             blob = aviriff.avi_encode(px, fps=10)
+        elif fmt == "mjpg":
+            blob = aviriff.avi_encode(px, fps=10, codec="mjpg")
         else:
             raise ValueError(f"unknown synthetic video fmt {fmt!r}")
         rows.append((f"vid{v:04d}", blob, frames, fmt))
@@ -282,11 +287,13 @@ def make_synthetic_video(spark, n_videos: int = 8, frames: int = 12,
 
 def frame_sample(videos: DataFrame, every: int = 4) -> DataFrame:
     """Deterministic 1-in-every frame sampling → one row per kept frame
-    (bytes = PNG).  Real demux paths: the pngseq fixture container and
-    actual RIFF/AVI files (corpus.aviriff — uncompressed BI_RGB frames
-    decode and re-encode to PNG so downstream consumers see one frame
-    format; compressed fourccs like MJPG demux but raise
-    ``NotImplementedError`` at decode, the honest codec boundary)."""
+    (bytes = PNG).  Real demux+decode paths: the pngseq fixture
+    container and actual RIFF/AVI files (corpus.aviriff) with either
+    uncompressed BI_RGB frames or Motion-JPEG (per-frame baseline JPEG,
+    corpus.jpegbase) — frames decode and re-encode to PNG so downstream
+    consumers see one frame format.  Other compressed fourccs (XVID, …)
+    demux but raise ``NotImplementedError`` at decode, the honest codec
+    boundary."""
     import struct
 
     from cianparser_spark.corpus import aviriff, imaging
@@ -299,10 +306,10 @@ def frame_sample(videos: DataFrame, every: int = 4) -> DataFrame:
                 yield idx, blob[pos + 4 : pos + 4 + ln]
                 pos += 4 + ln
                 idx += 1
-        elif fmt == "avi":
+        elif fmt in ("avi", "mjpg"):
             meta, raw = aviriff.avi_demux(blob)
             for idx, fb in enumerate(raw):
-                yield idx, imaging.png_encode(aviriff.dib_decode(fb, meta))
+                yield idx, imaging.png_encode(aviriff.frame_decode(fb, meta))
         else:
             raise NotImplementedError(f"no demuxer for {fmt!r} here")
 

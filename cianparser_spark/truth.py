@@ -29,7 +29,10 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 7  # bump to invalidate previously dumped truth files
+_VERSION = 8  # bump to invalidate previously dumped truth files
+# (v8: the "jpeg" slot switched from the qjpg stand-in to the real
+# baseline JPEG codec — every truth embedding jpeg bytes/sizes/psnr
+# changes)
 
 
 def _path(name: str) -> str:
@@ -659,17 +662,24 @@ def ensure_av_truth() -> tuple[str, str]:
     _write_parquet(pd.DataFrame(arows), apath)
 
     vrows = []
-    for v in range(AV_VIDEO_N):
-        px = [imaging.gen_pixels(v * 1000 + f, 32, 32) for f in range(AV_VIDEO_FRAMES)]
-        meta, raw = aviriff.avi_demux(aviriff.avi_encode(px, fps=10))
-        for f in range(0, AV_VIDEO_FRAMES, AV_FRAME_EVERY):
-            decoded = aviriff.dib_decode(raw[f], meta)
-            assert (decoded == px[f]).all()
-            feats = image_features(decoded)
-            vrows.append({"video_id": f"vid{v:04d}", "frame_index": f,
-                          "mean_luma": round(feats["mean_luma"], 4),
-                          "std_luma": round(feats["std_luma"], 4),
-                          "edge_energy": round(feats["edge_energy"], 4)})
+    for codec in ("dib", "mjpg"):
+        for v in range(AV_VIDEO_N):
+            px = [imaging.gen_pixels(v * 1000 + f, 32, 32)
+                  for f in range(AV_VIDEO_FRAMES)]
+            meta, raw = aviriff.avi_demux(
+                aviriff.avi_encode(px, fps=10, codec=codec))
+            for f in range(0, AV_VIDEO_FRAMES, AV_FRAME_EVERY):
+                decoded = aviriff.frame_decode(raw[f], meta)
+                if codec == "dib":
+                    assert (decoded == px[f]).all()
+                else:  # real Motion-JPEG: lossy but >= 40 dB
+                    assert imaging.psnr(decoded, px[f]) >= 40.0
+                feats = image_features(decoded)
+                vrows.append({"codec": codec,
+                              "video_id": f"vid{v:04d}", "frame_index": f,
+                              "mean_luma": round(feats["mean_luma"], 4),
+                              "std_luma": round(feats["std_luma"], 4),
+                              "edge_energy": round(feats["edge_energy"], 4)})
     _write_parquet(pd.DataFrame(vrows), vpath)
     return apath, vpath
 

@@ -565,3 +565,37 @@ def test_pii_scrub_patterns_and_precedence(spark):
     assert got[5] == {"doc_id": 5, "n_email": 0, "n_ip": 0, "n_cc": 0,
                       "n_phone": 0, "scrubbed": "clean text, nothing to scrub"}
     assert got[6]["scrubbed"] == "mixed [EMAIL] [IP] [CC] [PHONE] end"
+
+
+def test_video_mjpg_container(spark):
+    """A real Motion-JPEG AVI (per-frame baseline JFIF, corpus.jpegbase)
+    demuxes AND decodes through the Spark operator: sampled frames come
+    back PSNR>=40 vs the generator pixels.  XVID stays the honest
+    NotImplementedError boundary."""
+    import numpy as np
+    import pytest
+
+    from cianparser_spark.corpus import aviriff, imaging
+    from cianparser_spark.ops.multimodal import frame_sample, make_synthetic_video
+
+    vids = make_synthetic_video(spark, n_videos=2, frames=8, fmt="mjpg")
+    rows = frame_sample(vids, every=4).collect()
+    assert len(rows) == 2 * 2 and {r["frame_index"] for r in rows} == {0, 4}
+    for r in rows:
+        v = int(r["video_id"][3:])
+        want = imaging.gen_pixels(v * 1000 + r["frame_index"], 32, 32)
+        got = imaging.png_decode(bytes(r["bytes"]))
+        assert got.shape == want.shape
+        assert imaging.psnr(want, got) >= 40.0
+    # pure-python twin agrees: demux + frame_decode matches directly
+    px = [imaging.gen_pixels(i + 7, 24, 20) for i in range(3)]
+    blob = aviriff.avi_encode(px, fps=10, codec="mjpg")
+    meta, raw = aviriff.avi_demux(blob)
+    assert meta.fourcc == b"MJPG" and len(raw) == 3
+    for i in range(3):
+        assert imaging.psnr(aviriff.frame_decode(raw[i], meta), px[i]) >= 40.0
+    # an unknown compressed fourcc still refuses to decode
+    xvid_meta = aviriff.AviMeta(**{**meta.__dict__, "fourcc": b"XVID",
+                                   "compression": 0x44495658})
+    with pytest.raises(NotImplementedError):
+        aviriff.frame_decode(raw[0], xvid_meta)
