@@ -344,18 +344,24 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_multimodal_audio_wav(spark, sf_dir):
-    """MM2 driver-visible: real RIFF/WAVE container files (PCM + G.711
-    mu-law/A-law format tags) decoded distributed by audio_features vs
-    a pure-Python wav_parse+feature loop (truth.ensure_av_truth)."""
+    """MM2 driver-visible: real RIFF/WAVE container files — PCM,
+    G.711 mu-law/A-law, IEEE float-32, IMA ADPCM and MS ADPCM format
+    tags (the ADPCM decode vectorized across blocks) — decoded
+    distributed by audio_features vs a pure-Python wav_parse+feature
+    loop (truth.ensure_av_truth)."""
+    from functools import reduce
+
     from cianparser_spark import truth
     from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
 
     parts = []
-    for fmt, codec in (("wav", "pcm"), ("wav_mulaw", "mulaw"), ("wav_alaw", "alaw")):
+    for fmt, codec in (("wav", "pcm"), ("wav_mulaw", "mulaw"),
+                       ("wav_alaw", "alaw"), ("wav_f32", "f32"),
+                       ("wav_ima", "ima"), ("wav_ms", "ms")):
         aud = make_synthetic_audio(
             spark, n_clips=truth.AV_AUDIO_CLIPS, seconds=0.25, fmt=fmt)
         parts.append(audio_features(aud).withColumn("codec", F.lit(codec)))
-    df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    df = reduce(lambda a, b: a.unionByName(b), parts)
     return df.select(
         "codec", "audio_id", "ok",
         F.round("rms", 6).alias("rms"),

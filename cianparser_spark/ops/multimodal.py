@@ -5,8 +5,9 @@ metadata (w/h/fmt/...).  The Spark-side plumbing — schema, Arrow batch
 shape, partitioning, late materialization of bytes — is real and
 tested; decode for formats this container has no codec for is STUBBED
 behind ``NotImplementedError`` (clearly marked), while png decode,
-real baseline JPEG (corpus.jpegbase), the legacy qjpg stand-in, WAV/
-G.711 audio and BI_RGB/MJPG AVI video are fully real
+real baseline JPEG (corpus.jpegbase), BMP + GIF (corpus.bmpgif, real
+LZW), the legacy qjpg stand-in, WAV audio (PCM / G.711 / IEEE float /
+IMA+MS ADPCM) and BI_RGB/MJPG AVI video are fully real
 (cianparser_spark.corpus.*).
 
 Operators:
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 
 from . import spread
 
-SUPPORTED_FMTS = ("png", "qjpg", "jpeg")
+SUPPORTED_FMTS = ("png", "qjpg", "jpeg", "bmp", "gif")
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:
@@ -188,8 +189,10 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
     external codec required.  ``fmt`` picks the encoding: raw 16-bit
     PCM (default), G.711 companded ``pcm_mulaw``/``pcm_alaw``
     (1 byte/sample, encoded by the pure-numpy corpus.g711 codec), or a
-    full RIFF/WAVE container ``wav``/``wav_mulaw``/``wav_alaw`` (the
-    binary column holds an actual .wav file, corpus.riffwav)."""
+    full RIFF/WAVE container ``wav``/``wav_mulaw``/``wav_alaw``/
+    ``wav_f32``/``wav_ima``/``wav_ms`` (the binary column holds an
+    actual .wav file, corpus.riffwav — PCM, G.711, IEEE-float, IMA
+    ADPCM and MS ADPCM format tags respectively)."""
     from cianparser_spark.corpus import g711, riffwav
 
     rows = []
@@ -203,8 +206,9 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
             data = g711.ulaw_encode(pcm16)
         elif fmt == "pcm_alaw":
             data = g711.alaw_encode(pcm16)
-        elif fmt in ("wav", "wav_mulaw", "wav_alaw"):
-            codec = {"wav": "pcm", "wav_mulaw": "mulaw", "wav_alaw": "alaw"}[fmt]
+        elif fmt in ("wav", "wav_mulaw", "wav_alaw", "wav_f32", "wav_ima", "wav_ms"):
+            codec = {"wav": "pcm", "wav_mulaw": "mulaw", "wav_alaw": "alaw",
+                     "wav_f32": "f32", "wav_ima": "ima", "wav_ms": "ms"}[fmt]
             data, col_fmt = riffwav.wav_encode(pcm16, sr, codec), "wav"
         else:
             raise ValueError(f"unknown synthetic audio fmt {fmt!r}")
@@ -220,10 +224,12 @@ def audio_features(audio: DataFrame) -> DataFrame:
     mu-law/A-law sample buffers (corpus.g711, pure vectorized numpy —
     bit-exact vs the canonical g711.c tables, see tests/test_ops.py),
     and full RIFF/WAVE container files (fmt="wav": corpus.riffwav
-    chunk-walks the container; PCM 8/16-bit + G.711 tags decode, the
-    container's own sample rate wins over the metadata column).
-    Perceptual codecs (mp3/ogg/flac) are STUBBED: this container has
-    no audio codec libraries, so they yield ok=false rows (documented
+    chunk-walks the container; PCM 8/16-bit, IEEE float-32, G.711
+    mu-law/A-law, IMA ADPCM and MS ADPCM format tags all decode —
+    the ADPCM paths vectorized ACROSS blocks — and the container's
+    own sample rate wins over the metadata column).  Perceptual
+    codecs (mp3/ogg/flac) are STUBBED: this container has no audio
+    codec libraries, so they yield ok=false rows (documented
     limitation; a real deployment plugs ffmpeg/soundfile in)."""
     from cianparser_spark.corpus import g711, riffwav
 

@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 8  # bump to invalidate previously dumped truth files
+_VERSION = 9  # bump to invalidate previously dumped truth files
 # (v8: the "jpeg" slot switched from the qjpg stand-in to the real
 # baseline JPEG codec — every truth embedding jpeg bytes/sizes/psnr
 # changes)
@@ -626,7 +626,7 @@ def ensure_payload_truth(n: int = PAYLOAD_N) -> str:
     return _write_parquet(pd.DataFrame(out), path)
 
 
-AV_AUDIO_CLIPS = 8          # per codec; × 3 codecs = 24 rows
+AV_AUDIO_CLIPS = 8          # per codec; × 6 codecs = 48 rows
 AV_VIDEO_N = 6
 AV_VIDEO_FRAMES = 12
 AV_FRAME_EVERY = 3
@@ -635,7 +635,8 @@ AV_FRAME_EVERY = 3
 def ensure_av_truth() -> tuple[str, str]:
     """Ground truth for the compressed A/V container paths: a plain
     pure-Python loop encodes each deterministic clip into a real WAV
-    (PCM / G.711 mu-law / A-law) or a real AVI (BI_RGB), parses the
+    (PCM / G.711 mu-law / A-law / IEEE float-32 / IMA ADPCM / MS
+    ADPCM) or a real AVI (BI_RGB / Motion-JPEG), parses the
     container back and computes the same feature math the distributed
     operators use (ops.multimodal.audio_feature_dict / image_features)
     — so a DuckDB compare against these tables verifies the Spark-side
@@ -651,11 +652,13 @@ def ensure_av_truth() -> tuple[str, str]:
 
     sr, n = 8000, 2000  # 0.25 s clips, matching the Spark fixture
     arows = []
-    for codec in ("pcm", "mulaw", "alaw"):
+    parsed_name = {"pcm": "pcm", "mulaw": "mulaw", "alaw": "alaw",
+                   "f32": "f32", "ima": "ima_adpcm", "ms": "ms_adpcm"}
+    for codec in ("pcm", "mulaw", "alaw", "f32", "ima", "ms"):
         for i in range(AV_AUDIO_CLIPS):
             wav = riffwav.wav_encode(synth_pcm16(i, sr, n), sr, codec)
             x, got_sr, got_codec = riffwav.wav_parse(wav)
-            assert got_sr == sr and got_codec == codec
+            assert got_sr == sr and got_codec == parsed_name[codec]
             arows.append({"codec": codec, "audio_id": f"aud{i:04d}", "ok": True,
                           **{k: round(v, 6)
                              for k, v in audio_feature_dict(x, got_sr).items()}})

@@ -225,8 +225,8 @@ def test_riffwav_container():
                             struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16), 1)
     xs, _, _ = riffwav.wav_parse(stereo)
     assert len(xs) == 100 and np.allclose(xs * 32767.0, pcm[:100] / 2.0, atol=0.5)
-    # unsupported tag (IEEE float 0x0003) → NotImplementedError
-    bad = base.replace(struct.pack("<H", 1), struct.pack("<H", 3), 1)
+    # unsupported tag (MP3-in-WAV 0x0055) → NotImplementedError
+    bad = base.replace(struct.pack("<H", 1), struct.pack("<H", 0x55), 1)
     with pytest.raises(NotImplementedError):
         riffwav.wav_parse(bad)
     with pytest.raises(NotImplementedError):
@@ -599,3 +599,122 @@ def test_video_mjpg_container(spark):
                                    "compression": 0x44495658})
     with pytest.raises(NotImplementedError):
         aviriff.frame_decode(raw[0], xvid_meta)
+
+
+def test_adpcm_vectorized_matches_scalar_reference():
+    """The across-block-vectorized IMA and MS ADPCM decoders are
+    bit-exact vs straight-from-spec scalar sample-at-a-time reference
+    decoders, over random and smooth payloads of many lengths
+    (including tail-padded final blocks)."""
+    import struct
+
+    import numpy as np
+
+    from cianparser_spark.corpus import riffwav as R
+
+    def ima_ref(payload, block_align, n_samples):
+        out = []
+        for b in range(len(payload) // block_align):
+            blk = payload[b * block_align:(b + 1) * block_align]
+            pred, index, _ = struct.unpack("<hBB", blk[:4])
+            out.append(pred)
+            nibs = []
+            for byte in blk[4:]:
+                nibs.append(byte & 0xF)
+                nibs.append(byte >> 4)
+            for nib in nibs:
+                step = int(R.IMA_STEP_TABLE[index])
+                delta = step >> 3
+                if nib & 1:
+                    delta += step >> 2
+                if nib & 2:
+                    delta += step >> 1
+                if nib & 4:
+                    delta += step
+                pred = pred - delta if nib & 8 else pred + delta
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + int(R.IMA_INDEX_TABLE[nib & 7])))
+                out.append(pred)
+        return np.array(out[:n_samples], dtype=np.int16)
+
+    def ms_ref(payload, block_align, n_samples):
+        out = []
+        for b in range(len(payload) // block_align):
+            blk = payload[b * block_align:(b + 1) * block_align]
+            ci, delta, s1, s2 = struct.unpack("<Bhhh", blk[:7])
+            c1, c2 = int(R.MS_COEFS[ci, 0]), int(R.MS_COEFS[ci, 1])
+            out.append(s2)
+            out.append(s1)
+            nibs = []
+            for byte in blk[7:]:
+                nibs.append(byte >> 4)
+                nibs.append(byte & 0xF)
+            for nib in nibs:
+                signed = nib - 16 if nib >= 8 else nib
+                pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+                pred = max(-32768, min(32767, pred))
+                out.append(pred)
+                delta = max((int(R.MS_ADAPT[nib]) * delta) >> 8, 16)
+                s2, s1 = s1, pred
+        return np.array(out[:n_samples], dtype=np.int16)
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(1, 3000))
+        if trial % 2:
+            t = np.arange(n)
+            x = (np.sin(t / 20.0) * 12000 + np.sin(t / 7.0) * 5000).astype(np.int16)
+        else:
+            x = rng.integers(-32768, 32768, n).astype(np.int16)
+        pay = R.ima_adpcm_encode(x, 256)
+        assert np.array_equal(R.ima_adpcm_decode(pay, 256, n), ima_ref(pay, 256, n))
+        pay = R.ms_adpcm_encode(x, 256)
+        assert np.array_equal(R.ms_adpcm_decode(pay, 256, n), ms_ref(pay, 256, n))
+
+
+def test_wav_extended_codecs_round_trip():
+    """IEEE float-32 round-trips exactly; IMA/MS ADPCM round-trip a
+    smooth signal at >=30 dB SNR with the true sample count restored
+    via the fact chunk (block padding trimmed)."""
+    import numpy as np
+
+    from cianparser_spark.corpus import riffwav as R
+
+    t = np.arange(4001)  # odd length → padded final ADPCM block
+    x = (np.sin(t / 25.0) * 11000 + np.sin(t / 9.0) * 6000).astype(np.int16)
+    for codec, name, min_snr in (("f32", "f32", None),
+                                 ("ima", "ima_adpcm", 30.0),
+                                 ("ms", "ms_adpcm", 30.0)):
+        wav = R.wav_encode(x, 8000, codec)
+        y, sr, got = R.wav_parse(wav)
+        assert sr == 8000 and got == name and len(y) == len(x)
+        if min_snr is None:
+            assert np.allclose(y * 32767.0, x, atol=1e-3)
+        else:
+            err = y * 32767.0 - x
+            snr = 10 * np.log10(np.mean(x.astype(np.float64) ** 2) / np.mean(err ** 2))
+            assert snr >= min_snr, snr
+
+
+def test_audio_features_adpcm_wav(spark):
+    """The distributed audio operator decodes IMA/MS ADPCM and IEEE
+    float WAV containers end to end: ok=true for every row, features
+    equal to the pure-Python decode of the same container bytes."""
+    import numpy as np
+
+    from cianparser_spark.corpus import riffwav as R
+    from cianparser_spark.ops.multimodal import (
+        audio_feature_dict, audio_features, make_synthetic_audio)
+
+    for fmt in ("wav_f32", "wav_ima", "wav_ms"):
+        aud = make_synthetic_audio(spark, n_clips=4, seconds=0.25, fmt=fmt)
+        fixture = {r["audio_id"]: bytes(r["bytes"]) for r in aud.collect()}
+        got = {r["audio_id"]: r for r in audio_features(aud).collect()}
+        assert len(got) == 4
+        for aid, blob in fixture.items():
+            x, sr, _ = R.wav_parse(blob)
+            want = audio_feature_dict(x, sr)
+            row = got[aid]
+            assert row["ok"] is True
+            for k, v in want.items():
+                assert abs(row[k] - v) < 1e-9, (fmt, aid, k)
