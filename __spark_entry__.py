@@ -343,6 +343,63 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_formats(spark, sf_dir):
+    """MM1 driver-visible, full container surface: distributed
+    encode→decode→features for PNG, baseline JPEG (corpus/jpegbase),
+    24-bit BMP and GIF89a-with-real-LZW (corpus/bmpgif) vs a
+    pure-Python encode/decode/feature loop (truth.ensure_formats_truth).
+    n_bytes pins the distributed encoder byte-for-byte."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import format_roundtrip_features
+
+    return (
+        format_roundtrip_features(
+            spark, formats=truth.IMG_FORMATS, n_per_fmt=truth.IMG_FORMAT_N)
+        .select("fmt", "image_id", "ok", "n_bytes",
+                F.round("mean_luma", 4).alias("mean_luma"),
+                F.round("std_luma", 4).alias("std_luma"),
+                F.round("edge_energy", 4).alias("edge_energy"))
+        .orderBy("fmt", "image_id")
+    )
+
+
+def q_multimodal_quality(spark, sf_dir):
+    """Training-set admission gate over the image payload: decode →
+    blur / entropy / exposure metrics → keep decision
+    (ops/multimodal.quality_filter), with deterministic corruption
+    injected JVM-side (every 17th image truncated to 40 bytes via
+    substring on the binary column) to prove the corrupt-payload path
+    yields ok=false/keep=false rows instead of failing the job.  Oracle:
+    pure-Python loop with the same corruption (truth.ensure_quality_truth)."""
+    import tempfile
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine import payload
+    from cianparser_spark.ops.multimodal import quality_filter
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=truth.PAYLOAD_N,
+                                        partitions=4)
+    corrupted = images.withColumn(
+        "bytes",
+        F.when(
+            F.substring("image_id", 4, 8).cast("int")
+            % truth.QUALITY_CORRUPT_MOD == 0,
+            F.expr("substring(bytes, 1, 40)"),
+        ).otherwise(F.col("bytes")),
+    )
+    return (
+        quality_filter(corrupted)
+        .select("image_id", "ok",
+                F.round("blur_score", 4).alias("blur_score"),
+                F.round("entropy", 4).alias("entropy"),
+                F.round("under_frac", 4).alias("under_frac"),
+                F.round("over_frac", 4).alias("over_frac"),
+                "keep")
+        .orderBy("image_id")
+    )
+
+
 def q_multimodal_audio_wav(spark, sf_dir):
     """MM2 driver-visible: real RIFF/WAVE container files — PCM,
     G.711 mu-law/A-law, IEEE float-32, IMA ADPCM and MS ADPCM format
@@ -1336,6 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
+        "multimodal_formats": q_multimodal_formats,
+        "multimodal_quality": q_multimodal_quality,
         "multimodal_audio_wav": q_multimodal_audio_wav,
         "multimodal_video_avi": q_multimodal_video_avi,
         "text_token_count": q_text_token_count,
@@ -1485,6 +1544,8 @@ def oracle_sql() -> dict[str, str]:
                  * int(_a5_seed.additional_settings["end_page"]))
     payload_path = truth.ensure_payload_truth()
     av_audio_path, av_video_path = truth.ensure_av_truth()
+    img_formats_path = truth.ensure_formats_truth()
+    quality_truth_path = truth.ensure_quality_truth()
     shard_truth_path = truth.ensure_shard_manifest_truth()
     tiles_truth_path = truth.ensure_image_tiles_truth()
     link_graph_path = truth.ensure_link_graph_truth()
@@ -1809,6 +1870,24 @@ def oracle_sql() -> dict[str, str]:
                    round(std_luma, 4) AS std_luma,
                    round(edge_energy, 4) AS edge_energy
             FROM read_parquet('{payload_path}')
+            ORDER BY image_id
+        """,
+        # MM1 full container surface: distributed encode→decode→features
+        # for png/jpeg/bmp/gif vs the pure-Python truth loop; n_bytes
+        # pins the distributed encoders byte-for-byte
+        "multimodal_formats": f"""
+            SELECT fmt, image_id, ok, n_bytes,
+                   mean_luma, std_luma, edge_energy
+            FROM read_parquet('{img_formats_path}')
+            ORDER BY fmt, image_id
+        """,
+        # Quality-filter admission gate: blur/entropy/exposure + keep
+        # decision, with JVM-side corruption injection, vs the
+        # pure-Python loop with identical corruption
+        "multimodal_quality": f"""
+            SELECT image_id, ok, blur_score, entropy,
+                   under_frac, over_frac, keep
+            FROM read_parquet('{quality_truth_path}')
             ORDER BY image_id
         """,
         # MM2: real WAV container decode (PCM + G.711 tags) vs the

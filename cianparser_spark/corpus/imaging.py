@@ -107,6 +107,12 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return jpegbase.encode(pixels)
     if fmt == "qjpg":
         return qjpg_encode(pixels)
+    if fmt == "bmp":
+        from cianparser_spark.corpus import bmpgif
+        return bmpgif.bmp_encode(pixels)
+    if fmt == "gif":
+        from cianparser_spark.corpus import bmpgif
+        return bmpgif.gif_encode(pixels)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 
@@ -120,11 +126,18 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
             return qjpg_decode(data)
         from cianparser_spark.corpus import jpegbase
         return jpegbase.decode(data)
+    if fmt == "bmp":
+        from cianparser_spark.corpus import bmpgif
+        return bmpgif.bmp_decode(data)
+    if fmt == "gif":
+        from cianparser_spark.corpus import bmpgif
+        return bmpgif.gif_decode(data)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt == "png"
+    # gif is lossless only below 257 unique colors — conservatively lossy
+    return fmt in ("png", "bmp")
 
 
 def gen_pixels(seed: int, w: int, h: int) -> np.ndarray:

@@ -82,6 +82,117 @@ def decode_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(run, _FEAT_SCHEMA)
 
 
+def format_roundtrip_features(spark, formats=("png", "jpeg", "bmp", "gif"),
+                              n_per_fmt: int = 12, w: int = 40, h: int = 32,
+                              seed0: int = 7000) -> DataFrame:
+    """Distributed encode→decode→features across the full image
+    container surface (PNG / baseline JPEG / BMP / GIF): the input is
+    just (fmt, seed) rows; pixels are generated, ENCODED into the real
+    container, decoded back and featurized ON THE EXECUTORS inside one
+    Arrow-batched map-only stage — no bytes ever touch the driver, no
+    shuffle, partitioning inherits the seed frame.  ``n_bytes`` is the
+    length of the distributed-encoded container, so a byte-level
+    encoder divergence anywhere becomes a driver-visible mismatch vs
+    the pure-Python truth loop (truth.ensure_formats_truth)."""
+    seeds = spark.createDataFrame(
+        [(fmt, i) for fmt in formats for i in range(n_per_fmt)],
+        "fmt string, i int").repartition(max(len(formats), 4), "fmt", "i")
+
+    def run(iterator):
+        from cianparser_spark.corpus import imaging
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.gen_pixels(seed0 + int(r.i), w, h)
+                blob = imaging.encode(px, r.fmt)
+                feats = image_features(imaging.decode(blob, r.fmt))
+                out.append({"fmt": r.fmt, "image_id": f"img{int(r.i):04d}",
+                            "ok": True, "n_bytes": len(blob), **feats})
+            yield pd.DataFrame(
+                out, columns=["fmt", "image_id", "ok", "n_bytes",
+                              "mean_luma", "std_luma", "edge_energy"])
+
+    return seeds.mapInPandas(
+        run, "fmt string, image_id string, ok boolean, n_bytes long, "
+             "mean_luma double, std_luma double, edge_energy double")
+
+
+# Quality-filter thresholds: chosen to split the deterministic corpus
+# non-trivially (median blur ≈ 474, median entropy ≈ 7.0), so both the
+# keep and drop branches are exercised by every contract run.
+QUALITY_MIN_BLUR = 470.0      # variance-of-Laplacian below this = blurry
+QUALITY_MIN_ENTROPY = 6.9     # luma-histogram entropy below this = flat
+QUALITY_MAX_CLIP_FRAC = 0.3   # under-/over-exposed pixel fraction cap
+
+
+def image_quality(px: np.ndarray) -> dict:
+    """Training-data quality metrics of decoded pixels — the standard
+    LAION-style image filters: blur (variance of the 3x3 4-neighbor
+    Laplacian), luma-histogram Shannon entropy, and under-/over-exposed
+    pixel fractions.  Shared verbatim by the Spark operator and the
+    oracle truth dump (truth.ensure_quality_truth) so both sides
+    compute bit-identical doubles."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
+           - luma[1:-1, :-2] - luma[1:-1, 2:])
+    hist = np.bincount(
+        np.clip(np.round(luma), 0, 255).astype(np.int64).ravel(), minlength=256)
+    p = hist / hist.sum()
+    nz = p[p > 0]
+    return {
+        "blur_score": float(lap.var()) if lap.size else 0.0,
+        "entropy": float(-(nz * np.log2(nz)).sum()),
+        "under_frac": float((luma <= 5.0).mean()),
+        "over_frac": float((luma >= 250.0).mean()),
+    }
+
+
+def quality_keep(q: dict) -> bool:
+    """The filter decision over image_quality() metrics."""
+    return (q["blur_score"] >= QUALITY_MIN_BLUR
+            and q["entropy"] >= QUALITY_MIN_ENTROPY
+            and q["under_frac"] <= QUALITY_MAX_CLIP_FRAC
+            and q["over_frac"] <= QUALITY_MAX_CLIP_FRAC)
+
+
+_QUALITY_SCHEMA = ("image_id string, ok boolean, blur_score double, "
+                   "entropy double, under_frac double, over_frac double, "
+                   "keep boolean")
+
+
+def quality_filter(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Per-image quality scoring + keep/drop decision, Arrow-batched
+    map-only (no shuffle; partitioning inherits the input).  CORRUPT or
+    truncated payloads — routine in a 100-TB crawl — yield ok=false /
+    keep=false rows instead of failing the task: any decoder exception
+    (bad magic, truncated zlib/LZW/entropy stream, unknown format) is
+    caught per image.  At scale, `.filter("keep")` after this operator
+    is the training-set admission gate; bytes stay out of the result so
+    downstream joins are narrow (late materialization, same pattern as
+    engine/payload.py phash_dedup)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    q = image_quality(_decode(bytes(r.bytes), r.fmt))
+                    out.append({"image_id": getattr(r, id_col), "ok": True,
+                                **q, "keep": quality_keep(q)})
+                except Exception:
+                    out.append({"image_id": getattr(r, id_col), "ok": False,
+                                "blur_score": None, "entropy": None,
+                                "under_frac": None, "over_frac": None,
+                                "keep": False})
+            yield pd.DataFrame(
+                out, columns=["image_id", "ok", "blur_score", "entropy",
+                              "under_frac", "over_frac", "keep"])
+
+    return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(
+        run, _QUALITY_SCHEMA)
+
+
 def tile_grid(px: np.ndarray, tile: int = 32) -> list[dict]:
     """Per-tile luma statistics of decoded pixels — the shared
     per-image definition used by the Spark operator below and by the

@@ -631,6 +631,87 @@ AV_VIDEO_N = 6
 AV_VIDEO_FRAMES = 12
 AV_FRAME_EVERY = 3
 
+IMG_FORMATS = ("png", "jpeg", "bmp", "gif")
+IMG_FORMAT_N = 12           # per format; × 4 formats = 48 rows
+
+
+def ensure_formats_truth() -> str:
+    """Ground truth for the full image-container surface: a plain
+    pure-Python loop encodes each deterministic frame into every real
+    container format (PNG / baseline JPEG / 24-bit BMP / GIF89a with a
+    real LZW codec), decodes it back and computes the shared visual
+    feature math — so a DuckDB compare against this table verifies the
+    distributed decode of all four formats end to end, driver-visible.
+    GIF's >256-color frames quantize to the deterministic 3-3-2
+    palette; truth and the Spark operator decode the SAME bytes, so
+    features match exactly."""
+    path = _path("img_formats")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging
+    from cianparser_spark.ops.multimodal import image_features
+
+    out = []
+    for fmt in IMG_FORMATS:
+        for i in range(IMG_FORMAT_N):
+            px = imaging.gen_pixels(7000 + i, 40, 32)
+            blob = imaging.encode(px, fmt)
+            dec = imaging.decode(blob, fmt)
+            if imaging.is_lossless(fmt):
+                assert (dec == px).all(), fmt
+            elif fmt == "jpeg":
+                assert imaging.psnr(dec, px) >= 40.0
+            feats = image_features(dec)
+            out.append({"fmt": fmt, "image_id": f"img{i:04d}", "ok": True,
+                        "n_bytes": len(blob),
+                        "mean_luma": round(feats["mean_luma"], 4),
+                        "std_luma": round(feats["std_luma"], 4),
+                        "edge_energy": round(feats["edge_energy"], 4)})
+    return _write_parquet(pd.DataFrame(out), path)
+
+
+QUALITY_CORRUPT_MOD = 17     # every 17th image is truncated to 40 bytes
+
+
+def ensure_quality_truth(n: int = PAYLOAD_N) -> str:
+    """Ground truth for the quality-filter admission gate: a plain
+    pure-Python loop over the SAME deterministic corpus the Spark side
+    reads, with the SAME deterministic corruption (images whose index is
+    divisible by QUALITY_CORRUPT_MOD truncated to 40 bytes — the Spark
+    query does this truncation JVM-side via substring on the binary
+    column).  Corrupt rows must come back ok=false/keep=false; clean
+    rows carry the shared image_quality() metrics and keep decision."""
+    path = _path(f"quality_{n}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import image_quality, quality_keep
+
+    out = []
+    for i in range(n):
+        row = webgen.image_row(i)
+        blob = row["bytes"][:40] if i % QUALITY_CORRUPT_MOD == 0 else row["bytes"]
+        rec = {"image_id": row["image_id"], "ok": False, "blur_score": None,
+               "entropy": None, "under_frac": None, "over_frac": None,
+               "keep": False}
+        try:
+            q = image_quality(imaging.decode(blob, row["fmt"]))
+            rec.update(ok=True, keep=quality_keep(q),
+                       blur_score=round(q["blur_score"], 4),
+                       entropy=round(q["entropy"], 4),
+                       under_frac=round(q["under_frac"], 4),
+                       over_frac=round(q["over_frac"], 4))
+        except Exception:
+            pass
+        out.append(rec)
+    assert any(r["ok"] for r in out) and any(not r["ok"] for r in out)
+    assert any(r["keep"] for r in out) and any(r["ok"] and not r["keep"] for r in out)
+    return _write_parquet(pd.DataFrame(out), path)
+
 
 def ensure_av_truth() -> tuple[str, str]:
     """Ground truth for the compressed A/V container paths: a plain

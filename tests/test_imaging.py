@@ -169,3 +169,176 @@ def test_jpeg_fmt_slot_is_real_and_qjpg_back_compat():
     assert I.psnr(px, I.decode(data, "jpeg")) >= 40.0
     legacy = I.qjpg_encode(px)
     assert I.psnr(px, I.decode(legacy, "jpeg")) >= 40.0  # content dispatch
+
+
+def test_bmp_codec_layout_and_roundtrip():
+    """BMP: emitted bytes follow the public spec (BM magic, 54-byte
+    header offset, 24-bit BI_RGB, 4-byte row stride), round-trip is
+    bit-exact, and top-down (negative biHeight) files decode too."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cianparser_spark.corpus import bmpgif
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)  # w*3=15 → stride 16
+    blob = bmpgif.bmp_encode(px)
+    assert blob[:2] == b"BM"
+    (off,) = struct.unpack("<I", blob[10:14])
+    hdr, w, h = struct.unpack("<Iii", blob[14:26])
+    planes, bits, comp = struct.unpack("<HHI", blob[26:34])
+    assert off == 54 and hdr == 40 and (w, h) == (5, 7)
+    assert planes == 1 and bits == 24 and comp == 0
+    stride = (5 * 3 + 3) & ~3
+    assert len(blob) == off + stride * 7
+    # bottom-up BGR: the FIRST stored row is the LAST pixel row, blue first
+    assert blob[off] == px[6, 0, 2] and blob[off + 2] == px[6, 0, 0]
+    assert np.array_equal(bmpgif.bmp_decode(blob), px)
+    # top-down variant decodes to the same pixels
+    td = bytearray(blob)
+    td[22:26] = struct.pack("<i", -7)
+    rows = np.frombuffer(blob[off:], dtype=np.uint8).reshape(7, stride)
+    td[off:] = rows[::-1].tobytes()
+    assert np.array_equal(bmpgif.bmp_decode(bytes(td)), px)
+    with pytest.raises(NotImplementedError):
+        # 8-bit palette BMP is out of scope
+        bad = bytearray(blob)
+        bad[28:30] = struct.pack("<H", 8)
+        bmpgif.bmp_decode(bytes(bad))
+
+
+def test_gif_decodes_canonical_external_bytes():
+    """The decoder reads REAL third-party GIFs, not just its own
+    output: the ubiquitous 1x1 black and 1x1 white tracking-pixel GIFs
+    (bytes published everywhere for decades) decode to the right
+    pixel."""
+    import base64
+
+    from cianparser_spark.corpus import bmpgif
+
+    black = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    px = bmpgif.gif_decode(black)
+    assert px.shape == (1, 1, 3) and tuple(px[0, 0]) == (0, 0, 0)
+    white = base64.b64decode(
+        "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw==")
+    assert tuple(bmpgif.gif_decode(white)[0, 0]) == (255, 255, 255)
+
+
+def test_gif_lzw_roundtrip_and_interlace():
+    """GIF round-trips exactly for <=256-color frames (including ones
+    large enough to force LZW dictionary resets), quantizes
+    deterministically to the 3-3-2 palette beyond 256 colors, and
+    decodes interlaced frames."""
+    import struct
+
+    import numpy as np
+
+    from cianparser_spark.corpus import bmpgif, imaging
+
+    rng = np.random.default_rng(5)
+    # exact palette round trips, several sizes / color counts
+    for (h, w, ncol) in ((10, 10, 4), (16, 16, 2), (1, 1, 1), (64, 64, 256)):
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        px = pal[rng.integers(0, ncol, (h, w))]
+        assert np.array_equal(bmpgif.gif_decode(bmpgif.gif_encode(px)), px)
+    # dictionary reset: 200x200 with 200 colors blows past 4096 entries
+    pal = rng.integers(0, 256, (200, 3)).astype(np.uint8)
+    px = pal[rng.integers(0, 200, (200, 200))]
+    assert np.array_equal(bmpgif.gif_decode(bmpgif.gif_encode(px)), px)
+    # >256 colors: deterministic 3-3-2 quantization, bounded error
+    full = imaging.gen_pixels(5, 48, 40)
+    got = bmpgif.gif_decode(bmpgif.gif_encode(full))
+    assert got.shape == full.shape
+    assert np.abs(got.astype(int) - full.astype(int)).max() <= 64
+    assert np.array_equal(got, bmpgif.gif_decode(bmpgif.gif_encode(full)))
+    # interlaced: reorder rows per the 4-pass schedule, set the flag
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    px = pal[rng.integers(0, 16, (13, 9))]
+    blob = bytearray(bmpgif.gif_encode(px))
+    # find the image descriptor (0x2C) — fixed offset: 13 + 16*3 palette
+    desc = 13 + 16 * 3
+    assert blob[desc] == 0x2C
+    h = 13
+    order = np.concatenate([np.arange(s, h, st)
+                            for s, st in bmpgif._INTERLACE_PASSES])
+    inter = px[order]  # rows as they'd be STORED in an interlaced file
+    blob2 = bytearray(bmpgif.gif_encode(inter))
+    blob2[desc + 9] |= 0x40  # set the interlace flag
+    assert np.array_equal(bmpgif.gif_decode(bytes(blob2)), px)
+
+
+def test_decode_features_bmp_gif(spark):
+    """The distributed decode operator accepts bmp/gif rows end to end
+    and matches the pure-Python decode of the same bytes."""
+    import numpy as np
+
+    from cianparser_spark.corpus import bmpgif, imaging
+    from cianparser_spark.ops.multimodal import decode_features, image_features
+
+    rows = []
+    want = {}
+    for i in range(6):
+        px = imaging.gen_pixels(400 + i, 32, 24)
+        fmt = "bmp" if i % 2 else "gif"
+        blob = imaging.encode(px, fmt)
+        rows.append((f"im{i}", blob, fmt))
+        want[f"im{i}"] = image_features(imaging.decode(blob, fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in decode_features(df).collect()}
+    assert len(got) == 6
+    for k, feats in want.items():
+        assert got[k]["ok"] is True
+        for fk, fv in feats.items():
+            assert abs(got[k][fk] - fv) < 1e-9
+
+
+def test_image_quality_metrics_and_gate():
+    """Pure-function checks of the quality metrics: a flat frame has
+    zero blur/entropy and full under-exposure; a saturated frame is
+    fully over-exposed; the corpus median straddles the keep gate; a
+    degenerate 1x1 image doesn't NaN."""
+    import numpy as np
+
+    from cianparser_spark.ops.multimodal import image_quality, quality_keep
+
+    flat = np.zeros((16, 16, 3), dtype=np.uint8)
+    q = image_quality(flat)
+    assert q["blur_score"] == 0.0 and q["entropy"] == 0.0
+    assert q["under_frac"] == 1.0 and q["over_frac"] == 0.0
+    assert not quality_keep(q)
+    sat = np.full((16, 16, 3), 255, dtype=np.uint8)
+    assert image_quality(sat)["over_frac"] == 1.0
+    one = image_quality(np.zeros((1, 1, 3), dtype=np.uint8))
+    assert one["blur_score"] == 0.0 and np.isfinite(one["entropy"])
+
+
+def test_quality_filter_spark_corrupt_rows(spark):
+    """quality_filter end to end: clean rows score with the shared
+    metric math, corrupt/truncated/unknown-format payloads come back
+    ok=false/keep=false instead of failing the task."""
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import image_quality, quality_filter, quality_keep
+
+    rows, want = [], {}
+    for i in range(8):
+        r = webgen.image_row(i)
+        blob = r["bytes"][:40] if i % 3 == 0 else r["bytes"]
+        fmt = "tiff" if i == 7 else r["fmt"]  # no codec for tiff here
+        rows.append((r["image_id"], blob, fmt))
+        if i % 3 != 0 and i != 7:
+            want[r["image_id"]] = image_quality(
+                imaging.decode(blob, fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in quality_filter(df).collect()}
+    assert len(got) == 8
+    for k, r in got.items():
+        if k in want:
+            assert r["ok"] is True
+            assert abs(r["blur_score"] - want[k]["blur_score"]) < 1e-9
+            assert r["keep"] == quality_keep(want[k])
+        else:
+            assert r["ok"] is False and r["keep"] is False
+            assert r["blur_score"] is None
