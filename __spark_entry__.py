@@ -400,6 +400,41 @@ def q_multimodal_quality(spark, sf_dir):
     )
 
 
+def q_multimodal_png_meta(spark, sf_dir):
+    """PNG textual-metadata scan, driver-visible: stage 1 encodes the
+    corpus frames WITH deterministic tEXt/zTXt chunks on the executors
+    (every 13th image metadata-free, every 29th a JPEG — the zero-rows
+    paths); stage 2 is the metadata-only chunk walk
+    (ops/multimodal.png_text_meta) that never inflates IDAT.  Oracle:
+    pure-Python encode+extract loop (truth.ensure_png_meta_truth)."""
+    import pandas as pd
+
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import png_text_meta
+
+    ids = spark.range(0, truth.PNG_META_N, 1, 4)
+
+    def build(iterator):
+        from cianparser_spark.corpus import imaging, webgen
+        from cianparser_spark.ops.multimodal import png_meta_text
+
+        for pdf in iterator:
+            out = []
+            for i in (int(x) for x in pdf["id"]):
+                px = webgen.image_pixels(i)
+                if i % 29 == 0:
+                    blob = imaging.encode(px, "jpeg")
+                elif i % 13 == 0:
+                    blob = imaging.png_encode(px)
+                else:
+                    blob = imaging.png_encode(px, text=png_meta_text(i))
+                out.append({"image_id": f"img{i:08d}", "bytes": blob})
+            yield pd.DataFrame(out, columns=["image_id", "bytes"])
+
+    images = ids.mapInPandas(build, "image_id string, bytes binary")
+    return png_text_meta(images).orderBy("image_id", "key")
+
+
 def q_multimodal_audio_wav(spark, sf_dir):
     """MM2 driver-visible: real RIFF/WAVE container files — PCM,
     G.711 mu-law/A-law, IEEE float-32, IMA ADPCM and MS ADPCM format
@@ -1395,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
+        "multimodal_png_meta": q_multimodal_png_meta,
         "multimodal_audio_wav": q_multimodal_audio_wav,
         "multimodal_video_avi": q_multimodal_video_avi,
         "text_token_count": q_text_token_count,
@@ -1546,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
     av_audio_path, av_video_path = truth.ensure_av_truth()
     img_formats_path = truth.ensure_formats_truth()
     quality_truth_path = truth.ensure_quality_truth()
+    png_meta_path = truth.ensure_png_meta_truth()
     shard_truth_path = truth.ensure_shard_manifest_truth()
     tiles_truth_path = truth.ensure_image_tiles_truth()
     link_graph_path = truth.ensure_link_graph_truth()
@@ -1889,6 +1926,13 @@ def oracle_sql() -> dict[str, str]:
                    under_frac, over_frac, keep
             FROM read_parquet('{quality_truth_path}')
             ORDER BY image_id
+        """,
+        # PNG textual-metadata scan (tEXt/zTXt chunk walk, IDAT never
+        # inflated) vs the pure-Python encode+extract loop
+        "multimodal_png_meta": f"""
+            SELECT image_id, key, value
+            FROM read_parquet('{png_meta_path}')
+            ORDER BY image_id, key
         """,
         # MM2: real WAV container decode (PCM + G.711 tags) vs the
         # pure-Python wav_parse+feature truth loop

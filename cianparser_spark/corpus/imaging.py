@@ -43,21 +43,91 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(pixels: np.ndarray) -> bytes:
-    """8-bit RGB (h, w, 3) uint8 → PNG bytes (filter 0 rows)."""
+def png_encode(pixels: np.ndarray, text: dict[str, str] | None = None,
+               compress_text_over: int = 64) -> bytes:
+    """8-bit RGB (h, w, 3) uint8 → PNG bytes (filter 0 rows).
+
+    ``text`` entries become standard textual chunks between IHDR and
+    IDAT (PNG spec §11.3): latin-1-representable values go to tEXt, or
+    zTXt (method-0 zlib) when longer than ``compress_text_over`` bytes;
+    values needing more than latin-1 go to iTXt as UTF-8 — so all three
+    textual chunk types appear in real payloads.  Keys are emitted in
+    sorted order (deterministic bytes)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8 RGB array")
     h, w = pixels.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    meta = b""
+    for key in sorted(text or {}):
+        kb = key.encode("latin-1")
+        if not 1 <= len(kb) <= 79:
+            raise ValueError(f"PNG text keyword length out of range: {key!r}")
+        val = (text or {})[key]
+        try:
+            vb = val.encode("latin-1")
+        except UnicodeEncodeError:
+            # iTXt: compression flag 0, method 0, empty language tag and
+            # translated keyword, UTF-8 text
+            meta += _chunk(b"iTXt",
+                           kb + b"\x00\x00\x00" + b"\x00" + b"\x00"
+                           + val.encode("utf-8"))
+            continue
+        if len(vb) > compress_text_over:
+            meta += _chunk(b"zTXt", kb + b"\x00\x00" + zlib.compress(vb, 6))
+        else:
+            meta += _chunk(b"tEXt", kb + b"\x00" + vb)
     raw = np.concatenate(
         [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1
     ).tobytes()
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
+        + meta
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def png_text_chunks(data: bytes) -> list[tuple[str, str]]:
+    """Metadata-only scan: walk the chunk list and return (keyword,
+    value) pairs from tEXt, zTXt (method 0) and iTXt chunks WITHOUT
+    ever inflating IDAT — on a 100-TB corpus this reads a few hundred
+    header bytes per image instead of decompressing megapixels, which
+    is the whole point of keeping metadata in chunks.  Unknown or
+    malformed textual chunks are skipped (ancillary per the spec);
+    non-PNG input raises ValueError."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    out: list[tuple[str, str]] = []
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        tag = data[pos + 4: pos + 8]
+        payload = data[pos + 8: pos + 8 + length]
+        if tag == b"IEND":
+            break
+        try:
+            if tag == b"tEXt":
+                k, _, v = payload.partition(b"\x00")
+                out.append((k.decode("latin-1"), v.decode("latin-1")))
+            elif tag == b"zTXt":
+                k, _, rest = payload.partition(b"\x00")
+                if rest[:1] == b"\x00":  # compression method 0 = zlib
+                    out.append((k.decode("latin-1"),
+                                zlib.decompress(rest[1:]).decode("latin-1")))
+            elif tag == b"iTXt":
+                k, _, rest = payload.partition(b"\x00")
+                comp_flag, comp_method = rest[0], rest[1]
+                rest = rest[2:]
+                _lang, _, rest = rest.partition(b"\x00")
+                _trans, _, v = rest.partition(b"\x00")
+                if comp_flag == 1 and comp_method == 0:
+                    v = zlib.decompress(v)
+                out.append((k.decode("latin-1"), v.decode("utf-8")))
+        except Exception:
+            pass  # ancillary chunk, malformed: skip, never fail the scan
+        pos += 12 + length
+    return out
 
 
 def png_decode(data: bytes) -> np.ndarray:

@@ -118,6 +118,52 @@ def format_roundtrip_features(spark, formats=("png", "jpeg", "bmp", "gif"),
              "mean_luma double, std_luma double, edge_energy double")
 
 
+def png_meta_text(i: int) -> dict:
+    """Deterministic textual metadata for corpus image #i — what a real
+    crawl finds in PNG tEXt/zTXt chunks (title, author, license).  The
+    Description is long enough to force a zTXt (compressed) chunk, so
+    both chunk types are always exercised.  Shared by the Spark encode
+    stage and the oracle truth loop."""
+    from cianparser_spark.corpus import webgen
+
+    return {
+        "Title": webgen.caption_text(i),
+        "Author": f"author{i % 11}",
+        "Copyright": ("CC-BY-4.0", "CC0-1.0", "proprietary")[i % 3],
+        "Description": (f"synthetic interior photo {i} "
+                        + "of the listing payload corpus " * 3),
+    }
+
+
+def png_text_meta(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Extract PNG textual metadata (tEXt / zTXt / iTXt) from the
+    binary column WITHOUT decoding pixels: the chunk walk reads a few
+    hundred header bytes per image and never inflates IDAT — at 100 TB
+    this is the difference between a metadata pass that is scan-bound
+    and one that burns CPU decompressing megapixels nobody asked for.
+    One output row per (image, keyword); non-PNG or malformed payloads
+    contribute zero rows (ancillary semantics), never task failures.
+    Map-only, Arrow-batched, partitioning inherits the input."""
+
+    def run(iterator):
+        from cianparser_spark.corpus import imaging
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pairs = imaging.png_text_chunks(bytes(r.bytes))
+                except Exception:
+                    continue
+                rid = getattr(r, id_col)
+                out.extend({"image_id": rid, "key": k, "value": v}
+                           for k, v in pairs)
+            yield pd.DataFrame(out, columns=["image_id", "key", "value"])
+
+    return spread(images.select(id_col, "bytes")).mapInPandas(
+        run, "image_id string, key string, value string")
+
+
 # Quality-filter thresholds: chosen to split the deterministic corpus
 # non-trivially (median blur ≈ 474, median entropy ≈ 7.0), so both the
 # keep and drop branches are exercised by every contract run.

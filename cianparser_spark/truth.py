@@ -672,6 +672,41 @@ def ensure_formats_truth() -> str:
     return _write_parquet(pd.DataFrame(out), path)
 
 
+PNG_META_N = 120             # metadata-bearing PNGs in the meta contract
+
+
+def ensure_png_meta_truth(n: int = PNG_META_N) -> str:
+    """Ground truth for the PNG textual-metadata scan: a pure-Python
+    loop renders each corpus frame, encodes it WITH deterministic
+    tEXt/zTXt chunks (multimodal.png_meta_text — Description always
+    long enough to take the zTXt path) and re-extracts the pairs with
+    the same chunk walk the Spark operator uses.  Every 13th image is
+    left metadata-free and every 29th is a JPEG (non-PNG), so the
+    zero-rows paths are part of the checked surface."""
+    path = _path(f"png_meta_{n}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import png_meta_text
+
+    out = []
+    for i in range(n):
+        px = webgen.image_pixels(i)
+        if i % 29 == 0:
+            blob = imaging.encode(px, "jpeg")      # non-PNG: zero rows
+        elif i % 13 == 0:
+            blob = imaging.png_encode(px)          # PNG, no text chunks
+        else:
+            blob = imaging.png_encode(px, text=png_meta_text(i))
+        for k, v in imaging.png_text_chunks(blob) if blob[:8] == imaging.PNG_SIG else []:
+            out.append({"image_id": f"img{i:08d}", "key": k, "value": v})
+    df = pd.DataFrame(out, columns=["image_id", "key", "value"])
+    assert df["image_id"].nunique() < n  # some images really carry nothing
+    return _write_parquet(df, path)
+
+
 QUALITY_CORRUPT_MOD = 17     # every 17th image is truncated to 40 bytes
 
 

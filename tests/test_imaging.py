@@ -342,3 +342,52 @@ def test_quality_filter_spark_corrupt_rows(spark):
         else:
             assert r["ok"] is False and r["keep"] is False
             assert r["blur_score"] is None
+
+
+def test_png_text_chunks_all_three_types():
+    """tEXt / zTXt / iTXt all emit and re-extract: short latin-1 ->
+    tEXt, long latin-1 -> zTXt (zlib method 0), non-latin-1 -> iTXt
+    UTF-8; chunk order is sorted-by-key; pixels survive untouched; a
+    malformed textual chunk is skipped, not fatal."""
+    import numpy as np
+
+    from cianparser_spark.corpus import imaging
+
+    px = imaging.gen_pixels(11, 24, 16)
+    text = {"Title": "Квартира, 38,5 м²",            # Cyrillic -> iTXt
+            "Author": "author7",                      # short -> tEXt
+            "Description": "x" * 100}                 # long -> zTXt
+    blob = imaging.png_encode(px, text=text)
+    assert blob.count(b"tEXt") == 1 and blob.count(b"zTXt") == 1
+    assert blob.count(b"iTXt") == 1
+    assert dict(imaging.png_text_chunks(blob)) == text
+    assert np.array_equal(imaging.png_decode(blob), px)  # pixels intact
+    # plain PNG: zero pairs; non-PNG: loud
+    assert imaging.png_text_chunks(imaging.png_encode(px)) == []
+    import pytest
+    with pytest.raises(ValueError):
+        imaging.png_text_chunks(b"JUNK" * 4)
+    # corrupt one zTXt byte: that chunk is skipped, others survive
+    bad = bytearray(blob)
+    z = blob.index(b"zTXt") + 20
+    bad[z] ^= 0xFF
+    got = dict(imaging.png_text_chunks(bytes(bad)))
+    assert "Author" in got and "Title" in got
+
+
+def test_png_text_meta_spark(spark):
+    """The metadata-only Spark scan: PNGs with chunks yield one row per
+    pair, chunk-free PNGs and non-PNG payloads yield zero rows."""
+    from cianparser_spark.corpus import imaging
+    from cianparser_spark.ops.multimodal import png_text_meta
+
+    px = imaging.gen_pixels(12, 24, 16)
+    rows = [
+        ("a", imaging.png_encode(px, text={"Title": "t1", "Author": "u"})),
+        ("b", imaging.png_encode(px)),
+        ("c", b"\xff\xd8 not a png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = png_text_meta(df).collect()
+    assert sorted((r["image_id"], r["key"], r["value"]) for r in got) == [
+        ("a", "Author", "u"), ("a", "Title", "t1")]
