@@ -435,6 +435,59 @@ def q_multimodal_png_meta(spark, sf_dir):
     return png_text_meta(images).orderBy("image_id", "key")
 
 
+def q_multimodal_exif(spark, sf_dir):
+    """EXIF extract + GPS scrub, driver-visible: stage 1 builds tagged
+    JPEGs on the executors (every 5th EXIF-free, every 3rd GPS-free);
+    then exif_meta extracts tags (marker walk stops at SOS — header-
+    bound), exif_gps_scrub rewrites the APP1 without the GPS IFD, and
+    a second extract proves nothing location-shaped survives.  md5 of
+    the scrubbed bytes pins the distributed surgery byte-for-byte
+    against the pure-Python loop (truth.ensure_exif_truth), which also
+    asserts pixel-losslessness."""
+    import pandas as pd
+
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import exif_gps_scrub, exif_meta
+
+    ids = spark.range(0, truth.EXIF_N, 1, 4)
+
+    def build(iterator):
+        from cianparser_spark.corpus import exif, imaging, webgen
+        from cianparser_spark.ops.multimodal import exif_demo_tags
+
+        for pdf in iterator:
+            out = []
+            for i in (int(x) for x in pdf["id"]):
+                jp = imaging.encode(webgen.image_pixels(i), "jpeg")
+                t = exif_demo_tags(i)
+                blob = jp if t is None else exif.insert_app1(
+                    jp, exif.build_app1(**t))
+                out.append({"image_id": f"img{i:08d}", "bytes": blob})
+            yield pd.DataFrame(out, columns=["image_id", "bytes"])
+
+    images = ids.mapInPandas(build, "image_id string, bytes binary")
+    before = exif_meta(images)
+    scrubbed = exif_gps_scrub(images)
+    after = exif_meta(scrubbed.select("image_id", "bytes"))
+    agg_b = before.groupBy("image_id").agg(
+        F.count("*").alias("n_tags_before"),
+        F.max(F.when(F.col("tag") == "Make", F.col("value"))).alias("make"),
+        F.round(
+            F.max(F.when(F.col("tag") == "gps_lat", F.col("value")))
+            .cast("double"), 4).alias("gps_lat"))
+    agg_a = after.groupBy("image_id").agg(F.count("*").alias("n_tags_after"))
+    return (
+        scrubbed.select("image_id", "had_gps", F.md5("bytes").alias("scrub_md5"))
+        .join(agg_b, "image_id", "left")
+        .join(agg_a, "image_id", "left")
+        .select("image_id", "had_gps",
+                F.coalesce("n_tags_before", F.lit(0)).alias("n_tags_before"),
+                F.coalesce("n_tags_after", F.lit(0)).alias("n_tags_after"),
+                "make", "gps_lat", "scrub_md5")
+        .orderBy("image_id")
+    )
+
+
 def q_multimodal_audio_wav(spark, sf_dir):
     """MM2 driver-visible: real RIFF/WAVE container files — PCM,
     G.711 mu-law/A-law, IEEE float-32, IMA ADPCM and MS ADPCM format
@@ -460,6 +513,30 @@ def q_multimodal_audio_wav(spark, sf_dir):
         F.round("zcr", 6).alias("zcr"),
         F.round("dominant_hz", 6).alias("dominant_hz"),
     ).orderBy("codec", "audio_id")
+
+
+def q_multimodal_audio_flac(spark, sf_dir):
+    """MM2 driver-visible, FLAC: real FLAC streams (corpus/flacsub —
+    LPC + fixed-predictor subframes, Rice residuals, CRC-8/16 and
+    STREAMINFO MD5 verified on decode, lossless) decoded distributed by
+    audio_features vs the pure-Python encode→decode→feature loop
+    (truth.ensure_flac_truth).  n_bytes = length(bytes) of the encoded
+    stream pins the encoder byte-for-byte."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
+
+    aud = make_synthetic_audio(
+        spark, n_clips=truth.AV_AUDIO_CLIPS, seconds=0.25, fmt="flac")
+    feats = audio_features(aud)
+    sizes = aud.select("audio_id", F.length("bytes").alias("n_bytes"))
+    return (
+        feats.join(F.broadcast(sizes), "audio_id")
+        .select("audio_id", "ok", "n_bytes",
+                F.round("rms", 6).alias("rms"),
+                F.round("zcr", 6).alias("zcr"),
+                F.round("dominant_hz", 6).alias("dominant_hz"))
+        .orderBy("audio_id")
+    )
 
 
 def q_multimodal_video_avi(spark, sf_dir):
@@ -1431,7 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
         "multimodal_png_meta": q_multimodal_png_meta,
+        "multimodal_exif": q_multimodal_exif,
         "multimodal_audio_wav": q_multimodal_audio_wav,
+        "multimodal_audio_flac": q_multimodal_audio_flac,
         "multimodal_video_avi": q_multimodal_video_avi,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1583,6 +1662,8 @@ def oracle_sql() -> dict[str, str]:
     img_formats_path = truth.ensure_formats_truth()
     quality_truth_path = truth.ensure_quality_truth()
     png_meta_path = truth.ensure_png_meta_truth()
+    flac_truth_path = truth.ensure_flac_truth()
+    exif_truth_path = truth.ensure_exif_truth()
     shard_truth_path = truth.ensure_shard_manifest_truth()
     tiles_truth_path = truth.ensure_image_tiles_truth()
     link_graph_path = truth.ensure_link_graph_truth()
@@ -1940,6 +2021,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT codec, audio_id, ok, rms, zcr, dominant_hz
             FROM read_parquet('{av_audio_path}')
             ORDER BY codec, audio_id
+        """,
+        # EXIF extract + GPS scrub: tag counts before/after, the GPS
+        # fix extracted pre-scrub, md5 of the scrubbed bytes pinning
+        # the distributed marker surgery byte-for-byte
+        "multimodal_exif": f"""
+            SELECT image_id, had_gps, n_tags_before, n_tags_after,
+                   make, gps_lat, scrub_md5
+            FROM read_parquet('{exif_truth_path}')
+            ORDER BY image_id
+        """,
+        # MM2 FLAC: real FLAC streams (LPC/fixed subframes, Rice
+        # residuals, CRC+MD5-verified lossless decode) vs the
+        # pure-Python encode->decode->feature loop; n_bytes pins the
+        # encoder byte-for-byte
+        "multimodal_audio_flac": f"""
+            SELECT audio_id, ok, n_bytes, rms, zcr, dominant_hz
+            FROM read_parquet('{flac_truth_path}')
+            ORDER BY audio_id
         """,
         # MM3: real AVI demux + BI_RGB and Motion-JPEG frame decode vs
         # the pure-Python avi_demux+frame_decode truth loop

