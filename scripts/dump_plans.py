@@ -81,6 +81,20 @@ PICKS = [
      "contribs = edges ⋈ ranks ⋈ degree then ONE groupBy(dst) exchange; "
      "the dangling mass rides a broadcast of a 1-row aggregate — no "
      "collect anywhere"),
+    ("multimodal_quality", "the training-set admission gate is map-only: "
+     "scan → JVM-side corruption-injection projection → ONE "
+     "ArrowEvalPython(mapInPandas) stage, zero exchanges before the "
+     "final order — bytes never shuffle, the keep decision travels as "
+     "a boolean (late materialization); the only sort is the contract's "
+     "ORDER BY"),
+    ("multimodal_exif", "EXIF extract + GPS scrub composes map-only Arrow "
+     "stages over the build scan plus two aggregates joined back as "
+     "broadcasts; downstream of the scrub, only md5/had_gps/tag rows "
+     "cross exchanges (~60 bytes/image), never payload bytes.  The "
+     "RoundRobin exchanges visible under each MapInPandas are spread()'s "
+     "tiny-input fan-out — the contract fixture is an in-memory Range; "
+     "over a real parquet scan spread() short-circuits to a no-op "
+     "(ops/__init__.py), so at 100 TB those exchanges don't exist"),
 ]
 
 
