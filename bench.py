@@ -43,6 +43,7 @@ BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "4608"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "10000000"))
 GRAPH_NODES = int(os.environ.get("SPARK_GRAFT_GRAPH_NODES", "1000000"))
+META_IMAGES = int(os.environ.get("SPARK_GRAFT_META_IMAGES", "2000"))
 
 # headline queries: every oracle-checked operator family + the heavy
 # training-data ops + the crawl engine itself
@@ -75,7 +76,7 @@ HEADLINE = [
 ]
 
 
-def run_queries() -> tuple[dict, float, dict, dict]:
+def run_queries() -> tuple[dict, float, dict, dict, dict]:
     import __spark_entry__ as entrymod
     from cianparser_spark.engine.session import get_spark
 
@@ -130,10 +131,19 @@ def run_queries() -> tuple[dict, float, dict, dict]:
 
         graph = _gb(spark, n_nodes=GRAPH_NODES, partitions=int(CPUS))
         print(f"  graph: {graph}", file=sys.stderr)
+    # metadata-scan microbench: header-bound (png_text_meta with the
+    # JVM-side head-bytes slice) vs decode-bound pass over the same
+    # 512x512 corpus; set SPARK_GRAFT_META_IMAGES=0 to skip.
+    meta: dict = {}
+    if META_IMAGES:
+        from cianparser_spark.bench_meta import run_bench as _mb
+
+        meta = _mb(spark, n_images=META_IMAGES, w=512, h=512)
+        print(f"  meta: {meta}", file=sys.stderr)
     # free the JVM + python workers so the scaling subprocesses measure
     # an otherwise-idle machine
     spark.stop()
-    return times, total, frontier, graph
+    return times, total, frontier, graph, meta
 
 
 def run_scaling() -> dict:
@@ -336,7 +346,7 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
 
 
 def main() -> None:
-    times, total, frontier, graph = run_queries()
+    times, total, frontier, graph, meta = run_queries()
     crawl = {} if SKIP_SCALING else run_scaling()
 
     # Full-fidelity record (rep arrays, platform controls, method
@@ -353,7 +363,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({"value_s": round(total, 3), "queries_s": times,
                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                   "frontier": frontier, "graph": graph, "crawl": crawl},
+                   "frontier": frontier, "graph": graph, "meta": meta,
+                   "crawl": crawl},
                   fh, indent=1)
         fh.write("\n")
     print(f"full bench detail written to {detail_path}", file=sys.stderr)
@@ -387,6 +398,8 @@ def main() -> None:
     if graph:
         result["graph_cc_nodes_per_sec"] = graph["cc_nodes_per_sec"]
         result["graph_pr_node_iters_per_sec"] = graph["pr_node_iters_per_sec"]
+    if meta:
+        result["meta_over_decode_speedup"] = meta["meta_over_decode_speedup"]
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1800:  # paranoia: never outgrow the tail capture again
         result["queries"] = {k: round(v, 1) for k, v in times.items()}

@@ -457,3 +457,27 @@ def test_exif_ops_spark(spark):
     assert bytes(got["g"]["bytes"]) == exif.scrub_gps(gps)[0]
     assert got["p"]["had_gps"] is False and bytes(got["p"]["bytes"]) == plain
     assert got["x"]["had_gps"] is False and bytes(got["x"]["bytes"]) == b"not jpeg"
+
+
+def test_png_text_meta_head_bytes_cap(spark):
+    """The JVM-side head-bytes slice: capped mode (default) still finds
+    every pre-IDAT textual chunk; a spec-legal post-IDAT tEXt is missed
+    by a cap tighter than the blob but found by exact mode
+    (head_bytes=None)."""
+    from cianparser_spark.corpus import imaging
+    from cianparser_spark.ops.multimodal import png_text_meta
+
+    px = imaging.gen_pixels(31, 64, 64)
+    blob = imaging.png_encode(px, text={"Title": "t"})
+    # append a tEXt chunk AFTER IDAT (before IEND)
+    extra = imaging._chunk(b"tEXt", b"Late\x00after-idat")
+    late = blob[:-12] + extra + blob[-12:]
+    assert dict(imaging.png_text_chunks(late)) == {"Title": "t",
+                                                   "Late": "after-idat"}
+    df = spark.createDataFrame([("a", late)], "image_id string, bytes binary")
+    capped = {r["key"] for r in png_text_meta(df, head_bytes=64).collect()}
+    exact = {r["key"] for r in png_text_meta(df, head_bytes=None).collect()}
+    assert capped == {"Title"} and exact == {"Title", "Late"}
+    # the default cap is far beyond any header region: finds both here
+    default = {r["key"] for r in png_text_meta(df).collect()}
+    assert default == {"Title", "Late"}
