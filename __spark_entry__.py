@@ -346,8 +346,9 @@ def q_multimodal_features(spark, sf_dir):
 def q_multimodal_formats(spark, sf_dir):
     """MM1 driver-visible, full container surface: distributed
     encode→decode→features for PNG, baseline JPEG (corpus/jpegbase),
-    24-bit BMP and GIF89a-with-real-LZW (corpus/bmpgif) vs a
-    pure-Python encode/decode/feature loop (truth.ensure_formats_truth).
+    24-bit BMP, GIF89a-with-real-LZW (corpus/bmpgif) and baseline
+    TIFF with PackBits strips (corpus/tiffbase) vs a pure-Python
+    encode/decode/feature loop (truth.ensure_formats_truth).
     n_bytes pins the distributed encoder byte-for-byte."""
     from cianparser_spark import truth
     from cianparser_spark.ops.multimodal import format_roundtrip_features
@@ -569,6 +570,110 @@ def q_multimodal_video_avi(spark, sf_dir):
                 F.round("std_luma", 4).alias("std_luma"),
                 F.round("edge_energy", 4).alias("edge_energy"))
         .orderBy("codec", "video_id", "frame_index")
+    )
+
+
+def q_multimodal_video_gif(spark, sf_dir):
+    """MM3 driver-visible, third container: ANIMATED GIF — multi-frame
+    LZW decode with real canvas composition (corpus/bmpgif.gif_frames:
+    partial frames, transparency, disposal methods) sampled and
+    featurized distributed vs the pure-Python encode→decode→feature
+    loop (truth.ensure_gif_video_truth)."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import (
+        decode_features, frame_sample, make_synthetic_video)
+
+    vids = make_synthetic_video(
+        spark, n_videos=truth.AV_VIDEO_N,
+        frames=truth.AV_VIDEO_FRAMES, fmt="gif")
+    frames = frame_sample(vids, every=truth.AV_FRAME_EVERY)
+    imgs = frames.select(
+        F.concat_ws("#", "video_id",
+                    F.col("frame_index").cast("string")).alias("image_id"),
+        "bytes", F.lit("png").alias("fmt"))
+    return (
+        decode_features(imgs)
+        .withColumn("video_id", F.split("image_id", "#")[0])
+        .withColumn("frame_index", F.split("image_id", "#")[1].cast("long"))
+        .select("video_id", "frame_index",
+                F.round("mean_luma", 4).alias("mean_luma"),
+                F.round("std_luma", 4).alias("std_luma"),
+                F.round("edge_energy", 4).alias("edge_energy"))
+        .orderBy("video_id", "frame_index")
+    )
+
+
+def q_multimodal_audio_meta(spark, sf_dir):
+    """MM2 metadata axis driver-visible: compressed-audio CONTAINER
+    scan — MP3 frame-header walk (corpus/mpegaudio: framing formula,
+    ID3v2 skip, Xing/VBR detect) + Ogg page walk (corpus/oggdemux:
+    per-page CRC-32 verify, packet reassembly, Vorbis ident parse) —
+    run distributed over deterministic streams, with deterministic
+    corruption injected JVM-side (every AUDIO_META_CORRUPT_MOD-th
+    clip's 30th byte zeroed via binary substring/concat) to prove
+    corrupt payloads degrade to ok=false rows.  Oracle: pure-Python
+    loop over the SAME bytes + corruption
+    (truth.ensure_audio_meta_truth).  Header-bound at 100 TB — same
+    scan shape as png_text_meta/exif_meta; perceptual sample decode
+    for mp3/ogg remains an honest stub."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import (
+        audio_meta_scan, make_synthetic_compressed_audio)
+
+    clips = make_synthetic_compressed_audio(spark, n_clips=truth.AUDIO_META_N)
+    corrupted = clips.withColumn(
+        "bytes",
+        F.when(
+            F.substring("audio_id", 4, 8).cast("int")
+            % truth.AUDIO_META_CORRUPT_MOD == 0,
+            F.concat(F.expr("substring(bytes, 1, 29)"),
+                     F.expr("X'00'"),
+                     F.expr("substring(bytes, 31, 2147483647)")),
+        ).otherwise(F.col("bytes")),
+    )
+    return (
+        audio_meta_scan(corrupted)
+        .select("audio_id", "container", "ok", "n_units", "n_pages",
+                "sample_rate", "channels", "bitrate_kbps", "rate_mode",
+                F.round("duration_s", 6).alias("duration_s"))
+        .orderBy("audio_id")
+    )
+
+
+SPLIT_FRACTIONS = {"en": (0.10, 0.10), "zh": (0.20, 0.05)}
+SPLIT_DEFAULT = (0.05, 0.05)
+DOMAIN_CAP = 10
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split
+    (ops/sampling.split_stratified): md5-derived uniform per doc_id ×
+    salt, per-lang val/test fractions.  Map-only, zero exchanges —
+    the assignment is a scan-level expression; reproducible across
+    runs/engines (oracle recomputes the identical uniform in DuckDB)."""
+    from cianparser_spark.ops.sampling import split_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        split_stratified(docs, "doc_id", "lang", SPLIT_FRACTIONS,
+                         salt="split-v1", default=SPLIT_DEFAULT)
+        .select("doc_id", "lang", "split", F.round("u", 6).alias("u"))
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_domain_cap(spark, sf_dir):
+    """Per-domain frequency capping (ops/sampling.domain_cap): at most
+    DOMAIN_CAP docs per source, deterministic representatives (rank by
+    doc_id).  The anti-boilerplate mixture step of corpus assembly;
+    one shuffle on the cap key, skew bounded by the cap itself."""
+    from cianparser_spark.ops.sampling import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        domain_cap(docs, "source", "doc_id", DOMAIN_CAP)
+        .select("doc_id", "source", "grp_rank")
+        .orderBy("source", "grp_rank")
     )
 
 
@@ -1512,6 +1617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_wav": q_multimodal_audio_wav,
         "multimodal_audio_flac": q_multimodal_audio_flac,
         "multimodal_video_avi": q_multimodal_video_avi,
+        "multimodal_video_gif": q_multimodal_video_gif,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "sample_split": q_sample_split,
+        "sample_domain_cap": q_sample_domain_cap,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1664,6 +1773,8 @@ def oracle_sql() -> dict[str, str]:
     png_meta_path = truth.ensure_png_meta_truth()
     flac_truth_path = truth.ensure_flac_truth()
     exif_truth_path = truth.ensure_exif_truth()
+    gif_video_path = truth.ensure_gif_video_truth()
+    audio_meta_path = truth.ensure_audio_meta_truth()
     shard_truth_path = truth.ensure_shard_manifest_truth()
     tiles_truth_path = truth.ensure_image_tiles_truth()
     link_graph_path = truth.ensure_link_graph_truth()
@@ -2047,6 +2158,55 @@ def oracle_sql() -> dict[str, str]:
                    mean_luma, std_luma, edge_energy
             FROM read_parquet('{av_video_path}')
             ORDER BY codec, video_id, frame_index
+        """,
+        # MM3 animated GIF: multi-frame LZW decode + canvas composition
+        # vs the pure-Python encode->decode->feature loop
+        "multimodal_video_gif": f"""
+            SELECT video_id, frame_index,
+                   mean_luma, std_luma, edge_energy
+            FROM read_parquet('{gif_video_path}')
+            ORDER BY video_id, frame_index
+        """,
+        # Deterministic stratified split: DuckDB recomputes the SAME
+        # md5-derived 48-bit uniform and threshold cascade
+        "sample_split": f"""
+            WITH u AS (
+                SELECT doc_id, lang,
+                       (('0x' || substr(md5(doc_id || 'split-v1'), 1, 12))::BIGINT)
+                           / {float(16 ** 12)} AS u
+                FROM documents
+            ), f AS (
+                SELECT *,
+                       CASE lang WHEN 'en' THEN 0.10 WHEN 'zh' THEN 0.20
+                                 ELSE 0.05 END AS vf,
+                       CASE lang WHEN 'en' THEN 0.10 WHEN 'zh' THEN 0.05
+                                 ELSE 0.05 END AS tf
+                FROM u
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN u < vf THEN 'val'
+                        WHEN u < vf + tf THEN 'test'
+                        ELSE 'train' END AS split,
+                   round(u, 6) AS u
+            FROM f ORDER BY doc_id
+        """,
+        # Frequency capping: same deterministic rank-by-id window
+        "sample_domain_cap": f"""
+            SELECT doc_id, source, grp_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id, source) AS grp_rank
+                FROM documents
+            ) WHERE grp_rank <= {DOMAIN_CAP}
+            ORDER BY source, grp_rank
+        """,
+        # MM2 metadata axis: MP3 frame walk + Ogg CRC page walk vs the
+        # pure-Python scan of the same (identically corrupted) bytes
+        "multimodal_audio_meta": f"""
+            SELECT audio_id, container, ok, n_units, n_pages,
+                   sample_rate, channels, bitrate_kbps, rate_mode, duration_s
+            FROM read_parquet('{audio_meta_path}')
+            ORDER BY audio_id
         """,
         # the sequential reference-semantics simulator's offers, in
         # crawl order, with corpus-ground-truth image ids — the

@@ -223,6 +223,159 @@ def gif_encode(pixels: np.ndarray) -> bytes:
     return (b"GIF89a" + lsd + palette.tobytes() + img + b"\x3B")
 
 
+def _palette_and_indices(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact palette when <=256 unique colors, 3-3-2 quantization
+    beyond — shared by the single- and multi-frame encoders."""
+    h, w = frame.shape[:2]
+    flat = frame.reshape(-1, 3)
+    packed = (flat[:, 0].astype(np.uint32) << 16) | \
+             (flat[:, 1].astype(np.uint32) << 8) | flat[:, 2].astype(np.uint32)
+    uniq, inv = np.unique(packed, return_inverse=True)
+    if len(uniq) <= 256:
+        palette = np.stack([(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF,
+                            uniq & 0xFF], axis=1).astype(np.uint8)
+        indices = inv.astype(np.uint8)
+        if len(palette) < 256:
+            size = 2
+            while size < max(len(palette), 2):
+                size *= 2
+            palette = np.vstack([palette,
+                                 np.zeros((size - len(palette), 3), np.uint8)])
+    else:
+        palette = _palette_332()
+        indices = (((flat[:, 0] >> 5).astype(np.uint8) << 5)
+                   | ((flat[:, 1] >> 5).astype(np.uint8) << 2)
+                   | (flat[:, 2] >> 6).astype(np.uint8))
+    return palette, indices.reshape(h, w)
+
+
+def _image_block(indices: np.ndarray, palette: np.ndarray,
+                 left: int = 0, top: int = 0) -> bytes:
+    """Image descriptor + local color table + LZW data sub-blocks."""
+    h, w = indices.shape
+    table_bits = max(int(np.ceil(np.log2(len(palette)))), 1)
+    min_code = max(table_bits, 2)
+    body = _lzw_encode(indices.reshape(-1), min_code)
+    sub = b"".join(
+        bytes([min(255, len(body) - i)]) + body[i: i + 255]
+        for i in range(0, len(body), 255)) + b"\x00"
+    desc = b"\x2C" + struct.pack("<HHHHB", left, top, w, h,
+                                 0x80 | ((table_bits - 1) & 0x7))
+    return desc + palette.tobytes() + bytes([min_code]) + sub
+
+
+def gif_encode_anim(frames: list[np.ndarray], delay_cs: int = 10,
+                    disposal: int = 1) -> bytes:
+    """Multi-frame GIF89a: one Graphic Control Extension per frame
+    (real delay + disposal method) and a per-frame LOCAL color table
+    (exact <=256 colors, 3-3-2 beyond) — full-canvas frames.  The
+    decoder below additionally composes partial frames, transparency
+    and restore disposals, which this encoder never emits."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0))
+    for frame in frames:
+        if frame.shape[:2] != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        out += b"\x21\xF9\x04" + bytes([(disposal & 0x7) << 2]) \
+            + struct.pack("<H", delay_cs) + b"\x00\x00"
+        palette, indices = _palette_and_indices(frame)
+        out += _image_block(indices, palette)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode ALL frames of a GIF87a/89a with real canvas composition:
+    partial frames paint at (left, top); a GCE transparency index
+    leaves underlying canvas pixels; disposal 2 restores the background
+    color, disposal 3 restores the pre-frame canvas.  Returns the
+    composed full-canvas RGB frames in order."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = np.frombuffer(data[pos: pos + n * 3], dtype=np.uint8).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            blocks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                blocks.append(data[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and blocks:  # Graphic Control Extension
+                gce = blocks[0]
+                disposal = (gce[0] >> 2) & 0x7
+                transparent = gce[3] if gce[0] & 0x1 else None
+        elif b0 == 0x2C:
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1: pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x7)
+                pal = np.frombuffer(
+                    data[pos: pos + n * 3], dtype=np.uint8).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise NotImplementedError("GIF frame without any color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if iflags & 0x40:
+                rows = idx.reshape(h, w)
+                order = np.concatenate(
+                    [np.arange(s, h, st) for s, st in _INTERLACE_PASSES])
+                fixed = np.empty_like(rows)
+                fixed[order] = rows
+                idx = fixed.reshape(-1)
+            rows = idx.reshape(h, w)
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top: top + h, left: left + w]
+            rgb = pal[np.minimum(rows, len(pal) - 1)]
+            if transparent is not None:
+                opaque = rows != transparent
+                region[opaque] = rgb[opaque]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame region
+                canvas[top: top + h, left: left + w] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = before
+            transparent = None
+            disposal = 0
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"corrupt GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames
+
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 

@@ -183,6 +183,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "gif":
         from cianparser_spark.corpus import bmpgif
         return bmpgif.gif_encode(pixels)
+    if fmt == "tiff":
+        from cianparser_spark.corpus import tiffbase
+        return tiffbase.tiff_encode(pixels)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 
@@ -202,12 +205,15 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "gif":
         from cianparser_spark.corpus import bmpgif
         return bmpgif.gif_decode(data)
+    if fmt == "tiff":
+        from cianparser_spark.corpus import tiffbase
+        return tiffbase.tiff_decode(data)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 
 def is_lossless(fmt: str) -> bool:
     # gif is lossless only below 257 unique colors — conservatively lossy
-    return fmt in ("png", "bmp")
+    return fmt in ("png", "bmp", "tiff")
 
 
 def gen_pixels(seed: int, w: int, h: int) -> np.ndarray:

@@ -20,6 +20,8 @@ Operators:
 
 from __future__ import annotations
 
+from struct import error as struct_error
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import spread
 
-SUPPORTED_FMTS = ("png", "qjpg", "jpeg", "bmp", "gif")
+SUPPORTED_FMTS = ("png", "qjpg", "jpeg", "bmp", "gif", "tiff")
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:
@@ -542,6 +544,10 @@ def make_synthetic_video(spark, n_videos: int = 8, frames: int = 12,
             blob = aviriff.avi_encode(px, fps=10)
         elif fmt == "mjpg":
             blob = aviriff.avi_encode(px, fps=10, codec="mjpg")
+        elif fmt == "gif":
+            from cianparser_spark.corpus import bmpgif
+
+            blob = bmpgif.gif_encode_anim(px, delay_cs=10)
         else:
             raise ValueError(f"unknown synthetic video fmt {fmt!r}")
         rows.append((f"vid{v:04d}", blob, frames, fmt))
@@ -573,6 +579,14 @@ def frame_sample(videos: DataFrame, every: int = 4) -> DataFrame:
             meta, raw = aviriff.avi_demux(blob)
             for idx, fb in enumerate(raw):
                 yield idx, imaging.png_encode(aviriff.frame_decode(fb, meta))
+        elif fmt == "gif":
+            # animated GIF: real multi-frame decode with canvas
+            # composition (partial frames, transparency, disposal —
+            # corpus.bmpgif.gif_frames)
+            from cianparser_spark.corpus import bmpgif
+
+            for idx, frame in enumerate(bmpgif.gif_frames(blob)):
+                yield idx, imaging.png_encode(frame)
         else:
             raise NotImplementedError(f"no demuxer for {fmt!r} here")
 
@@ -586,3 +600,128 @@ def frame_sample(videos: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame(out, columns=["video_id", "frame_index", "bytes"])
 
     return videos.mapInPandas(run, "video_id string, frame_index int, bytes binary")
+
+
+# ---------------------------------------------------------------------------
+# compressed-audio container metadata scan (MP3 framing / Ogg paging)
+# ---------------------------------------------------------------------------
+
+def mp3_clip_build(i: int) -> bytes:
+    """Deterministic per-clip MP3 stream — the shared single definition
+    used by the Spark fixture builder and the oracle truth dump
+    (truth.ensure_audio_meta_truth).  Cycles bitrate / sample rate /
+    channel mode / ID3 size, makes every 4th clip VBR and every 3rd
+    carry a Xing header, so the scanner's whole surface is exercised."""
+    from cianparser_spark.corpus import mpegaudio
+
+    srs = (44100, 48000, 32000)
+    modes = ("joint_stereo", "stereo", "mono")
+    if i % 4 == 3:
+        return mpegaudio.mp3_build(
+            seed=i, n_frames=16 + i, sr=srs[i % 3], mode=modes[i % 3],
+            id3_size=0 if i % 2 else 64 + i, xing=i % 3 == 0,
+            vbr_rates=(96, 128, 160, 192))
+    rates = (64, 96, 128, 160, 192, 256, 320)
+    return mpegaudio.mp3_build(
+        seed=i, n_frames=16 + i, bitrate_kbps=rates[i % len(rates)],
+        sr=srs[i % 3], mode=modes[i % 3],
+        id3_size=0 if i % 2 else 64 + i, xing=i % 3 == 0)
+
+
+def ogg_clip_build(i: int) -> bytes:
+    """Deterministic per-clip Ogg/Vorbis-shaped stream (ident + comment
+    + setup + audio packets of awkward sizes, including 255-multiples
+    and page-spanning ones) — shared with the truth dump."""
+    from cianparser_spark.corpus import oggdemux
+
+    channels = 1 + i % 2
+    rate = (22050, 44100, 48000)[i % 3]
+    packets = [oggdemux.vorbis_ident_build(channels, rate,
+                                           bitrate_nominal=64000 + 8000 * (i % 5)),
+               b"\x03vorbis" + bytes((i + k) % 251 for k in range(30)),
+               b"\x05vorbis" + bytes((i * 3 + k) % 251 for k in range(40))]
+    for p in range(6 + i % 5):
+        size = (p * 97 + i * 31) % 700
+        if p % 3 == 0:
+            size = 255 * (1 + p % 3)  # exact lacing multiples
+        packets.append(bytes((i * 7 + p * 13 + k) % 256 for k in range(size)))
+    return oggdemux.ogg_build(packets, serial=0xC1A0 + i,
+                              max_segs_per_page=5 + i % 7)
+
+
+def make_synthetic_compressed_audio(spark, n_clips: int = 16) -> DataFrame:
+    """Fixture rows for the metadata scan: half MP3, half Ogg, built by
+    the shared per-clip definitions above on the driver (tiny streams),
+    scanned distributed."""
+    rows = []
+    for i in range(n_clips):
+        if i % 2 == 0:
+            rows.append((f"cmp{i:04d}", mp3_clip_build(i), "mp3"))
+        else:
+            rows.append((f"cmp{i:04d}", ogg_clip_build(i), "ogg"))
+    return spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+
+
+_META_COLS = ["audio_id", "container", "ok", "n_units", "n_pages",
+              "sample_rate", "channels", "bitrate_kbps", "rate_mode",
+              "duration_s"]
+
+
+def scan_clip_meta(data: bytes, fmt: str) -> dict:
+    """Scan ONE clip's container metadata — the shared per-clip
+    definition (Spark operator + truth dump).  Header-bound: walks MP3
+    frame headers / Ogg page headers, never touches codec payload."""
+    from cianparser_spark.corpus import mpegaudio, oggdemux
+
+    if fmt == "mp3":
+        s = mpegaudio.mp3_scan(data)
+        return {"container": "mp3", "ok": True, "n_units": s["n_frames"],
+                "n_pages": None, "sample_rate": s["sample_rate"],
+                "channels": 1 if s["channel_mode"] == "mono" else 2,
+                "bitrate_kbps": s["bitrate_kbps"],
+                "rate_mode": "vbr" if s["vbr"] else "cbr",
+                "duration_s": s["duration_s"]}
+    if fmt == "ogg":
+        d = oggdemux.ogg_demux(data)
+        v = oggdemux.vorbis_ident_parse(d["packets"][0])
+        return {"container": "ogg", "ok": True, "n_units": d["n_packets"],
+                "n_pages": d["n_pages"], "sample_rate": v["sample_rate"],
+                "channels": v["channels"],
+                # Vorbis is VBR by construction; the ident header only
+                # carries a nominal rate
+                "bitrate_kbps": v["bitrate_nominal"] // 1000,
+                "rate_mode": "vbr",
+                "duration_s": d["last_granule"] / v["sample_rate"]}
+    raise NotImplementedError(f"no container scanner for fmt={fmt!r}")
+
+
+def audio_meta_scan(audio: DataFrame) -> DataFrame:
+    """Arrow-batched compressed-audio CONTAINER metadata scan: MP3
+    frame-header walk (corpus.mpegaudio — framing formula, ID3v2 skip,
+    Xing/VBR detection) and Ogg page walk (corpus.oggdemux — per-page
+    CRC-32 verify, packet reassembly, Vorbis ident parse).  Corrupt or
+    truncated payloads degrade to ok=false rows, never task failures.
+    Map-only, no shuffle; at 100 TB this reads a few bytes per frame/
+    page boundary — the same scan-bound shape as png_text_meta /
+    exif_meta.  Perceptual SAMPLE decode for these codecs stays an
+    honest NotImplementedError (see audio_features)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    m = scan_clip_meta(bytes(r.bytes), r.fmt)
+                except (ValueError, NotImplementedError, IndexError,
+                        struct_error):
+                    m = {"container": r.fmt, "ok": False, "n_units": None,
+                         "n_pages": None, "sample_rate": None,
+                         "channels": None, "bitrate_kbps": None,
+                         "rate_mode": None, "duration_s": None}
+                out.append({"audio_id": r.audio_id, **m})
+            yield pd.DataFrame(out, columns=_META_COLS)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        run, "audio_id string, container string, ok boolean, n_units long, "
+             "n_pages long, sample_rate long, channels long, "
+             "bitrate_kbps long, rate_mode string, duration_s double")

@@ -1,0 +1,88 @@
+"""Dataset-assembly sampling operators — all native Catalyst
+expressions with exact ANSI-SQL oracles.
+
+What a training-data pipeline does between "cleaned corpus" and
+"training set":
+
+* split_stratified — deterministic hash-based train/val/test split
+  with PER-STRATUM fractions.  The assignment is a pure function of
+  (id, salt): `xxhash64` → uniform [0,1) → threshold cascade.  No
+  randomness, no state, no shuffle — reproducible across runs,
+  cluster sizes and engines (the oracle recomputes it in DuckDB from
+  the same md5-derived uniform), and rows can be re-derived later
+  ("which split was doc X in?") without storing the split.
+* domain_cap — frequency capping: keep at most `cap` rows per group
+  (host/domain/source), choosing a DETERMINISTIC representative set
+  (rank by a stable key).  The standard anti-memorization /
+  anti-boilerplate step in web-scale corpus assembly (one domain must
+  not dominate the mixture).  One hash-partitioned window — the
+  single shuffle is on the cap key, exactly the partitioning the
+  downstream per-domain mixture wants to inherit.
+
+100 TB notes: both are one-pass.  split_stratified is map-only
+(zero exchanges — the filter/threshold is a scan-level predicate and
+survives pushdown).  domain_cap's window shuffles once on the group
+key, and Spark 4 plans a map-side ``WindowGroupLimit`` (partial
+top-k per input partition) BEFORE the exchange — so a skewed
+mega-domain ships at most ``cap`` rows per map partition into the
+shuffle, never its full row set (asserted on the physical plan in
+tests/test_ops.py::test_sampling_ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^63 as float — xxhash64 is signed; |h| / 2^63 ∈ [0, 1)
+_HASH_SPAN = float(2 ** 63)
+
+
+def _uniform(col, salt: str):
+    """Deterministic uniform [0,1) from a value + salt.
+
+    Uses md5 (not xxhash64) so the DuckDB oracle can recompute the
+    IDENTICAL number: both engines agree on md5 bytes, and the first
+    12 hex digits give a 48-bit integer exactly representable in a
+    double on both sides."""
+    h12 = F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 12)
+    return F.conv(h12, 16, 10).cast("double") / F.lit(float(16 ** 12))
+
+
+def split_stratified(df: DataFrame, id_col: str, stratum_col: str,
+                     fractions: dict[str, tuple[float, float]],
+                     salt: str = "split-v1",
+                     default: tuple[float, float] = (0.01, 0.01)) -> DataFrame:
+    """Assign each row to train/val/test, deterministically, with
+    per-stratum val/test fractions.
+
+    ``fractions`` maps stratum value → (val_frac, test_frac); strata
+    not listed use ``default``.  u = uniform(id, salt); the row is
+    'val' when u < val_frac, 'test' when u < val_frac+test_frac, else
+    'train'.  Changing the salt re-deals every assignment; adding new
+    rows never moves existing ones (pure function of id)."""
+    u = _uniform(F.col(id_col), salt)
+    val_f = F.lit(None).cast("double")
+    test_f = F.lit(None).cast("double")
+    # literal-folded threshold cascade: strata are a handful of values
+    for stratum, (vf, tf) in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        val_f = F.when(cond, F.lit(vf)).otherwise(val_f)
+        test_f = F.when(cond, F.lit(tf)).otherwise(test_f)
+    val_f = F.coalesce(val_f, F.lit(default[0]))
+    test_f = F.coalesce(test_f, F.lit(default[1]))
+    split = (F.when(u < val_f, F.lit("val"))
+             .when(u < val_f + test_f, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return df.withColumn("u", u).withColumn("split", split)
+
+
+def domain_cap(df: DataFrame, group_col: str, order_col: str,
+               cap: int) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically: rank by
+    ``order_col`` (a stable key — quality score, timestamp, id) inside
+    each group and keep rank ≤ cap.  Output carries ``grp_rank`` so
+    downstream mixtures can sub-sample further without re-windowing."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col), F.col(group_col))
+    return (df.withColumn("grp_rank", F.row_number().over(w))
+              .filter(F.col("grp_rank") <= cap))

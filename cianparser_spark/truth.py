@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 9  # bump to invalidate previously dumped truth files
+_VERSION = 10  # bump to invalidate previously dumped truth files
 # (v8: the "jpeg" slot switched from the qjpg stand-in to the real
 # baseline JPEG codec — every truth embedding jpeg bytes/sizes/psnr
 # changes)
@@ -631,8 +631,8 @@ AV_VIDEO_N = 6
 AV_VIDEO_FRAMES = 12
 AV_FRAME_EVERY = 3
 
-IMG_FORMATS = ("png", "jpeg", "bmp", "gif")
-IMG_FORMAT_N = 12           # per format; × 4 formats = 48 rows
+IMG_FORMATS = ("png", "jpeg", "bmp", "gif", "tiff")
+IMG_FORMAT_N = 12           # per format; × 5 formats = 60 rows
 
 
 def ensure_formats_truth() -> str:
@@ -881,6 +881,77 @@ def ensure_av_truth() -> tuple[str, str]:
                               "edge_energy": round(feats["edge_energy"], 4)})
     _write_parquet(pd.DataFrame(vrows), vpath)
     return apath, vpath
+
+
+def ensure_gif_video_truth() -> str:
+    """Ground truth for the animated-GIF video path: pure-Python
+    encode (gif_encode_anim, per-frame exact-or-332 palettes) →
+    full multi-frame decode with canvas composition (gif_frames) →
+    the shared feature math on every sampled frame.  The Spark side
+    (frame_sample fmt='gif') decodes the SAME bytes, so features match
+    exactly even under 3-3-2 quantization."""
+    path = _path("gif_video")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import bmpgif, imaging
+    from cianparser_spark.ops.multimodal import image_features
+
+    rows = []
+    for v in range(AV_VIDEO_N):
+        px = [imaging.gen_pixels(v * 1000 + f, 32, 32)
+              for f in range(AV_VIDEO_FRAMES)]
+        frames = bmpgif.gif_frames(bmpgif.gif_encode_anim(px, delay_cs=10))
+        assert len(frames) == AV_VIDEO_FRAMES
+        for f in range(0, AV_VIDEO_FRAMES, AV_FRAME_EVERY):
+            feats = image_features(frames[f])
+            rows.append({"video_id": f"vid{v:04d}", "frame_index": f,
+                         "mean_luma": round(feats["mean_luma"], 4),
+                         "std_luma": round(feats["std_luma"], 4),
+                         "edge_energy": round(feats["edge_energy"], 4)})
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
+AUDIO_META_N = 18            # half mp3, half ogg
+AUDIO_META_CORRUPT_MOD = 7   # every 7th clip gets its 30th byte zeroed
+
+
+def ensure_audio_meta_truth() -> str:
+    """Ground truth for the compressed-audio container metadata scan:
+    the SAME deterministic mp3/ogg streams the Spark fixture builds
+    (ops.multimodal.mp3_clip_build / ogg_clip_build), scanned by the
+    shared per-clip definition (scan_clip_meta — MP3 frame walk with
+    ID3/Xing handling, Ogg page walk with CRC verify + Vorbis ident),
+    with the SAME deterministic corruption the Spark query injects
+    JVM-side via binary substring/concat (clips divisible by
+    AUDIO_META_CORRUPT_MOD get their 30th byte zeroed — lands in an
+    Ogg page body → CRC failure → ok=false; in an MP3 ID3 body the
+    scan legitimately survives, and both sides agree either way)."""
+    path = _path("audio_meta")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.ops.multimodal import (
+        mp3_clip_build, ogg_clip_build, scan_clip_meta)
+
+    rows = []
+    for i in range(AUDIO_META_N):
+        fmt = "mp3" if i % 2 == 0 else "ogg"
+        blob = mp3_clip_build(i) if fmt == "mp3" else ogg_clip_build(i)
+        if i % AUDIO_META_CORRUPT_MOD == 0:
+            blob = blob[:29] + b"\x00" + blob[30:]
+        try:
+            m = scan_clip_meta(blob, fmt)
+        except (ValueError, NotImplementedError, IndexError):
+            m = {"container": fmt, "ok": False, "n_units": None,
+                 "n_pages": None, "sample_rate": None, "channels": None,
+                 "bitrate_kbps": None, "rate_mode": None, "duration_s": None}
+        rows.append({"audio_id": f"cmp{i:04d}", **m,
+                     "duration_s": (None if m["duration_s"] is None
+                                    else round(m["duration_s"], 6))})
+    return _write_parquet(pd.DataFrame(rows), path)
 
 
 def ensure_shard_manifest_truth(n: int = PAYLOAD_N) -> str:

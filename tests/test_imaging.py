@@ -481,3 +481,160 @@ def test_png_text_meta_head_bytes_cap(spark):
     # the default cap is far beyond any header region: finds both here
     default = {r["key"] for r in png_text_meta(df).collect()}
     assert default == {"Title", "Late"}
+
+
+def test_gif_animated_encode_decode_composition():
+    """Animated GIF: full-canvas multi-frame round-trip is exact for
+    <=256-color frames; the decoder composes hand-built partial frames
+    with transparency and disposal-2 (restore background) correctly;
+    gif_decode still returns the first frame of an animation."""
+    import struct
+
+    import numpy as np
+
+    from cianparser_spark.corpus import bmpgif
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 32, (24, 18))] for _ in range(5)]
+    blob = bmpgif.gif_encode_anim(frames, delay_cs=4)
+    got = bmpgif.gif_frames(blob)
+    assert len(got) == 5
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+    assert np.array_equal(bmpgif.gif_decode(blob), frames[0])
+    assert np.array_equal(bmpgif.gif_frames(bmpgif.gif_encode(frames[0]))[0],
+                          frames[0])
+    # hand-built: full frame, then a 4x4 patch at (left=2, top=3) with a
+    # transparent index and disposal 2
+    h, w = 10, 10
+    base = np.zeros((h, w, 3), np.uint8)
+    base[:] = (10, 20, 30)
+    p1, i1 = bmpgif._palette_and_indices(base)
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0))
+    out += b"\x21\xF9\x04" + bytes([1 << 2]) + struct.pack("<H", 5) + b"\x00\x00"
+    out += bmpgif._image_block(i1, p1)
+    patch = np.zeros((4, 4, 3), np.uint8)
+    patch[:] = (200, 100, 50)
+    patch[0, 0] = (10, 20, 30)
+    p2, i2 = bmpgif._palette_and_indices(patch)
+    tidx = int(i2[0, 0])
+    out += (b"\x21\xF9\x04" + bytes([(2 << 2) | 1]) + struct.pack("<H", 5)
+            + bytes([tidx]) + b"\x00")
+    out += bmpgif._image_block(i2, p2, left=2, top=3)
+    out += b"\x3B"
+    fr = bmpgif.gif_frames(bytes(out))
+    assert len(fr) == 2 and np.array_equal(fr[0], base)
+    assert tuple(fr[1][3, 2]) == (10, 20, 30)    # transparent → canvas shows
+    assert tuple(fr[1][3, 3]) == (200, 100, 50)  # opaque patch pixel
+    assert tuple(fr[1][0, 0]) == (10, 20, 30)    # outside the patch
+
+
+def test_frame_sample_gif_spark(spark):
+    """fmt='gif' videos demux+decode distributed: sampled frames match
+    the pure-Python gif_frames of the same bytes."""
+    import numpy as np
+
+    from cianparser_spark.corpus import bmpgif, imaging
+    from cianparser_spark.ops.multimodal import frame_sample, make_synthetic_video
+
+    vids = make_synthetic_video(spark, n_videos=2, frames=6, fmt="gif")
+    got = {(r["video_id"], r["frame_index"]): bytes(r["bytes"])
+           for r in frame_sample(vids, every=2).collect()}
+    assert len(got) == 2 * 3
+    for v in range(2):
+        px = [imaging.gen_pixels(v * 1000 + f, 32, 32) for f in range(6)]
+        frames = bmpgif.gif_frames(bmpgif.gif_encode_anim(px, delay_cs=10))
+        for f in (0, 2, 4):
+            want = imaging.png_encode(frames[f])
+            assert got[(f"vid{v:04d}", f)] == want
+
+
+def test_tiff_roundtrip_and_packbits():
+    """Baseline TIFF: bit-exact round-trip for both compressions across
+    awkward shapes (strip remainders, single pixel); PackBits edge
+    cases (empty row, long repeats, no-repeat literals, 128-boundary)."""
+    import numpy as np
+
+    from cianparser_spark.corpus import imaging, tiffbase
+
+    for seed, (h, w) in [(1, (32, 40)), (2, (7, 3)), (3, (1, 1)),
+                         (4, (33, 129)), (5, (8, 8))]:
+        px = imaging.gen_pixels(seed, w, h)
+        for comp in ("none", "packbits"):
+            blob = tiffbase.tiff_encode(px, compression=comp)
+            assert np.array_equal(tiffbase.tiff_decode(blob), px)
+    flat = np.full((16, 16, 3), 7, np.uint8)
+    packed = tiffbase.tiff_encode(flat)
+    plain = tiffbase.tiff_encode(flat, compression="none")
+    assert np.array_equal(tiffbase.tiff_decode(packed), flat)
+    assert len(packed) < len(plain) / 3  # repeats actually compress
+    for row in [b"", b"\x00", b"\x00" * 500, bytes(range(256)) * 2,
+                b"aabbbbccddddddde", b"x" * 128, b"x" * 129]:
+        enc = tiffbase.packbits_encode(row)
+        assert tiffbase.packbits_decode(enc, len(row)) == row
+    # dispatch + losslessness registration
+    px = imaging.gen_pixels(9, 40, 32)
+    assert np.array_equal(imaging.decode(imaging.encode(px, "tiff"), "tiff"), px)
+    assert imaging.is_lossless("tiff")
+
+
+def test_tiff_bigendian_grayscale_and_rejections():
+    """The decoder reads MM (big-endian) files and Photometric-1
+    grayscale (hand-built per the spec — our encoder never emits
+    either), and rejects unsupported profiles honestly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cianparser_spark.corpus import tiffbase
+
+    # hand-built MM grayscale 4x3, one uncompressed strip at offset 8
+    h, w = 3, 4
+    gray = np.arange(h * w, dtype=np.uint8).reshape(h, w) * 9
+    strip = gray.tobytes()
+    ifd_off = 8 + len(strip)
+
+    def entry(tag, typ, count, value):
+        if typ == 3 and count == 1:
+            return struct.pack(">HHIHH", tag, typ, 1, value, 0)
+        return struct.pack(">HHII", tag, typ, count, value)
+
+    entries = [entry(256, 4, 1, w), entry(257, 4, 1, h),
+               entry(258, 3, 1, 8), entry(259, 3, 1, 1),
+               entry(262, 3, 1, 1), entry(273, 4, 1, 8),
+               entry(277, 3, 1, 1), entry(278, 4, 1, h),
+               entry(279, 4, 1, len(strip))]
+    blob = (b"MM\x00*" + struct.pack(">I", ifd_off) + strip
+            + struct.pack(">H", len(entries)) + b"".join(entries)
+            + struct.pack(">I", 0))
+    dec = tiffbase.tiff_decode(blob)
+    assert dec.shape == (h, w, 3)
+    assert np.array_equal(dec[:, :, 0], gray)
+    assert np.array_equal(dec[:, :, 1], gray)
+    # rejections: wrong magic, unsupported compression code
+    with pytest.raises(ValueError):
+        tiffbase.tiff_decode(b"NOPE" + blob[4:])
+    bad = bytearray(blob)
+    # compression entry is the 4th (sorted by tag): flip its SHORT value to 5 (LZW)
+    comp_entry_off = ifd_off + 2 + 3 * 12
+    struct.pack_into(">H", bad, comp_entry_off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        tiffbase.tiff_decode(bytes(bad))
+
+
+def test_tiff_spark_formats_roundtrip(spark):
+    """fmt='tiff' flows through the distributed encode→decode→features
+    stage alongside the other containers."""
+    from cianparser_spark.ops.multimodal import format_roundtrip_features
+
+    rows = format_roundtrip_features(
+        spark, formats=("png", "tiff"), n_per_fmt=3).collect()
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r["fmt"], {})[r["image_id"]] = (
+            r["mean_luma"], r["std_luma"], r["edge_energy"])
+    assert set(by_fmt) == {"png", "tiff"}
+    # both containers are lossless → identical features per image
+    assert by_fmt["png"] == by_fmt["tiff"]

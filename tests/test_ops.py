@@ -806,3 +806,148 @@ def test_audio_features_flac_spark(spark):
         [("m0", b"\xffID3", sr, n, "mp3")],
         "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string")
     assert audio_features(stub).collect()[0]["ok"] is False
+
+
+def test_mp3_scan_framing():
+    """MPEG-1 Layer III frame walk: CBR with ID3+padding, VBR with
+    Xing, MPEG-2 LSF framing, and corruption/truncation rejection."""
+    import struct
+
+    import pytest
+
+    from cianparser_spark.corpus import mpegaudio as m
+
+    s = m.mp3_scan(m.mp3_build(3, n_frames=30, bitrate_kbps=128,
+                               sr=44100, id3_size=77))
+    assert (s["n_frames"], s["bitrate_kbps"], s["vbr"]) == (30, 128, False)
+    assert s["id3v2_bytes"] == 87 and s["sample_rate"] == 44100
+    assert abs(s["duration_s"] - 30 * 1152 / 44100) < 1e-9
+    s = m.mp3_scan(m.mp3_build(5, n_frames=40, sr=32000, mode="mono",
+                               xing=True, vbr_rates=(96, 128, 160)))
+    assert s["vbr"] and s["bitrate_kbps"] is None and s["xing_frames"] == 40
+    assert s["channel_mode"] == "mono"
+    # hand-built MPEG-2 LSF frame (version bits 10, 576 samples/frame)
+    hw = ((0x7FF << 21) | (0b10 << 19) | (0b01 << 17) | (1 << 16)
+          | (4 << 12) | (1 << 10) | (3 << 6))  # 32kbps idx4, 24000Hz, mono
+    flen = 72 * 32000 // 24000
+    frame = struct.pack(">I", hw) + bytes(flen - 4)
+    s = m.mp3_scan(frame * 3)
+    assert s["n_frames"] == 3 and s["sample_rate"] == 24000
+    assert abs(s["duration_s"] - 3 * 576 / 24000) < 1e-9
+    blob = bytearray(m.mp3_build(1, n_frames=5))
+    second = m._frame_len(1, 128, 44100, 1)  # seed=1: first frame padded
+    blob[second] = 0x00
+    with pytest.raises(ValueError):
+        m.mp3_scan(bytes(blob))
+    with pytest.raises(ValueError):
+        m.mp3_scan(m.mp3_build(1, n_frames=5)[:-3])
+
+
+def test_ogg_demux_paging():
+    """Ogg page walk: packet reassembly across pages and 255-lacing
+    boundaries, per-page CRC-32 verification, BOS/EOS flags, Vorbis
+    ident parse; CRC/capture/sequence corruption all raise."""
+    import pytest
+
+    from cianparser_spark.corpus import oggdemux as o
+
+    pk = [b"", b"a", b"x" * 254, b"y" * 255, b"z" * 256, b"q" * 765,
+          bytes(range(256)) * 40]
+    d = o.ogg_demux(o.ogg_build(pk, max_segs_per_page=7))
+    assert d["packets"] == pk and d["bos"] and d["eos"]
+    ident = o.vorbis_ident_build(2, 44100)
+    blob = o.ogg_build([ident, b"\x03vorbis-comment", b"\x05vorbis-setup"])
+    v = o.vorbis_ident_parse(o.ogg_demux(blob)["packets"][0])
+    assert (v["channels"], v["sample_rate"]) == (2, 44100)
+    bad = bytearray(blob)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        o.ogg_demux(bytes(bad))
+    with pytest.raises(ValueError):
+        o.ogg_demux(b"XggS" + blob[4:])
+
+
+def test_audio_meta_scan_spark(spark):
+    """The distributed container scan matches the shared pure-Python
+    per-clip definition for every fixture clip, and a JVM-corrupted Ogg
+    clip degrades to ok=false instead of failing the task."""
+    from pyspark.sql import functions as F
+
+    from cianparser_spark.ops.multimodal import (
+        audio_meta_scan, make_synthetic_compressed_audio, mp3_clip_build,
+        ogg_clip_build, scan_clip_meta)
+
+    clips = make_synthetic_compressed_audio(spark, n_clips=8)
+    got = {r["audio_id"]: r.asDict() for r in audio_meta_scan(clips).collect()}
+    assert len(got) == 8
+    for i in range(8):
+        fmt = "mp3" if i % 2 == 0 else "ogg"
+        blob = mp3_clip_build(i) if fmt == "mp3" else ogg_clip_build(i)
+        want = scan_clip_meta(blob, fmt)
+        row = got[f"cmp{i:04d}"]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(row[k] - v) < 1e-9, (i, k)
+            else:
+                assert row[k] == v, (i, k)
+    corrupted = clips.filter(F.col("fmt") == "ogg").withColumn(
+        "bytes", F.expr("substring(bytes, 1, 40)"))
+    rows = audio_meta_scan(corrupted).collect()
+    assert rows and all(not r["ok"] for r in rows)
+
+
+def test_sampling_ops(spark):
+    """split_stratified: deterministic, per-stratum fractions honored,
+    stable under re-run and row addition, map-only plan (no exchange);
+    domain_cap: ≤cap rows per group, deterministic representatives,
+    exactly one exchange on the group key."""
+    from pyspark.sql import functions as F
+
+    from cianparser_spark.ops.sampling import domain_cap, split_stratified
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"en": (0.5, 0.2)}
+    s1 = split_stratified(docs, "doc_id", "lang", fr, default=(0.0, 0.0))
+    rows = {r["doc_id"]: (r["split"], r["u"]) for r in s1.collect()}
+    s2 = {r["doc_id"]: (r["split"], r["u"])
+          for r in split_stratified(docs, "doc_id", "lang", fr,
+                                    default=(0.0, 0.0)).collect()}
+    assert rows == s2  # deterministic
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    for did, (split, u) in rows.items():
+        if langs[did] == "en":
+            want = "val" if u < 0.5 else ("test" if u < 0.7 else "train")
+        else:
+            want = "train"  # default (0,0): everything trains
+        assert split == want, (did, langs[did], u, split, want)
+    # subsetting the input never moves surviving rows (pure fn of id)
+    sub = {r["doc_id"]: r["split"]
+           for r in split_stratified(docs.limit(50), "doc_id", "lang", fr,
+                                     default=(0.0, 0.0)).collect()}
+    assert all(rows[d][0] == s for d, s in sub.items())
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: scan-level expression
+    # changing the salt re-deals
+    s3 = {r["doc_id"]: r["split"]
+          for r in split_stratified(docs, "doc_id", "lang", fr, salt="other",
+                                    default=(0.0, 0.0)).collect()}
+    assert any(s3[d] != rows[d][0] for d in rows)
+
+    capped = domain_cap(docs, "source", "doc_id", 3)
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    got = {(r["source"], r["grp_rank"]): r["doc_id"] for r in capped.collect()}
+    # representatives = the cap smallest doc_ids per source
+    import collections
+    by_src = collections.defaultdict(list)
+    for r in docs.select("doc_id", "source").collect():
+        by_src[r["source"]].append(r["doc_id"])
+    for src, ids in by_src.items():
+        for k, did in enumerate(sorted(ids)[:3], start=1):
+            assert got[(src, k)] == did
+    # one shuffle on the cap key, and Spark 4's WindowGroupLimit caps
+    # MAP-SIDE before the exchange (partial top-k) — the skew bound
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
