@@ -640,6 +640,26 @@ def q_multimodal_audio_meta(spark, sf_dir):
     )
 
 
+def q_payload_phash_xformat(spark, sf_dir):
+    """A8×MM1: cross-format near-duplicate robustness — each source
+    frame re-encoded into PNG / baseline JPEG / GIF (3-3-2 quantized) /
+    TIFF, decoded back and dHashed EXECUTOR-SIDE (ops/multimodal.
+    xformat_phash, map-only), then hamming to the PNG anchor computed
+    JVM-side via bit_count(xor) after a broadcast join (xformat_hamming)
+    — the 'same photo, different container' dedup case a web crawl
+    actually faces.  Oracle: pure-Python encode→decode→dHash→hamming
+    loop (truth.ensure_xformat_truth); n_bytes pins every encoder."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import xformat_hamming, xformat_phash
+
+    variants = xformat_phash(spark, n_src=truth.XFORMAT_N)
+    return (
+        xformat_hamming(variants)
+        .select("src_id", "fmt", "n_bytes", "phash", "hamming", "is_dup")
+        .orderBy("src_id", "fmt")
+    )
+
+
 SPLIT_FRACTIONS = {"en": (0.10, 0.10), "zh": (0.20, 0.05)}
 SPLIT_DEFAULT = (0.05, 0.05)
 DOMAIN_CAP = 10
@@ -1621,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "sample_split": q_sample_split,
         "sample_domain_cap": q_sample_domain_cap,
+        "payload_phash_xformat": q_payload_phash_xformat,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1775,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
     exif_truth_path = truth.ensure_exif_truth()
     gif_video_path = truth.ensure_gif_video_truth()
     audio_meta_path = truth.ensure_audio_meta_truth()
+    xformat_path = truth.ensure_xformat_truth()
     shard_truth_path = truth.ensure_shard_manifest_truth()
     tiles_truth_path = truth.ensure_image_tiles_truth()
     link_graph_path = truth.ensure_link_graph_truth()
@@ -2166,6 +2188,13 @@ def oracle_sql() -> dict[str, str]:
                    mean_luma, std_luma, edge_energy
             FROM read_parquet('{gif_video_path}')
             ORDER BY video_id, frame_index
+        """,
+        # A8×MM1 cross-format phash robustness vs the pure-Python
+        # encode→decode→dHash→hamming loop
+        "payload_phash_xformat": f"""
+            SELECT src_id, fmt, n_bytes, phash, hamming, is_dup
+            FROM read_parquet('{xformat_path}')
+            ORDER BY src_id, fmt
         """,
         # Deterministic stratified split: DuckDB recomputes the SAME
         # md5-derived 48-bit uniform and threshold cascade

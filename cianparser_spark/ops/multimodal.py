@@ -725,3 +725,58 @@ def audio_meta_scan(audio: DataFrame) -> DataFrame:
         run, "audio_id string, container string, ok boolean, n_units long, "
              "n_pages long, sample_rate long, channels long, "
              "bitrate_kbps long, rate_mode string, duration_s double")
+
+
+# ---------------------------------------------------------------------------
+# cross-format perceptual-hash robustness (A8 × MM1)
+# ---------------------------------------------------------------------------
+
+XFORMAT_FMTS = ("png", "jpeg", "gif", "tiff")
+
+
+def xformat_phash(spark, n_src: int = 16, w: int = 64, h: int = 48,
+                  seed0: int = 9100, formats=XFORMAT_FMTS) -> DataFrame:
+    """Re-encode each source frame into EVERY container and compute the
+    perceptual hash of what actually decodes back — the web-crawl
+    reality that one photo circulates as PNG on one site, a JPEG
+    re-save on another and a GIF thumbnail on a third, and dedup must
+    catch them as one asset.  Input is (src, fmt) seed rows; encode →
+    decode → dHash runs executor-side in one Arrow-batched map-only
+    stage (no bytes cross to the driver, no shuffle)."""
+    seeds = spark.createDataFrame(
+        [(f"src{i:04d}", i, fmt) for i in range(n_src) for fmt in formats],
+        "src_id string, i int, fmt string").repartition(8, "src_id", "fmt")
+
+    def run(iterator):
+        from cianparser_spark.corpus import imaging
+        from cianparser_spark.corpus.imaging import phash64
+
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.gen_pixels(seed0 + int(r.i), w, h)
+                blob = imaging.encode(px, r.fmt)
+                ph = phash64(imaging.decode(blob, r.fmt))
+                out.append({"src_id": r.src_id, "fmt": r.fmt,
+                            "n_bytes": len(blob), "phash": ph})
+            yield pd.DataFrame(out, columns=["src_id", "fmt", "n_bytes", "phash"])
+
+    return seeds.mapInPandas(
+        run, "src_id string, fmt string, n_bytes long, phash long")
+
+
+def xformat_hamming(variants: DataFrame, anchor_fmt: str = "png",
+                    dup_threshold: int = 6) -> DataFrame:
+    """Hamming distance of every variant's phash to its source's
+    anchor-format phash, JVM-side (`bit_count(a ^ b)` — whole-stage
+    codegen, no Python).  The anchor side is one row per source —
+    broadcast, so at 100 TB the variant scan never shuffles."""
+    anchors = (variants.filter(F.col("fmt") == anchor_fmt)
+               .select("src_id", F.col("phash").alias("anchor_phash")))
+    return (
+        variants.join(F.broadcast(anchors), "src_id")
+        .withColumn("hamming",
+                    F.expr("bit_count(phash ^ anchor_phash)").cast("int"))
+        .withColumn("is_dup", F.col("hamming") <= dup_threshold)
+        .drop("anchor_phash")
+    )

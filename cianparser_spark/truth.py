@@ -954,6 +954,42 @@ def ensure_audio_meta_truth() -> str:
     return _write_parquet(pd.DataFrame(rows), path)
 
 
+XFORMAT_N = 16
+
+
+def ensure_xformat_truth() -> str:
+    """Ground truth for cross-format phash robustness: pure-Python
+    encode→decode→dHash per (source, container) + hamming to the PNG
+    anchor — the same math the distributed xformat_phash/
+    xformat_hamming pipeline runs executor-side."""
+    path = _path("phash_xformat")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging
+    from cianparser_spark.corpus.imaging import phash64
+    from cianparser_spark.ops.multimodal import XFORMAT_FMTS
+
+    rows = []
+    for i in range(XFORMAT_N):
+        px = imaging.gen_pixels(9100 + i, 64, 48)
+        anchor = None
+        per_fmt = []
+        for fmt in XFORMAT_FMTS:
+            blob = imaging.encode(px, fmt)
+            ph = phash64(imaging.decode(blob, fmt))
+            if fmt == "png":
+                anchor = ph
+            per_fmt.append((fmt, len(blob), ph))
+        for fmt, n_bytes, ph in per_fmt:
+            ham = bin((ph ^ anchor) & 0xFFFFFFFFFFFFFFFF).count("1")
+            rows.append({"src_id": f"src{i:04d}", "fmt": fmt,
+                         "n_bytes": n_bytes, "phash": ph,
+                         "hamming": ham, "is_dup": ham <= 6})
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
 def ensure_shard_manifest_truth(n: int = PAYLOAD_N) -> str:
     """Export-shard oracle INPUT: (image_id, n_bytes, phash) per image,
     with ``n_bytes`` the length of the PURE-PYTHON encoder's output in

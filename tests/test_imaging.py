@@ -638,3 +638,27 @@ def test_tiff_spark_formats_roundtrip(spark):
     assert set(by_fmt) == {"png", "tiff"}
     # both containers are lossless → identical features per image
     assert by_fmt["png"] == by_fmt["tiff"]
+
+
+def test_xformat_phash(spark):
+    """Cross-format phash: lossless containers (tiff) hash identically
+    to the PNG anchor; the lossy/quantized ones stay within a small
+    hamming ball; computed distributed == pure-Python loop."""
+    from cianparser_spark.corpus import imaging
+    from cianparser_spark.corpus.imaging import hamming64, phash64
+    from cianparser_spark.ops.multimodal import xformat_hamming, xformat_phash
+
+    got = {(r["src_id"], r["fmt"]): (r["phash"], r["hamming"])
+           for r in xformat_hamming(xformat_phash(spark, n_src=4)).collect()}
+    assert len(got) == 16
+    for i in range(4):
+        px = imaging.gen_pixels(9100 + i, 64, 48)
+        anchor = phash64(imaging.decode(imaging.encode(px, "png"), "png"))
+        for fmt in ("png", "jpeg", "gif", "tiff"):
+            ph = phash64(imaging.decode(imaging.encode(px, fmt), fmt))
+            want_ham = hamming64(ph, anchor)
+            assert got[(f"src{i:04d}", fmt)] == (ph, want_ham), (i, fmt)
+            if fmt in ("png", "tiff"):
+                assert want_ham == 0
+            else:
+                assert want_ham <= 10  # perceptual stability under re-encode
