@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import spread
 
-SUPPORTED_FMTS = ("png", "qjpg", "jpeg", "bmp", "gif", "tiff")
+SUPPORTED_FMTS = ("png", "pngf", "pngi", "qjpg", "jpeg", "bmp", "gif", "tiff")
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:

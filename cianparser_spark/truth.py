@@ -29,7 +29,7 @@ import os
 
 TRUTH_DIR = "/root/repo/.truth"
 SF001_DIR = "/root/testdata/sf0.01"
-_VERSION = 10  # bump to invalidate previously dumped truth files
+_VERSION = 11  # bump to invalidate previously dumped truth files
 # (v8: the "jpeg" slot switched from the qjpg stand-in to the real
 # baseline JPEG codec — every truth embedding jpeg bytes/sizes/psnr
 # changes)
@@ -631,8 +631,8 @@ AV_VIDEO_N = 6
 AV_VIDEO_FRAMES = 12
 AV_FRAME_EVERY = 3
 
-IMG_FORMATS = ("png", "jpeg", "bmp", "gif", "tiff")
-IMG_FORMAT_N = 12           # per format; × 5 formats = 60 rows
+IMG_FORMATS = ("png", "pngf", "pngi", "jpeg", "bmp", "gif", "tiff")
+IMG_FORMAT_N = 12           # per format; × 7 formats = 84 rows
 
 
 def ensure_formats_truth() -> str:

@@ -662,3 +662,51 @@ def test_xformat_phash(spark):
                 assert want_ham == 0
             else:
                 assert want_ham <= 10  # perceptual stability under re-encode
+
+
+def test_png_filters_and_interlace():
+    """PNG spec §9/§8.2 completeness: every filter mode and Adam7
+    round-trip bit-exactly (awkward shapes included); adaptive actually
+    shrinks output; the default stays byte-identical to the historical
+    filter-0 encoder (n_bytes oracles pin it); a hand-forged bad filter
+    type raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from cianparser_spark.corpus import imaging as I
+
+    px = I.gen_pixels(42, 37, 23)
+    for mode in ("none", "sub", "up", "average", "paeth", "adaptive"):
+        assert np.array_equal(I.png_decode(I.png_encode(px, filter_mode=mode)), px)
+        assert np.array_equal(
+            I.png_decode(I.png_encode(px, filter_mode=mode, interlace=True)), px)
+    for (h, w) in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 1), (1, 9)]:
+        p2 = I.gen_pixels(h * 100 + w, w, h)
+        for il in (False, True):
+            b = I.png_encode(p2, filter_mode="adaptive", interlace=il)
+            assert np.array_equal(I.png_decode(b), p2), (h, w, il)
+    assert len(I.png_encode(px, filter_mode="adaptive")) < len(I.png_encode(px))
+    # historical byte-pin: default == explicit filter-0 construction
+    legacy = (I.PNG_SIG + I._chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 37, 23, 8, 2, 0, 0, 0)) + I._chunk(
+        b"IDAT", zlib.compress(np.concatenate(
+            [np.zeros((23, 1), np.uint8), px.reshape(23, 37 * 3)],
+            axis=1).tobytes(), 6)) + I._chunk(b"IEND", b""))
+    assert I.png_encode(px) == legacy
+    # dispatch formats
+    for fmt in ("pngf", "pngi"):
+        assert np.array_equal(I.decode(I.encode(px, fmt), fmt), px)
+        assert I.is_lossless(fmt)
+    # forged filter type 7 on row 0 → loud failure
+    raw = bytearray(np.concatenate(
+        [np.zeros((23, 1), np.uint8), px.reshape(23, 37 * 3)], axis=1).tobytes())
+    raw[0] = 7
+    forged = (I.PNG_SIG + I._chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 37, 23, 8, 2, 0, 0, 0))
+        + I._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + I._chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        I.png_decode(forged)
