@@ -87,6 +87,24 @@ PICKS = [
      "final order — bytes never shuffle, the keep decision travels as "
      "a boolean (late materialization); the only sort is the contract's "
      "ORDER BY"),
+    ("sample_split", "deterministic stratified split: the md5-uniform and "
+     "threshold cascade are ONE WholeStageCodegen projection over the "
+     "scan — zero exchanges, zero Python; at 100 TB the split is free "
+     "riding any existing pass"),
+    ("sample_domain_cap", "per-domain frequency cap: Spark 4 plans a "
+     "map-side WindowGroupLimit (partial top-k per input partition) "
+     "BEFORE the single hash exchange on the group key — a skewed "
+     "mega-domain ships at most cap rows per map partition into the "
+     "shuffle, never its full row set"),
+    ("payload_phash_xformat", "cross-format phash: encode→decode→dHash is "
+     "one map-only Arrow stage; the anchor side is a BroadcastHashJoin "
+     "(one row per source) and hamming is bit_count(xor) inside "
+     "WholeStageCodegen — the variant scan never shuffles"),
+    ("multimodal_audio_meta", "compressed-audio container scan: JVM-side "
+     "corruption projection (binary substring/concat) feeding ONE "
+     "ArrowEvalPython(mapInPandas) stage, zero exchanges before the "
+     "contract ORDER BY — header-bound walk, payload bytes never "
+     "shuffle"),
     ("multimodal_exif", "EXIF extract + GPS scrub composes map-only Arrow "
      "stages over the build scan plus two aggregates joined back as "
      "broadcasts; downstream of the scrub, only md5/had_gps/tag rows "
