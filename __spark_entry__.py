@@ -1588,6 +1588,181 @@ def q_window_running(spark, sf_dir):
     )
 
 
+HLL_P_USERS = 12   # m=4096 ≫ 150 distinct users → linear-counting branch
+HLL_P_EVENTS = 6   # m=64 ≪ 2000 distinct events → raw harmonic-mean branch
+KMV_K = 256
+CMS_W, CMS_D = 256, 4
+VOCAB_PAIRS = [("src0", "src1"), ("src0", "src2"), ("src1", "src2")]
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (ops/sketch.hll_registers /
+    hll_estimate): per-event-type user and event cardinalities at two
+    precisions so BOTH estimator branches are driver-checked — p=12
+    takes the small-range linear-counting path (V>0), p=6 the raw
+    harmonic-mean path.  The register table is a groupBy max (map-side
+    combined, mergeable across snapshots); the harmonic sum is an exact
+    bigint, so the DuckDB oracle reproduces every estimate bit-for-bit
+    before the 6-dp rounding.  At 10^10 frontier URLs this replaces an
+    exact count(distinct) shuffle with a 4096-row register ledger."""
+    from cianparser_spark.ops.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    users = hll_distinct(ev, "user_id", p=HLL_P_USERS, salt="hll-v1",
+                         group_cols=("event_type",), out_col="hll_users")
+    evts = hll_distinct(ev, "event_id", p=HLL_P_EVENTS, salt="hll-v1",
+                        group_cols=("event_type",), out_col="hll_events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_id").alias("n_events"))
+    return (
+        exact.join(users, "event_type").join(evts, "event_type")
+        .select(
+            "event_type", "n_users",
+            F.round("hll_users", 6).alias("hll_users"),
+            F.round(F.abs(F.col("hll_users") - F.col("n_users"))
+                    / F.col("n_users"), 6).alias("users_rel_err"),
+            "n_events",
+            F.round("hll_events", 6).alias("hll_events"),
+            F.round(F.abs(F.col("hll_events") - F.col("n_events"))
+                    / F.col("n_events"), 6).alias("events_rel_err"))
+        .orderBy("event_type")
+    )
+
+
+def q_sketch_kmv(spark, sf_dir):
+    """KMV (bottom-k) distinct estimate per event_type
+    (ops/sketch.kmv_distinct): k smallest md5-derived hashes via a
+    row_number window that Spark 4 plans with a map-side
+    WindowGroupLimit partial top-k, so the exchange carries ≤k rows
+    per group per task.  Estimate (k-1)/(kth/2^48) divides by a power
+    of two then one IEEE division — the DuckDB twin is exact."""
+    from cianparser_spark.ops.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_exact"))
+    est = kmv_distinct(ev, "event_id", KMV_K, salt="kmv-v1",
+                       group_cols=("event_type",), out_col="kmv_est")
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact",
+                F.round("kmv_est", 6).alias("kmv_est"),
+                F.round(F.abs(F.col("kmv_est") - F.col("n_exact"))
+                        / F.col("n_exact"), 6).alias("rel_err"))
+        .orderBy("event_type")
+    )
+
+
+def q_sketch_kmv_jaccard(spark, sf_dir):
+    """Set-overlap estimation from merged bottom-k sketches
+    (ops/sketch.kmv_jaccard): vocabulary Jaccard between document
+    sources — J ≈ |{h ∈ bottom_k(A∪B) : h∈A ∧ h∈B}| / k — checked
+    against the exact |A∩B|/|A∪B| computed alongside.  The union
+    sketch is the elementwise merge of the per-source sketches: at
+    100 TB each corpus is sketched once (256 hashes) and every
+    pairwise overlap is answered from the sketches alone."""
+    from cianparser_spark.ops.sketch import kmv_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+    out = None
+    for a, b in VOCAB_PAIRS:
+        ta = toks.filter(F.col("source") == a).select("tok")
+        tb = toks.filter(F.col("source") == b).select("tok")
+        est = kmv_jaccard(ta, tb, "tok", KMV_K, salt="voc-v1") \
+            .select(F.lit(a).alias("src_a"), F.lit(b).alias("src_b"),
+                    F.round("j_est", 6).alias("j_est"), "n_sample")
+        out = est if out is None else out.unionAll(est)
+    sets = toks.filter(F.col("source").isin(
+        sorted({s for p in VOCAB_PAIRS for s in p}))).distinct()
+    a_side = sets.withColumnRenamed("source", "src_a")
+    b_side = sets.withColumnRenamed("source", "src_b")
+    inter = (a_side.join(b_side, "tok")
+             .groupBy("src_a", "src_b").agg(F.count("*").alias("n_inter")))
+    sizes = sets.groupBy("source").agg(F.count("*").alias("n"))
+    exact = (inter
+             .join(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("n", "n_a"), "src_a")
+             .join(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("n", "n_b"), "src_b")
+             .select("src_a", "src_b",
+                     F.round(F.col("n_inter")
+                             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                             6).alias("j_exact")))
+    return (out.join(exact, ["src_a", "src_b"])
+               .select("src_a", "src_b", "j_est", "j_exact", "n_sample")
+               .orderBy("src_a", "src_b"))
+
+
+def q_sketch_cms(spark, sf_dir):
+    """Count-min frequency sketch (ops/sketch.cms_counters /
+    cms_lookup): d=4 × w=256 counters from one exploded groupBy
+    (map-side combined to ≤d·w rows per task), point estimates = min
+    over the d cells via a broadcast join.  w is sized BELOW the 150
+    distinct users so collisions actually happen and the one-sided
+    overcount (cms_est ≥ n_exact, overcount ≥ 0) is visible and
+    oracle-checked."""
+    from cianparser_spark.ops.sketch import cms_counters, cms_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id", w=CMS_W, d=CMS_D, salt="cms-v1")
+    top = (ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+             .orderBy(F.desc("n_exact"), "user_id").limit(10))
+    est = cms_lookup(counters, top, "user_id", w=CMS_W, d=CMS_D,
+                     salt="cms-v1", out_col="cms_est")
+    return (est.select("user_id", "n_exact", "cms_est",
+                       (F.col("cms_est") - F.col("n_exact")).alias("overcount"))
+               .orderBy(F.desc("n_exact"), "user_id"))
+
+
+# Oracle-side twins of the sketch constants (used inside oracle_sql)
+_HLL_PU, _HLL_PE = HLL_P_USERS, HLL_P_EVENTS
+_KMV_K, _CMS_W = KMV_K, CMS_W
+_VOCAB_SRCS_SQL = "(" + ", ".join(
+    f"'{s}'" for s in sorted({s for p in VOCAB_PAIRS for s in p})) + ")"
+_VOCAB_PAIRS_SQL = ", ".join(f"('{a}', '{b}')" for a, b in VOCAB_PAIRS)
+
+
+def _hll_ctes(su: str, col: str, p: int) -> str:
+    """DuckDB CTE chain rebuilding the exact HLL sketch of
+    ops/sketch.hll_registers + hll_estimate: same md5-derived 48-bit
+    hash, same integer-scaled harmonic sum (order-independent), same
+    alpha constant injected from the one Python source of truth."""
+    from cianparser_spark.ops.sketch import hll_alpha
+
+    m = 1 << p
+    vbits = 48 - p
+    mask = (1 << vbits) - 1
+    amm = hll_alpha(m) * m * m
+    return f"""h_{su} AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST({col} AS VARCHAR)
+                                           || 'hll-v1'), 1, 12))::BIGINT AS h
+                FROM events
+            ), regs_{su} AS (
+                SELECT event_type, h >> {vbits} AS bucket,
+                       max(CASE WHEN (h & {mask}) = 0 THEN {vbits + 1}
+                                ELSE {vbits + 1} - length(bin(h & {mask}))
+                           END) AS max_rho
+                FROM h_{su} GROUP BY 1, 2
+            ), est_{su} AS (
+                SELECT event_type,
+                       CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                            THEN {float(m)!r} * ln({float(m)!r} / v)
+                            ELSE raw END AS e
+                FROM (
+                    SELECT event_type,
+                           {amm!r} / (sum(1::BIGINT << ({vbits + 1} - max_rho))
+                                      / {float(1 << (vbits + 1))!r}
+                                      + ({m} - count(*))) AS raw,
+                           {m} - count(*) AS v
+                    FROM regs_{su} GROUP BY event_type)
+            )"""
+
+
 # ----------------------------------------------------------------- driver API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1687,6 +1862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "window_running": q_window_running,
         "crawl_recrawl": q_crawl_recrawl,
+        "sketch_hll": q_sketch_hll,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_jaccard": q_sketch_kmv_jaccard,
+        "sketch_cms": q_sketch_cms,
     }
 
 
@@ -2611,5 +2790,132 @@ def oracle_sql() -> dict[str, str]:
                    author_type, rooms_count, total_meters, price,
                    district, street, house_number, underground, image_id
             FROM read_parquet('{crawl_path}')
+        """,
+        # HLL: DuckDB rebuilds the IDENTICAL register table (md5-derived
+        # 48-bit hash, integer-scaled harmonic sum) and both estimator
+        # branches — bit-equal before the 6-dp rounding
+        "sketch_hll": f"""
+            WITH {_hll_ctes('u', 'user_id', _HLL_PU)},
+                 {_hll_ctes('e', 'event_id', _HLL_PE)},
+                 ex AS (
+                SELECT event_type,
+                       count(DISTINCT user_id) AS n_users,
+                       count(DISTINCT event_id) AS n_events
+                FROM events GROUP BY 1)
+            SELECT ex.event_type, ex.n_users,
+                   round(est_u.e, 6) AS hll_users,
+                   round(abs(est_u.e - ex.n_users) / ex.n_users, 6)
+                       AS users_rel_err,
+                   ex.n_events,
+                   round(est_e.e, 6) AS hll_events,
+                   round(abs(est_e.e - ex.n_events) / ex.n_events, 6)
+                       AS events_rel_err
+            FROM ex JOIN est_u USING (event_type)
+                    JOIN est_e USING (event_type)
+            ORDER BY event_type
+        """,
+        # KMV bottom-k distinct: same window rank over the same hashes
+        "sketch_kmv": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                           || 'kmv-v1'), 1, 12))::BIGINT AS h
+                FROM events
+            ), r AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS r
+                FROM h
+            ), kk AS (
+                SELECT event_type, max(r) AS n, max(h) AS kth
+                FROM r WHERE r <= {_KMV_K} GROUP BY 1
+            ), e AS (
+                SELECT event_type,
+                       CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                            ELSE {float(_KMV_K - 1)!r}
+                                 / (kth / {float(1 << 48)!r}) END AS e
+                FROM kk
+            ), ex AS (
+                SELECT event_type, count(DISTINCT event_id) AS n_exact
+                FROM events GROUP BY 1)
+            SELECT ex.event_type, ex.n_exact, round(e.e, 6) AS kmv_est,
+                   round(abs(e.e - ex.n_exact) / ex.n_exact, 6) AS rel_err
+            FROM ex JOIN e USING (event_type)
+            ORDER BY event_type
+        """,
+        # KMV Jaccard from the merged bottom-k of each pair's union,
+        # next to the exact |A∩B|/|A∪B| over the same token sets
+        "sketch_kmv_jaccard": f"""
+            WITH sets AS (
+                SELECT DISTINCT source, tok FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')) AS tok
+                    FROM documents
+                    WHERE source IN {_VOCAB_SRCS_SQL})
+            ), pairs(src_a, src_b) AS (VALUES {_VOCAB_PAIRS_SQL}),
+            hset AS (
+                SELECT source,
+                       ('0x' || substr(md5(tok || 'voc-v1'), 1, 12))::BIGINT
+                           AS h
+                FROM sets
+            ), m AS (
+                SELECT p.src_a, p.src_b, h.h,
+                       max(CASE WHEN h.source = p.src_a THEN 1 ELSE 0 END)
+                           AS in_a,
+                       max(CASE WHEN h.source = p.src_b THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM pairs p JOIN hset h ON h.source IN (p.src_a, p.src_b)
+                GROUP BY 1, 2, 3
+            ), rk AS (
+                SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                             ORDER BY h) AS r
+                FROM m
+            ), je AS (
+                SELECT src_a, src_b,
+                       sum(in_a * in_b) / count(*) AS j_est,
+                       count(*) AS n_sample
+                FROM rk WHERE r <= {_KMV_K} GROUP BY 1, 2
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM sets GROUP BY 1
+            ), inter AS (
+                SELECT p.src_a, p.src_b, count(*) AS n_inter
+                FROM pairs p, sets a, sets b
+                WHERE a.source = p.src_a AND b.source = p.src_b
+                  AND a.tok = b.tok
+                GROUP BY 1, 2)
+            SELECT je.src_a, je.src_b, round(je.j_est, 6) AS j_est,
+                   round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS j_exact,
+                   je.n_sample
+            FROM je JOIN inter i USING (src_a, src_b)
+                    JOIN sizes sa ON sa.source = je.src_a
+                    JOIN sizes sb ON sb.source = je.src_b
+            ORDER BY src_a, src_b
+        """,
+        # count-min: identical d×w counter table + min-over-rows probe
+        "sketch_cms": f"""
+            WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            c AS (
+                SELECT j, b, count(*) AS c FROM (
+                    SELECT js.j,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                || 'cms-v1-' || CAST(js.j AS VARCHAR)),
+                                1, 12))::BIGINT % {_CMS_W} AS b
+                    FROM events, js)
+                GROUP BY 1, 2
+            ), top AS (
+                SELECT user_id, count(*) AS n_exact FROM events
+                GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10
+            ), probe AS (
+                SELECT t.user_id, t.n_exact, js.j,
+                       ('0x' || substr(md5(CAST(t.user_id AS VARCHAR)
+                            || 'cms-v1-' || CAST(js.j AS VARCHAR)),
+                            1, 12))::BIGINT % {_CMS_W} AS b
+                FROM top t, js)
+            SELECT p.user_id, p.n_exact, min(c.c) AS cms_est,
+                   min(c.c) - p.n_exact AS overcount
+            FROM probe p JOIN c USING (j, b)
+            GROUP BY 1, 2
+            ORDER BY n_exact DESC, user_id
         """,
     }
