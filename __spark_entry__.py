@@ -324,6 +324,24 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, qvec, k=15, nprobe=8).withColumn("cosine", F.round("cosine", 6))
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ops/similarity.pq_train / pq_topk):
+    64-dim vectors → 16 one-byte codes (32× scan compression at
+    10^10 rows), query answered by ADC — element_at over literal
+    lookup arrays + a left-associated native sum, zero Python per row,
+    TakeOrderedAndProject.  The DuckDB oracle retrains the identical
+    codebooks from the same parquet sample (shared pq_train_local) and
+    recomputes every row's code assignment from centroid literals with
+    the same short sequential float arithmetic."""
+    from cianparser_spark.ops.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return pq_topk(emb, qvec, k=15).withColumn("adc_dist", F.round("adc_dist", 6))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode → visual features over the deterministic images
     corpus (rows-only: binary codec path is not SQL-expressible)."""
@@ -1804,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "multimodal_features": q_multimodal_features,
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
@@ -1986,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
     urlnorm_path = truth.ensure_urlnorm_truth()
     dim = truth.embedding_dim()
     planes = truth.lsh_plane_literals(dim=dim)
+    pq_codes, pq_adc = truth.pq_oracle_parts()
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
@@ -2291,6 +2311,23 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS cosine
             FROM b WHERE l IN (SELECT list_id FROM probes)
             ORDER BY cosine DESC, vec_id LIMIT 15
+        """,
+        # PQ-ANN: codebooks retrained from the same parquet sample via
+        # the shared pure-numpy trainer, per-row code argmin recomputed
+        # from centroid literals (short left-associated sums — the
+        # dsub<8 determinism contract), ADC table shared as literals
+        "ann_pq": f"""
+            WITH e0 AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), codes AS (
+              SELECT vec_id,
+                   {pq_codes}
+              FROM e0
+            ), d AS (
+              SELECT vec_id, {pq_adc} AS adc FROM codes
+            )
+            SELECT vec_id, round(adc, 6) AS adc_dist
+            FROM d ORDER BY adc, vec_id LIMIT 15
         """,
         # decoded-pixel features from the pure-Python truth loop over
         # the deterministic corpus — matching them proves the Arrow-

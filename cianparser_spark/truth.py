@@ -1180,6 +1180,52 @@ def ivf_centroid_literals(sf_dir: str = SF001_DIR, n_lists: int = 16,
     return ["[" + ",".join(repr(float(v)) for v in c) + "]" for c in cents]
 
 
+def pq_oracle_parts(sf_dir: str = SF001_DIR, m: int = 16, ksub: int = 16,
+                    iters: int = 5, seed: int = 42) -> tuple[str, str]:
+    """SQL fragments for the PQ-ANN oracle: (code-assignment select
+    list, ADC distance expression).
+
+    Codebooks come from ``similarity.pq_train_local`` over the first
+    1024 vectors by vec_id read straight from parquet (never Spark),
+    and the ADC table from the shared ``pq_adc_table`` — so every
+    literal is the same float the Spark query embeds.  The only
+    cross-engine recompute is the per-row argmin, whose squared
+    sub-distance is a SHORT left-associated sum both numpy and DuckDB
+    evaluate in the same order (dsub < 8 enforced at train time)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cianparser_spark.ops.similarity import pq_adc_table, pq_train_local
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    x = np.stack(t.head(1024)["embedding"].to_numpy()).astype(np.float64)
+    books = pq_train_local(x, m, ksub, iters, seed)
+    qvec = np.asarray(
+        t.loc[t["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    table = pq_adc_table(qvec, books)
+    dsub = books.shape[2]
+    code_cols = []
+    for mi in range(m):
+        cols = ", ".join(f"c{d + 1}" for d in range(dsub))
+        vals = ", ".join(
+            "(" + ", ".join([str(j)] + [repr(float(v)) for v in books[mi][j]])
+            + ")"
+            for j in range(ksub))
+        dist = " + ".join(
+            f"(e[{mi * dsub + d + 1}] - c{d + 1})"
+            f" * (e[{mi * dsub + d + 1}] - c{d + 1})"
+            for d in range(dsub))
+        code_cols.append(
+            f"(SELECT j FROM (VALUES {vals}) t(j, {cols})"
+            f" ORDER BY {dist}, j LIMIT 1) AS code{mi}")
+    adc = " + ".join(
+        "([" + ", ".join(repr(float(v)) for v in table[mi]) + f"])[code{mi} + 1]"
+        for mi in range(m))
+    return ",\n                   ".join(code_cols), adc
+
+
 # -------------------------------------------- politeness wave schedule
 
 T5_HOST_TOKENS = 4

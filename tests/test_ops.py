@@ -951,3 +951,52 @@ def test_sampling_ops(spark):
     plan = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
     assert plan.count("Exchange") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_topk_recall_and_determinism(spark, emb):
+    """PQ-ADC top-k: recall against the exact L2 top-15 (random 64-dim
+    vectors are quantization's worst case — bounds measured and pinned,
+    everything is seeded so they cannot drift), and the codes/ADC path
+    is deterministic across runs."""
+    from cianparser_spark.ops.similarity import build_pq_index, pq_topk
+
+    idx = build_pq_index(emb)
+    try:
+        recalls = []
+        for qid in (0, 7, 33, 101, 250):
+            qvec = [float(x)
+                    for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+            qarr = F.array(*[F.lit(v) for v in qvec])
+            exact = (emb.select(
+                        "vec_id",
+                        F.aggregate(
+                            F.zip_with(F.col("embedding"), qarr,
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0), lambda a, x: a + x).alias("d"))
+                        .orderBy("d", "vec_id").limit(15).collect())
+            approx = pq_topk(None, qvec, k=15, index=idx).collect()
+            got = {r["vec_id"] for r in approx}
+            recalls.append(len({r["vec_id"] for r in exact} & got) / 15)
+        assert min(recalls) >= 0.25
+        assert sum(recalls) / len(recalls) >= 0.4
+        # determinism: a second independent build reproduces row-for-row
+        q0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        a = [(r["vec_id"], r["adc_dist"]) for r in pq_topk(emb, q0, k=15).collect()]
+        b = [(r["vec_id"], r["adc_dist"])
+             for r in pq_topk(None, q0, k=15, index=idx).collect()]
+        assert a == b
+    finally:
+        idx[0].unpersist()
+
+
+def test_pq_train_guards(spark, emb):
+    """dim % m and the dsub<8 cross-engine determinism contract are
+    enforced at train time."""
+    import pytest as _pytest
+
+    from cianparser_spark.ops.similarity import pq_train
+
+    with _pytest.raises(ValueError):
+        pq_train(emb, m=7)           # 64 % 7 != 0
+    with _pytest.raises(ValueError):
+        pq_train(emb, m=8)           # dsub=8 breaks sequential-sum contract
