@@ -1110,6 +1110,35 @@ def q_t5_politeness_waves(spark, sf_dir):
     )
 
 
+CHANGELOG_CUT_WAVE = 2  # changelog reads waves 3..6 of the politeness crawl
+
+
+def q_store_changelog(spark, sf_dir):
+    """Iceberg-style INCREMENTAL READ (WaveStore.changelog): the offer
+    rows appended between the snapshot committed at wave 2 and the
+    final snapshot of the politeness crawl.  Pure manifest diff — the
+    scan touches ONLY the four post-cut data directories, cost ∝ new
+    data, never table size: the pattern a downstream trainer/indexer
+    uses to tail a 100 TB crawl table per-wave without rescans.
+    Oracle: the sequential simulator's card dump joined to the same
+    window-SQL wave-schedule twin t5_politeness_waves uses, filtered to
+    schedule waves > 2 — fully independent of the store's manifests."""
+    from cianparser_spark import truth
+
+    seeds, cfg = truth.politeness_seeds_and_cfg()
+    eng = _cached_engine(spark, "politeness", seeds, cfg,
+                         host_tokens=truth.T5_HOST_TOKENS)
+    vers = eng.store.versions()
+    from_v = max(v for v, w in vers if w <= CHANGELOG_CUT_WAVE)
+    to_v = vers[-1][0]
+    return (
+        eng.store.changelog("offers", from_v, to_v)
+        .select("seed_id", "page_number", "card_index", "deal_url_id",
+                "url", F.col("price").cast("double").alias("price"))
+        .orderBy("seed_id", "page_number", "card_index")
+    )
+
+
 def q_lineage_waves(spark, sf_dir):
     """North-rule lineage driver-visible: the WaveStore's per-partition
     lineage table (wave, partition_id, input_rows=fetched urls,
@@ -1854,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_faults": q_crawl_faults,
         "s4_proxy_rotation": q_s4_proxy_rotation,
         "t5_politeness_waves": q_t5_politeness_waves,
+        "store_changelog": q_store_changelog,
         "lineage_waves": q_lineage_waves,
         "frontier_membership": q_frontier_membership,
         "a4_offers_per_page": q_a4_offers_per_page,
@@ -1974,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
     robots_path = truth.ensure_crawl_robots_truth()
     robots_blocked_path = truth.ensure_robots_blocked_truth()
     politeness_path = truth.ensure_politeness_pages_truth()
+    politeness_offers_path = truth.ensure_politeness_offers_truth()
     images_meta_path = truth.ensure_images_meta_truth()
     url_grammar_path = truth.ensure_url_grammar_truth()
     frontier_cand_path, frontier_seen_path = truth.ensure_frontier_truth()
@@ -2551,6 +2582,24 @@ def oracle_sql() -> dict[str, str]:
                              - 1) // {truth.T5_HOST_TOKENS} AS BIGINT) AS wave
             FROM read_parquet('{politeness_path}')
             ORDER BY seed_id, page_number
+        """,
+        # incremental changelog: simulator card dump × the same window-
+        # SQL schedule twin, filtered past the cut wave — independent of
+        # the store's manifests entirely
+        "store_changelog": f"""
+            WITH sched AS (
+                SELECT seed_id, page_number,
+                       CAST(1 + (ROW_NUMBER() OVER (ORDER BY page_number,
+                                 seed_id) - 1) // {truth.T5_HOST_TOKENS}
+                            AS BIGINT) AS wave
+                FROM read_parquet('{politeness_path}')
+            )
+            SELECT o.seed_id, o.page_number, o.card_index, o.deal_url_id,
+                   o.url, o.price::DOUBLE AS price
+            FROM read_parquet('{politeness_offers_path}') o
+            JOIN sched USING (seed_id, page_number)
+            WHERE sched.wave > {CHANGELOG_CUT_WAVE}
+            ORDER BY o.seed_id, o.page_number, o.card_index
         """,
         # north-rule lineage: per-wave fetched-url / parsed-card totals
         # re-derived from the bare page list (schedule twin × PAGE_SIZE)

@@ -67,6 +67,7 @@ HEADLINE = [
     "crawl_faults", "crawl_dead_letter", "crawl_resume", "s4_proxy_rotation",
     "crawl_robots", "robots_dead_letter",
     "t5_politeness_waves", "lineage_waves", "frontier_membership",
+    "store_changelog",
     "a4_offers_per_page", "j5_offers_images",
     "s5_csv_roundtrip", "u1_url_builder",
     "payload_verify", "payload_phash_dedup",

@@ -256,9 +256,73 @@ class WaveStore:
 
     def read(self, name: str) -> DataFrame:
         snap = self._load_snapshot()
-        dirs = snap["tables"].get(name, [])
+        return self._read_manifest(name, snap)
+
+    def _read_manifest(self, name: str, manifest: dict) -> DataFrame:
+        dirs = manifest["tables"].get(name, [])
         schema = self.schemas[name]
         if not dirs:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, d) for d in dirs]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------- time travel / changelog
+
+    def _load_version(self, version: int) -> dict:
+        path = os.path.join(self.root, "snapshots", f"v{version}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"snapshot v{version} does not exist (never published, "
+                "or expired by vacuum)")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def versions(self) -> list[tuple[int, int]]:
+        """All retained snapshots as ascending ``(version, wave)`` pairs
+        — the Iceberg snapshot-log equivalent.  Vacuum-expired versions
+        are absent."""
+        snapdir = os.path.join(self.root, "snapshots")
+        out = []
+        for f in os.listdir(snapdir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(snapdir, f)) as fh:
+                    m = json.load(fh)
+                out.append((m["version"], m["wave"]))
+        return sorted(out)
+
+    def read_as_of(self, name: str, version: int) -> DataFrame:
+        """Time travel: the table exactly as snapshot ``version`` saw it
+        (Iceberg ``VERSION AS OF``).  Reads only that manifest's data
+        directories — old files are immutable, so this is free."""
+        return self._read_manifest(name, self._load_version(version))
+
+    def changelog(self, name: str, from_version: int,
+                  to_version: int) -> DataFrame:
+        """Rows APPENDED between two snapshots (Iceberg incremental
+        read).  Pure manifest diff: scans ONLY the data directories
+        committed after ``from_version`` — cost proportional to the new
+        data, never to table size, which is what lets a downstream
+        consumer (trainer, indexer, metrics tail) tail a 100 TB crawl
+        table per-wave without rescans.
+
+        Refuses replace-mode tables (their delta is not append-only)
+        and any range a compaction rewrote (the old directories are no
+        longer a subset of the new manifest — same condition under
+        which Iceberg's append-only incremental scan errors)."""
+        if name in self.replace_tables:
+            raise ValueError(
+                f"table '{name}' uses replace commits; its snapshot "
+                "delta is not an append changelog")
+        old = self._load_version(from_version)["tables"].get(name, [])
+        new = self._load_version(to_version)["tables"].get(name, [])
+        if not set(old) <= set(new):
+            raise ValueError(
+                f"snapshots v{from_version}..v{to_version} of '{name}' "
+                "span a compaction rewrite; the appended-rows changelog "
+                "is not expressible as a file diff")
+        appended = [d for d in new if d not in set(old)]
+        schema = self.schemas[name]
+        if not appended:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, d) for d in appended]
         return self.spark.read.schema(schema).parquet(*paths)

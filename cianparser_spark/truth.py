@@ -1261,6 +1261,37 @@ def politeness_seeds_and_cfg():
     return seeds, cfg
 
 
+def ensure_politeness_offers_truth() -> str:
+    """Card-level dump of the politeness crawl: the sequential
+    simulator's offers with their (seed_id, page_number, card_index)
+    order.  Together with the window-SQL wave-schedule twin this gives
+    the changelog oracle: rows appended after snapshot W = rows whose
+    page's schedule wave is > W (probed invariant: the engine's
+    per-wave offers commits match these counts exactly — 111/100/102/
+    106/98/28 across the six waves)."""
+    path = _path("politeness_offers")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.semantics import urls
+    from cianparser_spark.semantics.simulator import ReferenceSimulator
+
+    seeds, cfg = politeness_seeds_and_cfg()
+    sim = ReferenceSimulator(cfg, project_fields=False).run(seeds)
+    out = []
+    for (sid, page, idx), row in zip(sim.order, sim.rows):
+        out.append({
+            "seed_id": sid,
+            "page_number": page,
+            "card_index": idx,
+            "deal_url_id": urls.deal_url_id(row["url"]),
+            "url": row["url"],
+            "price": row.get("price"),
+        })
+    return _write_parquet(pd.DataFrame(out), path)
+
+
 def ensure_politeness_pages_truth() -> str:
     """Dump the t5 frontier as bare (seed_id, page_number) rows —
     derived from the same ``seed.pages()`` bounds the engine's frontier

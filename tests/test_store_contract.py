@@ -232,3 +232,53 @@ def test_schema_evolution_add_nullable_column(spark, tmp_run_dir):
     evolved.compact("t")
     assert {(r.k, r.v, r.extra)
             for r in evolved.read("t").collect()} == got
+
+
+def test_time_travel_read_as_of(spark, tmp_run_dir):
+    """read_as_of == Iceberg VERSION AS OF: each retained snapshot
+    replays the table exactly as that commit saw it."""
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 10)])})
+    st.commit_wave(1, appends={"stopped": _stopped(spark, [(2, 20)])})
+    st.commit_wave(2, appends={"stopped": _stopped(spark, [(3, 30)])})
+    assert [v for v, _ in st.versions()] == [1, 2, 3]
+    assert st.read_as_of("stopped", 1).count() == 1
+    assert st.read_as_of("stopped", 2).count() == 2
+    assert st.read_as_of("stopped", 3).count() == 3
+    assert {r["seed_id"] for r in st.read_as_of("stopped", 2).collect()} == {1, 2}
+
+
+def test_changelog_is_exact_append_diff(spark, tmp_run_dir):
+    """changelog(a, b) returns precisely the rows appended between the
+    two snapshots, and an empty frame for an empty range."""
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 10)])})
+    st.commit_wave(1, appends={"stopped": _stopped(spark, [(2, 20), (3, 30)])})
+    st.commit_wave(2, appends={"stopped": _stopped(spark, [(4, 40)])})
+    delta = st.changelog("stopped", 1, 3)
+    assert {r["seed_id"] for r in delta.collect()} == {2, 3, 4}
+    assert st.changelog("stopped", 3, 3).count() == 0
+    # full history == as-of(first) + changelog(first, last)
+    total = st.read_as_of("stopped", 1).count() + delta.count()
+    assert total == st.read("stopped").count()
+
+
+def test_changelog_refuses_replace_tables_and_rewrites(spark, tmp_run_dir):
+    """Replace-mode tables have no append delta; a compaction rewrite
+    breaks the file-diff expressibility — both must raise, never return
+    a wrong answer."""
+    import pytest
+
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 10)])},
+                   replaces={"bloom": spark.createDataFrame(
+                       [], model.TABLE_SCHEMAS["bloom"])})
+    st.commit_wave(1, appends={"stopped": _stopped(spark, [(2, 20)])})
+    with pytest.raises(ValueError, match="replace"):
+        st.changelog("bloom", 1, 2)
+    st.compact("stopped", target_file_bytes=1 << 30)
+    v_after = st.versions()[-1][0]
+    with pytest.raises(ValueError, match="compaction"):
+        st.changelog("stopped", 1, v_after)
+    with pytest.raises(ValueError, match="does not exist"):
+        st.read_as_of("stopped", 99)
