@@ -342,6 +342,33 @@ def q_ann_pq(spark, sf_dir):
     return pq_topk(emb, qvec, k=15).withColumn("adc_dist", F.round("adc_dist", 6))
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """Distributed k-means, BIT-EXACT vs a 3-iteration unrolled-CTE
+    DuckDB twin (ops/clustering.kmeans_fit, truth.kmeans_oracle_sql):
+    coordinates quantized to bigints (shared round-half-away), centroid
+    state carried as exact integer (S, n) pairs so the groupBy update
+    is order-independent, assignment distance = one int64 numerator →
+    one IEEE division → identical argmin on both engines, every
+    iteration, no tolerance anywhere.  Assignment is pure Catalyst
+    (zip_with/aggregate over literal arrays); the update is one
+    map-side-combined groupBy with D sum aggregates; the driver holds
+    only k×(D+1) integers per iteration."""
+    from cianparser_spark.ops.clustering import kmeans_fit
+
+    from cianparser_spark.ops.clustering import Q_DEFAULT
+
+    emb = _t(spark, sf_dir, "embeddings")
+    final, _, _ = kmeans_fit(emb, "embedding", k=8, iters=3)
+    # rescale the quantized distance to real units (÷ q², a power of
+    # two — exact) BEFORE rounding: at the raw ~4e9 magnitude a 6-dp
+    # round sits below one ulp and the engines' round() impls disagree
+    scale = float(Q_DEFAULT) ** 2
+    return (final.select(
+                "vec_id", "cluster",
+                F.round(F.col("dist") / F.lit(scale), 6).alias("dist"))
+            .orderBy("vec_id"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode → visual features over the deterministic images
     corpus (rows-only: binary codec path is not SQL-expressible)."""
@@ -1852,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "embed_kmeans": q_embed_kmeans,
         "multimodal_features": q_multimodal_features,
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
@@ -2037,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
     dim = truth.embedding_dim()
     planes = truth.lsh_plane_literals(dim=dim)
     pq_codes, pq_adc = truth.pq_oracle_parts()
+    kmeans_sql = truth.kmeans_oracle_sql(k=8, iters=3)
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
@@ -2360,6 +2389,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(adc, 6) AS adc_dist
             FROM d ORDER BY adc, vec_id LIMIT 15
         """,
+        # k-means: all three Lloyd iterations replayed as unrolled CTEs
+        # over the same quantized integers — exact, no tolerance
+        "embed_kmeans": kmeans_sql,
         # decoded-pixel features from the pure-Python truth loop over
         # the deterministic corpus — matching them proves the Arrow-
         # batched distributed decode reproduces the reference render

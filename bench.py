@@ -54,7 +54,8 @@ HEADLINE = [
     "u7_filter_pushdown", "p10_deal_url_id", "url_canonical", "d4_phone_regex",
     "a6_dedup_sort", "dedup_exact", "dedup_ngram_topk",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cosine_topk",
-    "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "multimodal_features",
+    "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embed_kmeans",
+    "multimodal_features",
     "multimodal_formats", "multimodal_quality", "multimodal_png_meta",
     "multimodal_exif",
     "multimodal_audio_wav", "multimodal_audio_flac", "multimodal_video_avi",

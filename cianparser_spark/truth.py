@@ -1226,6 +1226,87 @@ def pq_oracle_parts(sf_dir: str = SF001_DIR, m: int = 16, ksub: int = 16,
     return ",\n                   ".join(code_cols), adc
 
 
+def kmeans_oracle_sql(sf_dir: str = SF001_DIR, k: int = 8, iters: int = 3,
+                      q: int | None = None, seed: int = 42,
+                      sample_n: int = 256) -> str:
+    """Unrolled-CTE DuckDB twin of ops/clustering.kmeans_fit: every
+    Lloyd iteration replayed in SQL over the same quantized integers.
+
+    Exactness argument (no tolerance anywhere): coordinates quantize to
+    bigints with the shared round-half-away rule; centroid state is the
+    exact integer pair (S, n) updated by order-independent integer
+    sums; each assignment distance is one int64 numerator → one
+    integer→double conversion → one IEEE division, so both engines
+    compare identical doubles and pick identical argmins, iteration
+    after iteration.  Init centroid literals come from the shared
+    ``init_sums`` over the same first-``sample_n``-by-id parquet
+    sample."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cianparser_spark.ops.clustering import Q_DEFAULT, init_sums
+
+    q = q or Q_DEFAULT
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(sample_n)
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    dim = x.shape[1]
+    sums, counts = init_sums(x, k, seed, q)
+
+    def dist(n: str, s: str, xq: str = "p.xq") -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+                f"({n} * {xq}[d] - {s}[d]) * ({n} * {xq}[d] - {s}[d])))"
+                f" / ({n} * {n})")
+
+    init_vals = ", ".join(
+        f"({j}, 1::BIGINT, [" + ", ".join(str(int(v)) for v in sums[j])
+        + "]::BIGINT[])"
+        for j in range(k))
+    sum_list = ", ".join(
+        f"CAST(sum(xq[{d + 1}]) AS BIGINT)" for d in range(dim))
+    ctes = [
+        ("pts", f"SELECT vec_id, list_transform(embedding::DOUBLE[], "
+                f"x -> CAST(round(x * {float(q)!r}) AS BIGINT)) AS xq "
+                f"FROM read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"),
+        ("cent0", f"SELECT j, n0 AS n, s0 AS S FROM (VALUES {init_vals})"
+                  " t(j, n0, s0)"),
+    ]
+    # relational argmin: point × centroid cross join + first-row window
+    # (DuckDB does not allow outer-column correlation inside a scalar
+    # subquery's ORDER BY, so the argmin is expressed join-style)
+    def assign_body(prev: str) -> str:
+        d = dist("c0.n", "c0.S")
+        return (f"SELECT vec_id, xq, c FROM ("
+                f"SELECT p.vec_id, p.xq, c0.j AS c, "
+                f"ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+                f"ORDER BY {d}, c0.j) AS rn "
+                f"FROM pts p CROSS JOIN {prev} c0) WHERE rn = 1")
+
+    for i in range(1, iters):
+        ctes.append((f"a{i}", assign_body(f"cent{i - 1}")))
+        ctes.append((
+            f"u{i}",
+            f"SELECT c, count(*) AS n, [{sum_list}] AS S "
+            f"FROM a{i} GROUP BY c"))
+        ctes.append((
+            f"cent{i}",
+            f"SELECT c0.j, coalesce(u.n, c0.n) AS n, "
+            f"coalesce(u.S, c0.S) AS S "
+            f"FROM cent{i - 1} c0 LEFT JOIN u{i} u ON u.c = c0.j"))
+    last = f"cent{iters - 1}"
+    with_clause = ",\n".join(f"{name} AS ({body})" for name, body in ctes)
+    d = dist("c0.n", "c0.S")
+    return (
+        f"WITH {with_clause}\n"
+        f"SELECT vec_id, cluster, round(d / {float(q) ** 2!r}, 6) AS dist"
+        f" FROM ("
+        f"SELECT p.vec_id, c0.j AS cluster, {d} AS d, "
+        f"ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {d}, c0.j) AS rn "
+        f"FROM pts p CROSS JOIN {last} c0) WHERE rn = 1 ORDER BY vec_id"
+    )
+
+
 # -------------------------------------------- politeness wave schedule
 
 T5_HOST_TOKENS = 4
