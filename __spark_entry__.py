@@ -258,6 +258,32 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+DEDUP_BATCH_CUT = 400  # doc_id < cut = standing corpus, >= cut = new batch
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time incremental near-dup (ops/dedup.incremental_lsh_pairs):
+    an incoming batch (doc_id ≥ 400) probes the PREBUILT corpus LSH
+    index (build_dedup_index over doc_id < 400) with a band equi-join —
+    work scales with the batch and its candidate collisions, the corpus
+    text is rescanned only for candidate-hit rows (semi-join pushdown).
+    Oracle: the exact batch×corpus Jaccard-at-threshold scan; the band
+    config's recall at this threshold is 100% on this corpus (asserted
+    in tests/test_ops.py::test_incremental_lsh_matches_full_cross_scan)."""
+    from cianparser_spark.ops.dedup import (
+        build_dedup_index, incremental_lsh_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < DEDUP_BATCH_CUT)
+    batch = docs.filter(F.col("doc_id") >= DEDUP_BATCH_CUT)
+    idx = build_dedup_index(corpus)
+    return (
+        incremental_lsh_pairs(batch, corpus, idx, threshold=0.2)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy(F.col("jaccard").desc(), "left_id", "right_id")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs at hamming <= 3 — recall over the 4×16-bit
     banded join is GUARANTEED by pigeonhole (<=3 differing bits leave
@@ -1873,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_topk": q_dedup_ngram_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_topk": q_dedup_cosine_topk,
         "ann_topk": q_ann_topk,
@@ -2317,6 +2344,32 @@ def oracle_sql() -> dict[str, str]:
             inter AS (
               SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
               FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT left_id, right_id,
+                   round(i * 1.0 / (sl.n + sr.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sl ON sl.doc_id = left_id
+            JOIN sizes sr ON sr.doc_id = right_id
+            WHERE i * 1.0 / (sl.n + sr.n - i) >= 0.2
+        """,
+        # incremental near-dup: exact batch×corpus Jaccard scan — the
+        # banded probe of the prebuilt index must reproduce it in full
+        "dedup_incremental": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
+              FROM sh l JOIN sh r ON l.shingle = r.shingle
+                AND l.doc_id >= {DEDUP_BATCH_CUT} AND r.doc_id < {DEDUP_BATCH_CUT}
               GROUP BY 1, 2
             )
             SELECT left_id, right_id,

@@ -93,15 +93,23 @@ def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text",
 
 
 def _jaccard_of_pairs(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
-                      id_col: str, threshold: float) -> DataFrame:
+                      id_col: str, threshold: float,
+                      sh_right: DataFrame | None = None,
+                      sizes_right: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard computed ONLY for the given candidate pairs.
 
     Work is Σ_pairs |shingles(left)| — linear in the candidate set, not
     in the corpus-wide shingle co-occurrence (the all-pairs blow-up LSH
     exists to avoid).  Pairs with empty intersection drop out of the
-    count join and are below any positive threshold anyway."""
+    count join and are below any positive threshold anyway.  For the
+    incremental (batch-vs-corpus) path the two pair sides come from
+    different tables — pass ``sh_right``/``sizes_right``."""
+    if sh_right is None:
+        sh_right = sh
+    if sizes_right is None:
+        sizes_right = sizes
     l = sh.select(F.col(id_col).alias("left_id"), "shingle")
-    r = sh.select(F.col(id_col).alias("right_id"), "shingle")
+    r = sh_right.select(F.col(id_col).alias("right_id"), "shingle")
     inter = (
         cand.join(l, "left_id")
         .join(r, ["right_id", "shingle"])
@@ -110,7 +118,7 @@ def _jaccard_of_pairs(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
     )
     return (
         inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("n", "nl")), "left_id")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("n", "nr")), "right_id")
+        .join(F.broadcast(sizes_right.withColumnRenamed(id_col, "right_id").withColumnRenamed("n", "nr")), "right_id")
         .withColumn("jaccard", F.col("inter") / (F.col("nl") + F.col("nr") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
@@ -246,6 +254,74 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64,
     )
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
+            id_col: str) -> DataFrame:
+    """Signature → (id, band, bucket) rows: one xxhash64 bucket per
+    signature band, exploded narrow and distinct."""
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket").distinct()
+
+
+def build_dedup_index(docs: DataFrame, k: int = 3, n_hashes: int = 64,
+                      bands: int = 16, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-side LSH index: the banded (id, band, bucket) table,
+    persisted.  Build once over the standing corpus; every incoming
+    batch probes it with an equi-join.  At 100 TB this is the table
+    you write back to Iceberg partitioned by (band, bucket % N) so a
+    batch probe prunes to the buckets it actually touches — the corpus
+    text is never rescanned at ingest time."""
+    sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
+    return _banded(sigs, bands, n_hashes // bands, id_col).persist()
+
+
+def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
+                          corpus_index: DataFrame, k: int = 3,
+                          n_hashes: int = 64, bands: int = 16,
+                          threshold: float = 0.6, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Ingest-time near-dup admission: pairs (new_id, corpus_id) with
+    exact Jaccard ≥ threshold, found by probing the prebuilt corpus
+    index with the batch's bands — work scales with the BATCH (its
+    signatures + the candidates it collides into), never with corpus
+    size.  Verification shingles the corpus rows only for the
+    candidate ids (semi-join pushdown via the candidate list).
+
+    Same band config ⇒ same recall guarantee as minhash_lsh_pairs;
+    ``corpus_docs`` must be the table ``corpus_index`` was built from.
+    """
+    rows_per_band = n_hashes // bands
+    new_sigs = minhash_signatures(new_docs, k, n_hashes, text_col, id_col)
+    new_banded = _banded(new_sigs, bands, rows_per_band, id_col)
+    cand = (
+        new_banded.alias("l")
+        .join(corpus_index.alias("r"), ["band", "bucket"])
+        .select(F.col(f"l.{id_col}").alias("left_id"),
+                F.col(f"r.{id_col}").alias("right_id"))
+        .distinct()
+    )
+    sh_new = shingle_df(new_docs, k, text_col, id_col)
+    # shingle only the corpus rows that appear in a candidate pair
+    hit_ids = cand.select(F.col("right_id").alias(id_col)).distinct()
+    sh_corpus = shingle_df(
+        corpus_docs.join(F.broadcast(hit_ids), id_col, "left_semi"),
+        k, text_col, id_col)
+    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n"))
+    sizes_corpus = sh_corpus.groupBy(id_col).agg(F.count("*").alias("n"))
+    return _jaccard_of_pairs(cand, sh_new, sizes_new, id_col, threshold,
+                             sh_right=sh_corpus, sizes_right=sizes_corpus)
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.6,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -270,18 +346,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 64,
     # (see simhash_near_pairs) was measured 1.6× SLOWER here: the
     # 16-long bucket array rides both sides of the self-join and
     # outweighs the saved distinct at any tested SF.
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket").distinct()
+    banded = _banded(sigs, bands, rows_per_band, id_col)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])

@@ -1000,3 +1000,40 @@ def test_pq_train_guards(spark, emb):
         pq_train(emb, m=7)           # 64 % 7 != 0
     with _pytest.raises(ValueError):
         pq_train(emb, m=8)           # dsub=8 breaks sequential-sum contract
+
+
+def test_incremental_lsh_matches_full_cross_scan(spark, docs):
+    """The banded probe of a prebuilt corpus index reproduces the EXACT
+    batch×corpus Jaccard-at-threshold scan (recall 100% at t=0.2 with
+    the shipped band config on this corpus), and never emits a
+    corpus-side left_id."""
+    from cianparser_spark.ops.dedup import (
+        build_dedup_index, incremental_lsh_pairs)
+
+    cut = 400
+    corpus = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    idx = build_dedup_index(corpus)
+    try:
+        got = {(r["left_id"], r["right_id"], round(r["jaccard"], 9))
+               for r in incremental_lsh_pairs(batch, corpus, idx,
+                                              threshold=0.2).collect()}
+    finally:
+        idx.unpersist()
+    assert all(l >= cut > r for l, r, _ in got)
+    # exact cross scan via the shingle co-occurrence join
+    from cianparser_spark.ops.dedup import shingle_df
+
+    sh = shingle_df(docs, 3)
+    sizes = {r["doc_id"]: r["n"]
+             for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    l = sh.filter(F.col("doc_id") >= cut).withColumnRenamed("doc_id", "left_id")
+    r = sh.filter(F.col("doc_id") < cut).withColumnRenamed("doc_id", "right_id")
+    inter = (l.join(r, "shingle").groupBy("left_id", "right_id")
+              .agg(F.count("*").alias("i")).collect())
+    want = set()
+    for row in inter:
+        j = row["i"] / (sizes[row["left_id"]] + sizes[row["right_id"]] - row["i"])
+        if j >= 0.2:
+            want.add((row["left_id"], row["right_id"], round(j, 9)))
+    assert got == want and len(want) > 0
