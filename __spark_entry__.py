@@ -768,6 +768,23 @@ def q_sample_domain_cap(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (ops/sampling.
+    weighted_sample, Efraimidis–Spirakis A-ES): per-source top-3 docs
+    weighted by n_chars via the deterministic key ln(u)/w.  Map-only
+    key + WindowGroupLimit partial top-k — the shuffle carries k rows
+    per task at any size; the oracle recomputes the identical key."""
+    from cianparser_spark.ops.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "n_chars", 3, group_cols=("source",))
+        .select("source", "doc_id", "n_chars", "rnk",
+                F.round("skey", 6).alias("skey"))
+        .orderBy("source", "rnk")
+    )
+
+
 def q_text_token_count(spark, sf_dir):
     from cianparser_spark.ops.text import token_count
 
@@ -1919,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "sample_split": q_sample_split,
         "sample_domain_cap": q_sample_domain_cap,
+        "sample_weighted": q_sample_weighted,
         "payload_phash_xformat": q_payload_phash_xformat,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -2550,6 +2568,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'train' END AS split,
                    round(u, 6) AS u
             FROM f ORDER BY doc_id
+        """,
+        # Weighted A-ES sampling: identical ln(u)/w key + group top-k
+        "sample_weighted": f"""
+            SELECT source, doc_id, n_chars, rnk, round(skey, 6) AS skey
+            FROM (
+                SELECT source, doc_id, n_chars, skey,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY skey DESC, doc_id) AS rnk
+                FROM (
+                    SELECT source, doc_id, n_chars,
+                           ln((('0x' || substr(md5(doc_id || 'wsample-v1'),
+                                               1, 12))::BIGINT)
+                              / {float(16 ** 12)!r}) / n_chars AS skey
+                    FROM documents))
+            WHERE rnk <= 3
+            ORDER BY source, rnk
         """,
         # Frequency capping: same deterministic rank-by-id window
         "sample_domain_cap": f"""

@@ -60,7 +60,7 @@ HEADLINE = [
     "multimodal_exif",
     "multimodal_audio_wav", "multimodal_audio_flac", "multimodal_video_avi",
     "multimodal_video_gif", "multimodal_audio_meta",
-    "sample_split", "sample_domain_cap", "payload_phash_xformat",
+    "sample_split", "sample_domain_cap", "sample_weighted", "payload_phash_xformat",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "text_pii_scrub", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",

@@ -77,6 +77,35 @@ def split_stratified(df: DataFrame, id_col: str, stratum_col: str,
     return df.withColumn("u", u).withColumn("split", split)
 
 
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id", salt: str = "wsample-v1",
+                    group_cols: tuple = ()) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES), deterministic: each row gets key = ln(u)/w with the
+    md5-derived uniform u — order-equivalent to the classic u^(1/w)
+    (ln is monotonic, ln(u)<0, larger w pulls the key toward 0) but
+    with far better double spread than keys crowding 1.  The k largest
+    keys are the sample; inclusion probability ∝ weight.
+
+    Plan shape: map-only key computation + TakeOrderedAndProject
+    (grouped: row_number ≤ k, which Spark 4 plans with a map-side
+    WindowGroupLimit) — each task keeps its local top-k before the
+    single reduce, which is exactly A-ES's reservoir-merge property,
+    so the shuffle carries k rows per task at any input size.
+    Deterministic: re-runs and engines agree (the oracle recomputes
+    the identical key), and adding rows never reshuffles which keys
+    existing rows drew (pure function of id × salt)."""
+    u = _uniform(F.col(id_col), salt)
+    key = F.log(u) / F.col(weight_col)
+    out = df.withColumn("skey", key)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("skey").desc(), F.col(id_col))
+        return (out.withColumn("rnk", F.row_number().over(w))
+                   .filter(F.col("rnk") <= k))
+    return out.orderBy(F.col("skey").desc(), F.col(id_col)).limit(k)
+
+
 def domain_cap(df: DataFrame, group_col: str, order_col: str,
                cap: int) -> DataFrame:
     """Keep at most ``cap`` rows per group, deterministically: rank by

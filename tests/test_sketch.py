@@ -119,3 +119,52 @@ def test_cms_collisions_stay_one_sided(spark):
     items = df.groupBy("v").agg(F.count("*").alias("n_true"))
     out = cms_lookup(counters, items, "v", w=16, d=4).collect()
     assert all(r["cms_est"] >= r["n_true"] for r in out)
+
+
+# ------------------------------------------------- weighted sampling
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    from cianparser_spark.ops.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 + 1).cast("double").alias("w"))
+    a = [r["doc_id"] for r in weighted_sample(df, "w", 50, "doc_id").collect()]
+    b = [r["doc_id"] for r in weighted_sample(df, "w", 50, "doc_id").collect()]
+    assert len(a) == 50 and a == b
+    c = [r["doc_id"] for r in
+         weighted_sample(df, "w", 50, "doc_id", salt="other").collect()]
+    assert set(a) != set(c)  # salt re-deals the sample
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """A-ES property: across independent salts, a weight-10 row is
+    sampled ~10x as often as a weight-1 row.  Deterministic (fixed
+    salt list), so the band is a hard assertion."""
+    from cianparser_spark.ops.sampling import weighted_sample
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, 1.0).otherwise(10.0).alias("w"))
+    heavy = light = 0
+    for i in range(20):
+        got = weighted_sample(df, "w", 40, "doc_id", salt=f"s{i}").collect()
+        ids = {r["doc_id"] for r in got}
+        light += sum(1 for x in ids if x < 200)
+        heavy += sum(1 for x in ids if x >= 200)
+    assert heavy + light == 800
+    assert heavy / light > 5  # expected ratio ~10, loose floor
+
+
+def test_weighted_sample_grouped_k_per_group(spark):
+    from cianparser_spark.ops.sampling import weighted_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.lit(1.0).alias("w"))
+    got = weighted_sample(df, "w", 7, "doc_id", group_cols=("g",)).collect()
+    import collections
+    cnt = collections.Counter(r["g"] for r in got)
+    assert cnt == {"0": 7, "1": 7, "2": 7}
+    assert all(1 <= r["rnk"] <= 7 for r in got)
