@@ -1705,6 +1705,35 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_temporal_asof(spark, sf_dir):
+    """Backward as-of join (ops/temporal.asof_join): every click event
+    attributed to the user's most recent view at-or-before it.  Spark
+    has no ASOF JOIN — this is the scalable composition (union with
+    side-priority → one keyed window → last(ignorenulls) carry-forward
+    → keep left rows): ONE shuffle, zero row amplification, vs the
+    naive range-join's per-key cross product.  The oracle is genuinely
+    independent: DuckDB's NATIVE ASOF LEFT JOIN operator (per-key
+    binary search — a different algorithm entirely)."""
+    from cianparser_spark.ops.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, views, ["user_id"], "ts",
+                    ["event_id", "value"], tiebreak_col="event_id")
+    # ts is TIMESTAMP_NTZ; the session pins spark.sql.session.timeZone
+    # to UTC, so the NTZ→TZ cast is epoch-faithful and unix_micros
+    # matches DuckDB's epoch_us over the same parquet values
+    return (out.select(
+                "user_id", "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.col("r_event_id"),
+                F.round("r_value", 4).alias("r_value"))
+            .orderBy("user_id", "ts_us", "event_id"))
+
+
 HLL_P_USERS = 12   # m=4096 ≫ 150 distinct users → linear-counting branch
 HLL_P_EVENTS = 6   # m=64 ≪ 2000 distinct events → raw harmonic-mean branch
 KMV_K = 256
@@ -1985,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "crawl_recrawl": q_crawl_recrawl,
         "sketch_hll": q_sketch_hll,
+        "temporal_asof": q_temporal_asof,
         "sketch_kmv": q_sketch_kmv,
         "sketch_kmv_jaccard": q_sketch_kmv_jaccard,
         "sketch_cms": q_sketch_cms,
@@ -2995,6 +3025,21 @@ def oracle_sql() -> dict[str, str]:
                    author_type, rooms_count, total_meters, price,
                    district, street, house_number, underground, image_id
             FROM read_parquet('{crawl_path}')
+        """,
+        # as-of join: DuckDB's NATIVE ASOF operator — an independent
+        # algorithm (per-key binary search) against our union+window
+        # composition
+        "temporal_asof": """
+            WITH c AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'view')
+            SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts_us,
+                   v.event_id AS r_event_id,
+                   round(v.value, 4) AS r_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+            ORDER BY c.user_id, ts_us, c.event_id
         """,
         # HLL: DuckDB rebuilds the IDENTICAL register table (md5-derived
         # 48-bit hash, integer-scaled harmonic sum) and both estimator
