@@ -105,6 +105,47 @@ PICKS = [
      "ArrowEvalPython(mapInPandas) stage, zero exchanges before the "
      "contract ORDER BY — header-bound walk, payload bytes never "
      "shuffle"),
+    ("sketch_hll", "HLL register build is Expand → partial HashAggregate "
+     "→ Exchange → final HashAggregate: the sketch merges map-side, so "
+     "the exchange carries at most 2^p register rows per group per task "
+     "regardless of input size — the whole point vs an exact "
+     "count(distinct) shuffle of every key; the tiny estimate frames "
+     "join back as BroadcastExchanges"),
+    ("sketch_cms", "count-min counters: Generate (the d-cell explode) "
+     "feeding partial→final HashAggregate — map-side combine caps every "
+     "task's output at d×w counter rows; the probe side is a "
+     "BroadcastHashJoin (the whole sketch is d×w rows) over a "
+     "TakeOrderedAndProject top-k, zero wide shuffles"),
+    ("sample_weighted", "A-ES weighted sampling: WindowGroupLimit appears "
+     "BEFORE the exchange (map-side partial top-k) and again after — "
+     "each task ships only k candidate rows per group, the reservoir-"
+     "merge property, so the shuffle volume is k×tasks at any input "
+     "size; the key ln(u)/w is pure codegen"),
+    ("temporal_asof", "as-of join as union + ONE keyed Exchange + Window "
+     "carry-forward: no join operator at all, so no per-key cross "
+     "product — row count through the shuffle is exactly |left|+|right|, "
+     "and last(ignorenulls) runs inside the single window pass"),
+    ("ann_pq", "PQ-ADC query: Scan → ArrowEvalPython (the batched encode) "
+     "→ Project of element_at over literal lookup arrays → "
+     "TakeOrderedAndProject.  With a prebuilt code table "
+     "(build_pq_index) even the Python stage disappears — the scan side "
+     "reads 16 bytes/vector instead of 512.  The Exchange under the UDF "
+     "is spread()'s tiny-input fan-out; no-op over a real parquet scan"),
+    ("embed_kmeans", "k-means assignment is a pure-codegen Project "
+     "(zip_with/aggregate against literal centroid arrays — no UDF, no "
+     "join), and each update is ONE map-side-combined HashAggregate "
+     "with D sum columns; the driver never holds more than k×(D+1) "
+     "integers, and every number that crosses an exchange is an exact "
+     "bigint, which is what makes the result engine-independent"),
+    ("dedup_incremental", "ingest-time near-dup: the batch's banded rows "
+     "equi-join the PREBUILT corpus index (InMemoryTableScan — built "
+     "once, at scale an Iceberg table partition-pruned by bucket), then "
+     "exact-Jaccard verification touches only candidate-hit corpus rows "
+     "via a broadcast semi-join — corpus text is never rescanned"),
+    ("store_changelog", "incremental read: the plan scans ONLY the data "
+     "directories appended between the two snapshots (manifest diff "
+     "happens driver-side before any job) — scan cost ∝ new data, "
+     "never table size"),
     ("multimodal_exif", "EXIF extract + GPS scrub composes map-only Arrow "
      "stages over the build scan plus two aggregates joined back as "
      "broadcasts; downstream of the scrub, only md5/had_gps/tag rows "
