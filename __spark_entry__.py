@@ -472,6 +472,51 @@ def q_multimodal_quality(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Training-shard RESIZE driver-visible: distributed decode →
+    mean-pool to the pinned (RESIZE_W×RESIZE_H) model resolution →
+    re-encode PNG → n_bytes + features of the resized pixels, in ONE
+    Arrow pass (ops/multimodal.resize_features — the write-side shape
+    of an image training pipeline; no shuffle, bytes never leave the
+    task).  n_bytes pins the re-encoder byte-for-byte.  Oracle:
+    pure-Python decode/resize/re-encode loop over the same corpus
+    (truth.ensure_resize_truth)."""
+    import tempfile
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine import payload
+    from cianparser_spark.ops.multimodal import resize_features
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=truth.PAYLOAD_N,
+                                        partitions=4)
+    return (
+        resize_features(images, truth.RESIZE_W, truth.RESIZE_H)
+        .select("image_id", "ok", "n_bytes",
+                F.round("mean_luma", 4).alias("mean_luma"),
+                F.round("std_luma", 4).alias("std_luma"),
+                F.round("edge_energy", 4).alias("edge_energy"))
+        .orderBy("image_id")
+    )
+
+
+def q_image_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio BUCKETING driver-visible: the multimodal-training
+    batching plan (every batch shares one resolution) over the
+    BASELINE.json payload-table shape — metadata only, the binary
+    column pruned out of the scan.  Assignment is a zero-shuffle
+    array_min argmin over the 7 pinned buckets (ops/multimodal.
+    aspect_buckets); the plan's only exchange is the 7-group partial
+    aggregate.  Oracle: DuckDB re-derives the argmin with a window
+    rank over a CROSS JOIN to the same bucket VALUES — an independent
+    SQL twin of the struct-ordering trick."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.multimodal import aspect_buckets
+
+    meta = spark.read.parquet(truth.ensure_images_meta_truth())
+    return aspect_buckets(meta).orderBy("bucket")
+
+
 def q_multimodal_png_meta(spark, sf_dir):
     """PNG textual-metadata scan, driver-visible: stage 1 encodes the
     corpus frames WITH deterministic tEXt/zTXt chunks on the executors
@@ -1956,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
+        "multimodal_resize": q_multimodal_resize,
+        "image_aspect_buckets": q_image_aspect_buckets,
         "multimodal_png_meta": q_multimodal_png_meta,
         "multimodal_exif": q_multimodal_exif,
         "multimodal_audio_wav": q_multimodal_audio_wav,
@@ -2123,6 +2170,11 @@ def oracle_sql() -> dict[str, str]:
     av_audio_path, av_video_path = truth.ensure_av_truth()
     img_formats_path = truth.ensure_formats_truth()
     quality_truth_path = truth.ensure_quality_truth()
+    resize_truth_path = truth.ensure_resize_truth()
+    from cianparser_spark.ops.multimodal import ASPECT_BUCKETS as _AB
+    aspect_dim_values = ", ".join(
+        f"({i}, '{n}', {w}, {h}, {float(w) / float(h)!r})"
+        for i, (n, w, h) in enumerate(_AB))
     png_meta_path = truth.ensure_png_meta_truth()
     flac_truth_path = truth.ensure_flac_truth()
     exif_truth_path = truth.ensure_exif_truth()
@@ -2520,6 +2572,38 @@ def oracle_sql() -> dict[str, str]:
                    under_frac, over_frac, keep
             FROM read_parquet('{quality_truth_path}')
             ORDER BY image_id
+        """,
+        # Training-shard resize: decode→mean-pool→re-encode PNG vs the
+        # pure-Python loop (n_bytes pins the re-encoder byte-for-byte)
+        "multimodal_resize": f"""
+            SELECT image_id, ok, n_bytes, mean_luma, std_luma, edge_energy
+            FROM read_parquet('{resize_truth_path}')
+            ORDER BY image_id
+        """,
+        # Aspect-ratio bucketing: DuckDB re-derives the per-image argmin
+        # with a window rank over a CROSS JOIN to the same pinned bucket
+        # VALUES (ratio literals shared verbatim via repr), then the
+        # same exact-integer SUM(w*h) megapixel average
+        "image_aspect_buckets": f"""
+            WITH dim(bucket_id, bucket, target_w, target_h, ratio) AS (
+                VALUES {aspect_dim_values}
+            ),
+            ranked AS (
+                SELECT m.image_id, m.w, m.h, d.bucket_id, d.bucket,
+                       d.target_w, d.target_h,
+                       row_number() OVER (
+                           PARTITION BY m.image_id
+                           ORDER BY abs(CAST(m.w AS DOUBLE) / m.h - d.ratio),
+                                    d.bucket_id) AS rk
+                FROM read_parquet('{images_meta_path}') m CROSS JOIN dim d
+            )
+            SELECT bucket, target_w, target_h,
+                   COUNT(*) AS n_images,
+                   ROUND(SUM(CAST(w AS BIGINT) * h)
+                         / (COUNT(*) * 1000000.0), 9) AS avg_mp
+            FROM ranked WHERE rk = 1
+            GROUP BY bucket_id, bucket, target_w, target_h
+            ORDER BY bucket
         """,
         # PNG textual-metadata scan (tEXt/zTXt chunk walk, IDAT never
         # inflated) vs the pure-Python encode+extract loop

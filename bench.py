@@ -56,7 +56,8 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash", "dedup_cosine_topk",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embed_kmeans",
     "multimodal_features",
-    "multimodal_formats", "multimodal_quality", "multimodal_png_meta",
+    "multimodal_formats", "multimodal_quality", "multimodal_resize",
+    "image_aspect_buckets", "multimodal_png_meta",
     "multimodal_exif",
     "multimodal_audio_wav", "multimodal_audio_flac", "multimodal_video_avi",
     "multimodal_video_gif", "multimodal_audio_meta",
@@ -65,7 +66,8 @@ HEADLINE = [
     "text_langid", "text_fingerprint", "text_pii_scrub", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
-    "crawl_faults", "crawl_dead_letter", "crawl_resume", "s4_proxy_rotation",
+    "crawl_faults", "crawl_detail_faults", "crawl_dead_letter",
+    "crawl_resume", "s4_proxy_rotation",
     "crawl_robots", "robots_dead_letter",
     "t5_politeness_waves", "lineage_waves", "frontier_membership",
     "store_changelog",

@@ -408,6 +408,126 @@ def resize(images: DataFrame, out_w: int, out_h: int, id_col: str = "image_id") 
     )
 
 
+def resized_feature_dict(px: np.ndarray, out_w: int, out_h: int) -> dict:
+    """Shared per-image definition of the resize-shard row: mean-pool
+    ``px`` to (out_h, out_w), re-encode as PNG, return the output byte
+    count + features of the RESIZED pixels.  Used by both the Spark
+    operator (resize_features) and the oracle truth dump
+    (truth.ensure_resize_truth) so the driver's DuckDB compare pins
+    the whole decode→resize→re-encode path byte-for-byte."""
+    from cianparser_spark.corpus import imaging
+
+    small = np.stack(
+        [imaging._mean_pool(px[:, :, c].astype(np.float64), out_h, out_w)
+         for c in range(3)],
+        axis=-1,
+    ).round().clip(0, 255).astype(np.uint8)
+    feats = image_features(small)
+    return {"n_bytes": len(imaging.png_encode(small)), **feats}
+
+
+def resize_features(images: DataFrame, out_w: int, out_h: int,
+                    id_col: str = "image_id") -> DataFrame:
+    """Training-shard resize in ONE Arrow pass: decode → area mean-pool
+    to a fixed (out_w, out_h) → re-encode PNG → verify features of the
+    resized pixels.  This is the write-side shape of an image training
+    pipeline (resize every crawled image to the model's input
+    resolution while re-sharding); emitting n_bytes + features instead
+    of the bytes keeps the contract query comparable while the real
+    pipeline would keep the PNG column.  Decode failures yield
+    ok=false rows (corrupt crawl payloads must not fail the shard job).
+    100 TB shape: embarrassingly parallel mapInPandas, no shuffle; the
+    only cross-row op is the upstream scan partitioning (spread)."""
+    schema = (f"{id_col} string, ok boolean, n_bytes int, "
+              "mean_luma double, std_luma double, edge_energy double")
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples(index=False):
+                rid = getattr(r, id_col)
+                try:
+                    px = _decode(bytes(r.bytes), r.fmt)
+                    out.append({id_col: rid, "ok": True,
+                                **resized_feature_dict(px, out_w, out_h)})
+                except (NotImplementedError, ValueError, struct_error,
+                        IndexError):
+                    out.append({id_col: rid, "ok": False, "n_bytes": None,
+                                "mean_luma": None, "std_luma": None,
+                                "edge_energy": None})
+            yield pd.DataFrame(
+                out, columns=[id_col, "ok", "n_bytes",
+                              "mean_luma", "std_luma", "edge_energy"])
+
+    return spread(images.select(id_col, "bytes", "fmt")).mapInPandas(
+        run, schema)
+
+
+# SDXL-style aspect-ratio buckets: (name, target_w, target_h) with the
+# ratio as an exact-double literal shared verbatim with the SQL oracle.
+# Targets are the pinned per-bucket training resolutions (≈256² area,
+# multiples of 64) — constants in the dim, no float math in either
+# engine beyond one double divide + abs + argmin.
+ASPECT_BUCKETS: list[tuple[str, int, int]] = [
+    ("square_1_1", 256, 256),
+    ("landscape_4_3", 320, 256),
+    ("portrait_3_4", 256, 320),
+    ("landscape_3_2", 320, 192),
+    ("portrait_2_3", 192, 320),
+    ("wide_16_9", 384, 192),
+    ("tall_9_16", 192, 384),
+]
+
+
+def aspect_buckets(meta: DataFrame,
+                   buckets: list[tuple[str, int, int]] = ASPECT_BUCKETS,
+                   ) -> DataFrame:
+    """Aspect-ratio bucketing over the image METADATA table (the
+    batching strategy multimodal trainers use so every batch shares one
+    resolution: assign each image to the pinned bucket whose w/h ratio
+    is nearest, then batch per bucket).  Pure Catalyst: the 7-row
+    bucket dim broadcast-joins against the metadata scan (bytes never
+    read — column pruning keeps the 100 TB binary column out of the
+    plan), a window rank picks the argmin (ties break on bucket order),
+    and one groupBy yields the per-bucket plan row.  Distance is
+    |w/h − target_ratio| in doubles — both engines compute the same
+    IEEE value from the same integer columns and the same literals.
+
+    Returns one row per bucket: n_images, avg megapixels of members,
+    and the bucket's pinned target resolution."""
+    spark = meta.sparkSession
+    # Assignment is a zero-shuffle map expression: argmin over the 7
+    # pinned buckets as array_min over (dist, bucket_id) structs —
+    # struct ordering is lexicographic, so ties break on bucket order.
+    # No per-image window, no join on the big side; the ONLY exchange
+    # in the plan is the final 7-group partial-aggregated groupBy.
+    ratio = F.col("w").cast("double") / F.col("h").cast("double")
+    cands = F.array(*[
+        F.struct(
+            F.abs(ratio - F.lit(float(w) / float(h))).alias("dist"),
+            F.lit(i).alias("bucket_id"))
+        for i, (_n, w, h) in enumerate(buckets)
+    ])
+    assigned = (
+        meta.select("image_id", "w", "h")
+        .withColumn("bucket_id", F.array_min(cands)["bucket_id"])
+    )
+    dim = spark.createDataFrame(
+        [(i, n, w, h) for i, (n, w, h) in enumerate(buckets)],
+        "bucket_id int, bucket string, target_w int, target_h int")
+    # avg megapixels via exact integer SUM(w*h) then ONE double divide —
+    # a float AVG would be summation-order-dependent across engines.
+    return (
+        assigned.groupBy("bucket_id")
+        .agg(F.count("*").alias("n_images"),
+             F.round(F.sum(F.col("w").cast("long") * F.col("h"))
+                     / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 9)
+             .alias("avg_mp"))
+        .join(F.broadcast(dim), "bucket_id")
+        .select("bucket", "target_w", "target_h", "n_images", "avg_mp")
+    )
+
+
 def synth_pcm16(i: int, sr: int, n: int) -> np.ndarray:
     """Deterministic clip-``i`` waveform (sine mix keyed by clip id) —
     the shared per-clip definition used by the Spark fixture builder

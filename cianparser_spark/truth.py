@@ -797,6 +797,38 @@ def ensure_quality_truth(n: int = PAYLOAD_N) -> str:
     return _write_parquet(pd.DataFrame(out), path)
 
 
+RESIZE_W, RESIZE_H = 24, 16   # pinned training-shard resolution
+
+
+def ensure_resize_truth(n: int = PAYLOAD_N) -> str:
+    """Ground truth for the training-shard resize: a pure-Python loop
+    over the SAME deterministic corpus decodes each stored blob (PNG
+    exact, JPEG through the same lossy round-trip the Spark side
+    decodes), mean-pools to (RESIZE_W, RESIZE_H), re-encodes PNG and
+    records n_bytes + features of the resized pixels via the SHARED
+    resized_feature_dict — so the DuckDB compare pins the distributed
+    decode→resize→re-encode path byte-for-byte."""
+    path = _path(f"resize_{n}_{RESIZE_W}x{RESIZE_H}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import resized_feature_dict
+
+    out = []
+    for i in range(n):
+        row = webgen.image_row(i)
+        rec = resized_feature_dict(imaging.decode(row["bytes"], row["fmt"]),
+                                   RESIZE_W, RESIZE_H)
+        out.append({"image_id": row["image_id"], "ok": True,
+                    "n_bytes": rec["n_bytes"],
+                    "mean_luma": round(rec["mean_luma"], 4),
+                    "std_luma": round(rec["std_luma"], 4),
+                    "edge_energy": round(rec["edge_energy"], 4)})
+    return _write_parquet(pd.DataFrame(out), path)
+
+
 def ensure_flac_truth(n_clips: int = AV_AUDIO_CLIPS) -> str:
     """Ground truth for the FLAC path: pure-Python encode (corpus/
     flacsub subset encoder — LPC/fixed/constant/verbatim, Rice

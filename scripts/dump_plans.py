@@ -154,6 +154,18 @@ PICKS = [
      "tiny-input fan-out — the contract fixture is an in-memory Range; "
      "over a real parquet scan spread() short-circuits to a no-op "
      "(ops/__init__.py), so at 100 TB those exchanges don't exist"),
+    ("image_aspect_buckets", "aspect bucketing: the per-image argmin over "
+     "the 7 pinned buckets is ONE codegen Project (array_min over "
+     "(dist, bucket_id) structs — no per-image Window, no join on the "
+     "big side), the scan reads only (image_id, w, h) with the binary "
+     "column pruned, and the only Exchange carries 7 partially-"
+     "aggregated groups; the bucket dim joins AFTER the aggregate as a "
+     "7-row broadcast"),
+    ("multimodal_resize", "training-shard resize: decode → mean-pool → "
+     "re-encode → verify is ONE Arrow stage (single MapInPandas, no "
+     "shuffle); bytes never cross an exchange — each task emits ~40 "
+     "bytes of features per image, which is why the shard rewrite is "
+     "scan-bound at 100 TB"),
 ]
 
 

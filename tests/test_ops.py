@@ -124,6 +124,60 @@ def test_multimodal_features_and_stub(spark):
     assert px.shape == (16, 16, 3)
 
 
+def test_resize_features_one_pass(spark):
+    """resize_features == pure-Python decode→resize→re-encode twin; a
+    corrupt payload degrades to ok=false instead of failing the task."""
+    import tempfile
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.engine.payload import build_images_table
+    from cianparser_spark.ops.multimodal import (resize_features,
+                                                 resized_feature_dict)
+
+    path = tempfile.mkdtemp() + "/imgs.parquet"
+    images = build_images_table(spark, path, n=12, partitions=2)
+    got = {r["image_id"]: r for r in resize_features(images, 8, 6).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        row = webgen.image_row(i)
+        want = resized_feature_dict(
+            imaging.decode(row["bytes"], row["fmt"]), 8, 6)
+        g = got[row["image_id"]]
+        assert g["ok"] and g["n_bytes"] == want["n_bytes"]
+        assert abs(g["mean_luma"] - want["mean_luma"]) < 1e-9
+    corrupt = images.limit(2).withColumn(
+        "bytes", F.expr("substring(bytes, 1, 10)"))
+    bad = resize_features(corrupt, 8, 6).collect()
+    assert bad and all(not r["ok"] and r["n_bytes"] is None for r in bad)
+
+
+def test_aspect_buckets_argmin_and_plan(spark):
+    """Every image lands in its nearest pinned bucket (brute-force
+    twin), counts are conserved, and the plan has no per-image window
+    or join on the big side — assignment must stay a map expression."""
+    from cianparser_spark.ops.multimodal import ASPECT_BUCKETS, aspect_buckets
+
+    sizes = [(w, h) for w in (64, 96, 128, 50, 300) for h in (64, 96, 128, 77)]
+    rows = [(f"i{k:03d}", w, h) for k, (w, h) in enumerate(sizes)]
+    meta = spark.createDataFrame(rows, "image_id string, w int, h int")
+    out = aspect_buckets(meta).collect()
+    assert sum(r["n_images"] for r in out) == len(rows)
+    # brute-force twin
+    import collections
+    want = collections.Counter()
+    for _id, w, h in rows:
+        dists = [(abs(w / h - bw / bh), i)
+                 for i, (_n, bw, bh) in enumerate(ASPECT_BUCKETS)]
+        want[min(dists)[1]] += 1
+    got = {r["bucket"]: r["n_images"] for r in out}
+    for i, (name, _w, _h) in enumerate(ASPECT_BUCKETS):
+        assert got.get(name, 0) == want.get(i, 0), name
+    plan = aspect_buckets(meta)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # one broadcast join against the 7-row dim is fine; no sort-merge
+    assert "SortMergeJoin" not in plan
+
+
 def test_audio_features_and_stub(spark):
     from cianparser_spark.ops.multimodal import audio_features, make_synthetic_audio
 
