@@ -500,6 +500,21 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_image_exact_dedup(spark, sf_dir):
+    """Byte-exact image dedup driver-visible: the cheap FIRST dedup
+    pass of an image pipeline (content-hash groupBy, keep smallest id,
+    count copies — ops/dedup.exact_binary_dedup) over the shared corpus
+    with deterministic exact duplicates injected
+    (truth.ensure_dedup_images).  The exchange carries (md5-key, id)
+    pairs, never payload bytes.  Oracle: DuckDB recomputes the
+    identical md5(hex(bytes)) key and the same keep-first group."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.dedup import exact_binary_dedup
+
+    images = spark.read.parquet(truth.ensure_dedup_images())
+    return exact_binary_dedup(images).orderBy("image_id")
+
+
 def q_image_aspect_buckets(spark, sf_dir):
     """Aspect-ratio BUCKETING driver-visible: the multimodal-training
     batching plan (every batch shares one resolution) over the
@@ -2002,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
         "multimodal_resize": q_multimodal_resize,
+        "image_exact_dedup": q_image_exact_dedup,
         "image_aspect_buckets": q_image_aspect_buckets,
         "multimodal_png_meta": q_multimodal_png_meta,
         "multimodal_exif": q_multimodal_exif,
@@ -2171,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
     img_formats_path = truth.ensure_formats_truth()
     quality_truth_path = truth.ensure_quality_truth()
     resize_truth_path = truth.ensure_resize_truth()
+    dedup_images_path = truth.ensure_dedup_images()
     from cianparser_spark.ops.multimodal import ASPECT_BUCKETS as _AB
     aspect_dim_values = ", ".join(
         f"({i}, '{n}', {w}, {h}, {float(w) / float(h)!r})"
@@ -2578,6 +2595,17 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": f"""
             SELECT image_id, ok, n_bytes, mean_luma, std_luma, edge_energy
             FROM read_parquet('{resize_truth_path}')
+            ORDER BY image_id
+        """,
+        # Byte-exact image dedup: DuckDB recomputes the identical
+        # md5(hex(bytes)) content key (both engines uppercase hex) and
+        # the same keep-first group over the shared corpus parquet
+        "image_exact_dedup": f"""
+            SELECT min(image_id) AS image_id,
+                   COUNT(*) AS n_copies,
+                   md5(hex(bytes)) AS content_key
+            FROM read_parquet('{dedup_images_path}')
+            GROUP BY md5(hex(bytes))
             ORDER BY image_id
         """,
         # Aspect-ratio bucketing: DuckDB re-derives the per-image argmin

@@ -45,6 +45,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exact_binary_dedup(df: DataFrame, bytes_col: str = "bytes",
+                       id_col: str = "image_id") -> DataFrame:
+    """Byte-exact payload dedup — the cheap FIRST pass of an image
+    pipeline, before perceptual (phash) dedup: group by a content hash
+    of the raw bytes, keep the smallest id, count copies.
+
+    Returns (id_col, n_copies, content_key) — one row per distinct
+    payload, ordered by nothing (caller sorts).
+
+    100 TB shape: the md5 is computed map-side next to the scan, so the
+    exchange carries (32-char key, id) pairs — never payload bytes —
+    and the aggregate is map-side-combined; skew is bounded by the
+    largest duplicate group.  The key is md5(hex(bytes)) rather than
+    md5(bytes) so the SQL oracle (DuckDB's md5 takes VARCHAR only) can
+    recompute the identical key; both engines uppercase hex."""
+    key = F.md5(F.hex(F.col(bytes_col)))
+    return (
+        df.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias(id_col),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies", "content_key")
+    )
+
+
 # ------------------------------------------------------------ shingling
 
 def _shingles(texts: pd.Series, k: int) -> pd.Series:

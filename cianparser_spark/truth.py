@@ -797,6 +797,36 @@ def ensure_quality_truth(n: int = PAYLOAD_N) -> str:
     return _write_parquet(pd.DataFrame(out), path)
 
 
+def ensure_dedup_images(n: int = PAYLOAD_N) -> str:
+    """Shared INPUT parquet for byte-exact image dedup: the payload
+    corpus with deterministic exact duplicates injected — every
+    i % 7 == 3 row carries the BYTES (and fmt) of row i-3 under its own
+    image_id, and rows 230/231 both copy 229 (one group of three).
+    Natural phash-duplicates in the corpus are NOT byte-duplicates
+    (fmt alternates png/jpeg), which is exactly the gap the byte-exact
+    first pass + perceptual second pass pairing is about.  Both engines
+    read this same file; each recomputes md5(hex(bytes)) itself."""
+    path = _path(f"dedup_images_{n}")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+
+    rows = []
+    for i in range(n):
+        row = webgen.image_row(i)
+        if i in (230, 231):
+            src = webgen.image_row(229)
+        elif i % 7 == 3:
+            src = webgen.image_row(i - 3)
+        else:
+            src = row
+        rows.append({"image_id": row["image_id"],
+                     "bytes": src["bytes"], "fmt": src["fmt"]})
+    return _write_parquet(pd.DataFrame(rows), path)
+
+
 RESIZE_W, RESIZE_H = 24, 16   # pinned training-shard resolution
 
 

@@ -151,6 +151,24 @@ def test_resize_features_one_pass(spark):
     assert bad and all(not r["ok"] and r["n_bytes"] is None for r in bad)
 
 
+def test_exact_binary_dedup(spark):
+    """Keep-first byte-exact dedup: identical payloads collapse to the
+    smallest id with the right copy count; distinct payloads survive;
+    no bytes cross the exchange (key+id projection under the agg)."""
+    from cianparser_spark.ops.dedup import exact_binary_dedup
+
+    rows = [("a", b"\x01\x02"), ("b", b"\x01\x02"), ("c", b"\x03"),
+            ("d", b"\x01\x02"), ("e", b"")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in exact_binary_dedup(df).collect()}
+    assert set(out) == {"a", "c", "e"}
+    assert out["a"]["n_copies"] == 3 and out["c"]["n_copies"] == 1
+    import hashlib
+    assert out["c"]["content_key"] == hashlib.md5(b"03".upper()).hexdigest()
+    plan = exact_binary_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(content_key" in plan  # shuffle on the key, not bytes
+
+
 def test_aspect_buckets_argmin_and_plan(spark):
     """Every image lands in its nearest pinned bucket (brute-force
     twin), counts are conserved, and the plan has no per-image window
