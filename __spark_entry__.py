@@ -500,6 +500,69 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_pipeline_assemble(spark, sf_dir):
+    """The COMPOSED training-data assembly pipeline, driver-visible as
+    ONE DAG: byte-exact dedup (ops/dedup.exact_binary_dedup, keep-first
+    winners + copy counts) → image quality admission gate
+    (ops/multimodal.quality_filter) → resize to the pinned shard
+    resolution (ops/multimodal.resize_features) → per-image manifest
+    row.  This is the end-to-end shape a 100 TB ingest actually runs —
+    each stage is the already-oracled operator, composed; at scale the
+    inter-stage frames would be checkpointed Iceberg tables instead of
+    recomputed branches.  Oracle: one sequential pure-Python pass over
+    the same corpus (truth.ensure_pipeline_truth)."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops.dedup import exact_binary_dedup
+    from cianparser_spark.ops.multimodal import (quality_filter,
+                                                 resize_features)
+
+    images = spark.read.parquet(truth.ensure_dedup_images())
+    surv = exact_binary_dedup(images).select("image_id", "n_copies")
+    kept_imgs = images.join(surv.select("image_id"), "image_id")
+    admitted_ids = (quality_filter(kept_imgs)
+                    .filter(F.col("keep")).select("image_id"))
+    admitted = kept_imgs.join(admitted_ids, "image_id")
+    rf = (resize_features(admitted, truth.RESIZE_W, truth.RESIZE_H)
+          .filter(F.col("ok")))
+    return (
+        rf.join(surv, "image_id")
+        .select("image_id", "n_copies", "n_bytes",
+                F.round("mean_luma", 4).alias("mean_luma"),
+                F.round("std_luma", 4).alias("std_luma"))
+        .orderBy("image_id")
+    )
+
+
+CAPTION_CORRUPT_MOD = 23     # every 23rd caption truncated to 10 chars
+
+
+def q_caption_parse(spark, sf_dir):
+    """Typed caption extraction + admission gate driver-visible
+    (engine/payload.parse_captions — the reference's card-spec parse
+    re-expressed over the payload table, P7-P9 twin): rooms (Студия→0),
+    area m², floor/floors_count, admitted.  Every 23rd caption is
+    truncated JVM-side to 10 characters, so malformed captions
+    provably yield null fields + admitted=false.  Pure Catalyst both
+    sides: the oracle re-runs the same regexes in DuckDB (the
+    Java/RE2-agreeing digit/anchor subset)."""
+    from cianparser_spark import truth
+    from cianparser_spark.engine.payload import parse_captions
+
+    meta = spark.read.parquet(truth.ensure_images_meta_truth())
+    corrupted = meta.select(
+        "image_id",
+        F.when(F.substring("image_id", 4, 8).cast("int")
+               % CAPTION_CORRUPT_MOD == 0,
+               F.substring("caption", 1, 10))
+        .otherwise(F.col("caption")).alias("caption"))
+    return (
+        parse_captions(corrupted)
+        .select("image_id", "rooms", "area_m2", "floor", "floors_count",
+                "admitted")
+        .orderBy("image_id")
+    )
+
+
 def q_image_exact_dedup(spark, sf_dir):
     """Byte-exact image dedup driver-visible: the cheap FIRST dedup
     pass of an image pipeline (content-hash groupBy, keep smallest id,
@@ -2017,7 +2080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_formats": q_multimodal_formats,
         "multimodal_quality": q_multimodal_quality,
         "multimodal_resize": q_multimodal_resize,
+        "caption_parse": q_caption_parse,
         "image_exact_dedup": q_image_exact_dedup,
+        "pipeline_assemble": q_pipeline_assemble,
         "image_aspect_buckets": q_image_aspect_buckets,
         "multimodal_png_meta": q_multimodal_png_meta,
         "multimodal_exif": q_multimodal_exif,
@@ -2188,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
     quality_truth_path = truth.ensure_quality_truth()
     resize_truth_path = truth.ensure_resize_truth()
     dedup_images_path = truth.ensure_dedup_images()
+    pipeline_truth_path = truth.ensure_pipeline_truth()
     from cianparser_spark.ops.multimodal import ASPECT_BUCKETS as _AB
     aspect_dim_values = ", ".join(
         f"({i}, '{n}', {w}, {h}, {float(w) / float(h)!r})"
@@ -2597,6 +2663,40 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{resize_truth_path}')
             ORDER BY image_id
         """,
+        # Typed caption parse + admission gate: DuckDB re-runs the same
+        # truncation injection and the same digit/anchor regexes
+        "caption_parse": f"""
+            WITH src AS (
+                SELECT image_id,
+                       CASE WHEN CAST(substring(image_id, 4, 8) AS INT)
+                                 % {CAPTION_CORRUPT_MOD} = 0
+                            THEN substring(caption, 1, 10)
+                            ELSE caption END AS caption
+                FROM read_parquet('{images_meta_path}')
+            ),
+            p AS (
+                SELECT image_id,
+                       CASE WHEN caption LIKE 'Студия%' THEN 0
+                            ELSE TRY_CAST(regexp_extract(caption,
+                                 '^(\\d+)-комн', 1) AS INT) END AS rooms,
+                       TRY_CAST(replace(regexp_extract(caption,
+                            '(\\d+(,\\d+)?) м²', 1), ',', '.') AS DOUBLE)
+                            AS area_m2,
+                       TRY_CAST(regexp_extract(caption,
+                            '(\\d+)/(\\d+) этаж', 1) AS INT) AS floor,
+                       TRY_CAST(regexp_extract(caption,
+                            '(\\d+)/(\\d+) этаж', 2) AS INT) AS floors_count
+                FROM src
+            )
+            SELECT image_id, rooms, area_m2, floor, floors_count,
+                   COALESCE(rooms IS NOT NULL AND area_m2 IS NOT NULL
+                            AND floor IS NOT NULL AND floors_count IS NOT NULL
+                            AND area_m2 BETWEEN 10.0 AND 500.0
+                            AND floor >= 1 AND floor <= floors_count,
+                            FALSE) AS admitted
+            FROM p
+            ORDER BY image_id
+        """,
         # Byte-exact image dedup: DuckDB recomputes the identical
         # md5(hex(bytes)) content key (both engines uppercase hex) and
         # the same keep-first group over the shared corpus parquet
@@ -2606,6 +2706,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(hex(bytes)) AS content_key
             FROM read_parquet('{dedup_images_path}')
             GROUP BY md5(hex(bytes))
+            ORDER BY image_id
+        """,
+        # Composed assembly pipeline (dedup → quality gate → resize):
+        # one sequential pure-Python pass re-derives the whole DAG
+        "pipeline_assemble": f"""
+            SELECT image_id, n_copies, n_bytes, mean_luma, std_luma
+            FROM read_parquet('{pipeline_truth_path}')
             ORDER BY image_id
         """,
         # Aspect-ratio bucketing: DuckDB re-derives the per-image argmin

@@ -57,7 +57,8 @@ HEADLINE = [
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embed_kmeans",
     "multimodal_features",
     "multimodal_formats", "multimodal_quality", "multimodal_resize",
-    "image_exact_dedup", "image_aspect_buckets", "multimodal_png_meta",
+    "caption_parse", "image_exact_dedup", "image_aspect_buckets",
+    "pipeline_assemble", "multimodal_png_meta",
     "multimodal_exif",
     "multimodal_audio_wav", "multimodal_audio_flac", "multimodal_video_avi",
     "multimodal_video_gif", "multimodal_audio_meta",

@@ -224,3 +224,39 @@ def normalize_caption(df: DataFrame, col: str = "caption",
     c = F.regexp_replace(c, r"[^\p{L}\p{N}\s.\-²]", " ")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out, c)
+
+
+def parse_captions(df: DataFrame, col: str = "caption") -> DataFrame:
+    """Typed extraction from the payload caption — the reference's
+    card-spec parse (cianparser/flat/list.py spec walk, SURVEY.md
+    P7-P9) re-expressed over the BASELINE.json payload table: rooms
+    count (`Студия` → 0), area in m², floor / floors_count, plus an
+    ``admitted`` training-set gate (all fields parsed, area and floor
+    in plausible ranges).  Malformed captions yield null fields and
+    admitted=false — never a task failure.
+
+    Pure Catalyst (regexp_extract + try_cast): zero Python, whole-stage
+    codegen, map-only — at 100 TB this is a scan-bound pass and the
+    regexes are the deliberately simple digit/anchor subset that Java
+    and RE2-family engines match identically (same contract as the PII
+    scrub, ops/text.py)."""
+    cap = F.col(col)
+    rooms = F.when(cap.startswith("Студия"), F.lit(0)).otherwise(
+        F.expr(f"try_cast(regexp_extract({col}, '^(\\\\d+)-комн', 1) as int)"))
+    area = F.expr(
+        f"try_cast(replace(regexp_extract({col}, '(\\\\d+(,\\\\d+)?) м²', 1),"
+        " ',', '.') as double)")
+    floor_ = F.expr(
+        f"try_cast(regexp_extract({col}, '(\\\\d+)/(\\\\d+) этаж', 1) as int)")
+    floors = F.expr(
+        f"try_cast(regexp_extract({col}, '(\\\\d+)/(\\\\d+) этаж', 2) as int)")
+    admitted = (rooms.isNotNull() & area.isNotNull() & floor_.isNotNull()
+                & floors.isNotNull()
+                & area.between(10.0, 500.0)
+                & (floor_ >= 1) & (floor_ <= floors))
+    out = (df.withColumn("rooms", rooms)
+             .withColumn("area_m2", area)
+             .withColumn("floor", floor_)
+             .withColumn("floors_count", floors))
+    return out.withColumn(
+        "admitted", F.coalesce(admitted, F.lit(False)))

@@ -830,6 +830,55 @@ def ensure_dedup_images(n: int = PAYLOAD_N) -> str:
 RESIZE_W, RESIZE_H = 24, 16   # pinned training-shard resolution
 
 
+def ensure_pipeline_truth(n: int = PAYLOAD_N) -> str:
+    """Ground truth for the COMPOSED training-data assembly pipeline
+    over the dedup corpus: byte-exact dedup (md5 keep-first) → image
+    quality admission gate → resize to the pinned shard resolution.
+    One sequential pure-Python pass re-derives what the Spark DAG
+    composes from the three real operators; a row survives iff it wins
+    its byte-dup group AND passes quality_keep AND decodes for resize.
+    Row = (image_id, n_copies, n_bytes, mean/std luma of the resized
+    pixels)."""
+    path = _path(f"pipeline_{n}_{RESIZE_W}x{RESIZE_H}")
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    import pandas as pd
+
+    from cianparser_spark.corpus import imaging, webgen
+    from cianparser_spark.ops.multimodal import (image_quality,
+                                                 quality_keep,
+                                                 resized_feature_dict)
+
+    # the same corpus ensure_dedup_images writes (id → bytes, fmt)
+    import pyarrow.parquet as pq
+
+    corpus = pq.read_table(ensure_dedup_images(n)).to_pylist()
+    groups: dict[str, list[dict]] = {}
+    for row in corpus:
+        key = hashlib.md5(bytes(row["bytes"]).hex().upper().encode()).hexdigest()
+        groups.setdefault(key, []).append(row)
+    out = []
+    for key, members in groups.items():
+        members.sort(key=lambda r: r["image_id"])
+        winner = members[0]
+        px = imaging.decode(bytes(winner["bytes"]), winner["fmt"])
+        if not quality_keep(image_quality(px)):
+            continue
+        rec = resized_feature_dict(px, RESIZE_W, RESIZE_H)
+        out.append({"image_id": winner["image_id"],
+                    "n_copies": len(members),
+                    "n_bytes": rec["n_bytes"],
+                    "mean_luma": round(rec["mean_luma"], 4),
+                    "std_luma": round(rec["std_luma"], 4)})
+    out.sort(key=lambda r: r["image_id"])
+    df = pd.DataFrame(out)
+    assert len(df) < len(corpus)          # dedup + gate both bit
+    assert (df.n_copies > 1).any()
+    return _write_parquet(df, path)
+
+
 def ensure_resize_truth(n: int = PAYLOAD_N) -> str:
     """Ground truth for the training-shard resize: a pure-Python loop
     over the SAME deterministic corpus decodes each stored blob (PNG

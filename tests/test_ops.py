@@ -151,6 +151,31 @@ def test_resize_features_one_pass(spark):
     assert bad and all(not r["ok"] and r["n_bytes"] is None for r in bad)
 
 
+def test_parse_captions(spark):
+    """Typed caption parse equals the corpus ground truth on valid
+    captions (Студия → rooms=0 convention); malformed captions yield
+    null fields + admitted=false, never a failure."""
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine.payload import parse_captions
+
+    rows = [(f"i{i}", webgen.caption_text(i)) for i in range(20)]
+    rows += [("bad1", "garbage"), ("bad2", ""), ("bad3", "Студия, 50")]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = {r["image_id"]: r for r in parse_captions(df).collect()}
+    for i in range(20):
+        f = webgen.caption_fields(i)
+        g = out[f"i{i}"]
+        want_rooms = 0 if f["rooms_label"] == "Студия" else f["rooms_count"]
+        assert g["rooms"] == want_rooms
+        assert abs(g["area_m2"] - f["total_meters"]) < 1e-9
+        assert g["floor"] == f["floor"] and g["floors_count"] == f["floors_count"]
+        assert g["admitted"]
+    for b in ("bad1", "bad2", "bad3"):
+        assert out[b]["admitted"] is False
+    assert out["bad1"]["rooms"] is None and out["bad3"]["rooms"] == 0
+    assert out["bad3"]["area_m2"] is None
+
+
 def test_exact_binary_dedup(spark):
     """Keep-first byte-exact dedup: identical payloads collapse to the
     smallest id with the right copy count; distinct payloads survive;
