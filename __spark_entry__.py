@@ -1755,6 +1755,41 @@ def q_store_compaction(spark, sf_dir):
     return eng.offers().select(*truth.CRAWL_TRUTH_COLS)
 
 
+MERGE_NEW_ROW = (999, 1, 0, "new0001",
+                 "https://cian.ru/sale/flat/new0001/", 123456.0)
+
+
+def q_store_merge(spark, sf_dir):
+    """MERGE INTO (upsert) driver-visible: a price-correction batch —
+    every card_index=0 offer of the politeness dump at 2× price, plus
+    one brand-new offer — merged copy-on-write into a snapshot table
+    seeded with the dump (engine/store.merge: ONE anti-join on the
+    update keys + union + atomic manifest swap, Iceberg's ``MERGE INTO
+    ... WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *``).  Oracle:
+    DuckDB re-derives the same updates from the same dump and applies
+    ANTI JOIN + UNION — matched rows replaced, the new key inserted,
+    everything else untouched."""
+    import tempfile
+
+    from cianparser_spark import truth
+    from cianparser_spark.engine.store import WaveStore
+
+    base = spark.read.parquet(truth.ensure_politeness_offers_truth())
+    root = tempfile.mkdtemp(prefix="merge_store_")
+    store = WaveStore(spark, root, {"offers_m": base.schema})
+    store.commit_wave(1, appends={"offers_m": base})
+    upd = (base.filter(F.col("card_index") == 0)
+               .withColumn("price", F.col("price") * F.lit(2.0)))
+    new = spark.createDataFrame([MERGE_NEW_ROW], base.schema)
+    store.merge("offers_m", upd.unionByName(new),
+                ["seed_id", "deal_url_id"])
+    return (store.read("offers_m")
+            .select("seed_id", "page_number", "card_index",
+                    "deal_url_id", "url", "price")
+            .orderBy("seed_id", "page_number", "card_index",
+                     "deal_url_id"))
+
+
 def q_crawl_recrawl(spark, sf_dir):
     """Invalidation + re-crawl driver-visible (the J4 delete path): a
     completed flagship run has its LAST list page invalidated — its
@@ -2083,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_parse": q_caption_parse,
         "image_exact_dedup": q_image_exact_dedup,
         "pipeline_assemble": q_pipeline_assemble,
+        "store_merge": q_store_merge,
         "image_aspect_buckets": q_image_aspect_buckets,
         "multimodal_png_meta": q_multimodal_png_meta,
         "multimodal_exif": q_multimodal_exif,
@@ -2707,6 +2743,32 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dedup_images_path}')
             GROUP BY md5(hex(bytes))
             ORDER BY image_id
+        """,
+        # MERGE INTO (upsert): DuckDB re-derives the same update batch
+        # from the same dump and applies ANTI JOIN + UNION
+        "store_merge": f"""
+            WITH base AS (
+                SELECT * FROM read_parquet('{politeness_offers_path}')
+            ),
+            upd AS (
+                SELECT seed_id, page_number, card_index, deal_url_id,
+                       url, price * 2 AS price
+                FROM base WHERE card_index = 0
+                UNION ALL
+                SELECT {MERGE_NEW_ROW[0]}, {MERGE_NEW_ROW[1]},
+                       {MERGE_NEW_ROW[2]}, '{MERGE_NEW_ROW[3]}',
+                       '{MERGE_NEW_ROW[4]}', {MERGE_NEW_ROW[5]!r}
+            ),
+            merged AS (
+                SELECT b.* FROM base b
+                ANTI JOIN upd u USING (seed_id, deal_url_id)
+                UNION ALL
+                SELECT * FROM upd
+            )
+            SELECT seed_id, page_number, card_index, deal_url_id,
+                   url, price
+            FROM merged
+            ORDER BY seed_id, page_number, card_index, deal_url_id
         """,
         # Composed assembly pipeline (dedup → quality gate → resize):
         # one sequential pure-Python pass re-derives the whole DAG

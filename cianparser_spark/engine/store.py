@@ -207,6 +207,61 @@ class WaveStore:
         return {"files_before": len(files), "files_after": files_after,
                 "bytes": int(total), "compacted": True}
 
+    def merge(self, name: str, updates: DataFrame, key_cols: list[str],
+              on_before_publish=None) -> dict:
+        """MERGE INTO (upsert, copy-on-write): rows of ``updates``
+        REPLACE current rows sharing their key; unmatched keys insert.
+        The Iceberg mapping is ``MERGE INTO t USING u ON <keys> WHEN
+        MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *``.
+
+        Plan shape: ONE anti-join of the current table against the
+        update keys, union with the updates, rewrite, atomic manifest
+        swap.  This sandbox twin's copy-on-write granularity is the
+        whole table; real Iceberg prunes the rewrite to files whose
+        key ranges overlap the update keys — same semantics, and the
+        anti-join is the identical Spark plan either way.  Readers of
+        the old snapshot keep working (old dirs stay until vacuum);
+        optimistic concurrency identical to ``compact()``: a commit
+        landing mid-rewrite discards the loser's files and raises
+        ``ConcurrentCommitError``.
+
+        Returns {rows_before, rows_updates, rows_matched, rows_after}.
+        """
+        snap = self._load_snapshot()
+        dirs = snap["tables"].get(name, [])
+        schema = self.schemas[name]
+        upd = updates.select([f.name for f in schema.fields])
+        if dirs:
+            paths = [os.path.join(self.root, d) for d in dirs]
+            cur = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            cur = self.spark.createDataFrame([], schema)
+        keys = upd.select(*key_cols).distinct()
+        merged = cur.join(keys, key_cols, "left_anti").unionByName(upd)
+        rel = os.path.join("data", name,
+                           f"m{snap['version']:05d}-{uuid.uuid4().hex[:8]}")
+        absdir = os.path.join(self.root, rel)
+        merged.write.mode("overwrite").parquet(absdir)
+        if on_before_publish is not None:
+            on_before_publish()
+        latest = self._load_snapshot()
+        if latest["version"] != snap["version"]:
+            import shutil
+
+            shutil.rmtree(absdir, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"snapshot advanced {snap['version']}→{latest['version']} "
+                f"during merge into {name!r}; rewrite discarded")
+        tables = {k: list(v) for k, v in snap["tables"].items()}
+        tables[name] = [rel]
+        self._publish(tables, snap["wave"], snap["version"])
+        rows_before = cur.count()
+        rows_updates = upd.count()
+        rows_after = self.read(name).count()
+        return {"rows_before": rows_before, "rows_updates": rows_updates,
+                "rows_matched": rows_before + rows_updates - rows_after,
+                "rows_after": rows_after}
+
     def vacuum(self) -> dict:
         """Delete data directories not referenced by the CURRENT
         manifest and expire superseded snapshot files (Iceberg's

@@ -161,6 +161,16 @@ PICKS = [
      "column pruned, and the only Exchange carries 7 partially-"
      "aggregated groups; the bucket dim joins AFTER the aggregate as a "
      "7-row broadcast"),
+    ("store_merge", "MERGE INTO (upsert): the rewrite (already executed "
+     "inside store.merge by the time this read plan prints) is ONE "
+     "left-anti hash join of the current table against the (distinct) "
+     "update keys, unioned with the updates — no per-row compare, no "
+     "window, and the join key is the merge key so AQE picks broadcast "
+     "when the update batch is small (the common price-correction "
+     "shape); Iceberg narrows the same scan to key-overlapping files, "
+     "same logical shape.  The plan below is the post-merge snapshot "
+     "READ: a single clean parquet scan of the rewritten table — the "
+     "point of copy-on-write is that readers pay nothing"),
     ("multimodal_resize", "training-shard resize: decode → mean-pool → "
      "re-encode → verify is ONE Arrow stage (single MapInPandas, no "
      "shuffle); bytes never cross an exchange — each task emits ~40 "

@@ -173,6 +173,51 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_run_dir):
                   for r in st.read("stopped").collect()) == got
 
 
+def test_merge_upserts_matched_and_inserts_new(spark, tmp_run_dir):
+    """MERGE INTO semantics: update keys replace their current rows,
+    unmatched keys insert, untouched rows survive byte-identical; old
+    snapshot stays readable until vacuum; time travel sees pre-merge."""
+    st = _store(spark, tmp_run_dir)
+    for w in range(3):
+        st.commit_wave(w, appends={"stopped": _stopped(spark, [(w, w * 10)])})
+    v_before = st.versions()[-1][0]
+    upd = _stopped(spark, [(1, 111), (9, 900)])   # 1 matched, 9 new
+    stats = st.merge("stopped", upd, ["seed_id"])
+    assert stats == {"rows_before": 3, "rows_updates": 2,
+                     "rows_matched": 1, "rows_after": 4}
+    got = sorted((r.seed_id, r.captcha_page)
+                 for r in st.read("stopped").collect())
+    assert got == [(0, 0), (1, 111), (2, 20), (9, 900)]
+    # time travel: the pre-merge snapshot still shows the old row
+    old = sorted((r.seed_id, r.captcha_page)
+                 for r in st.read_as_of("stopped", v_before).collect())
+    assert old == [(0, 0), (1, 10), (2, 20)]
+    assert st.last_wave() == 2   # maintenance does not advance the wave
+    # appends after a merge keep working
+    st.commit_wave(3, appends={"stopped": _stopped(spark, [(5, 50)])})
+    assert st.read("stopped").count() == 5
+
+
+def test_merge_aborts_on_concurrent_commit(spark, tmp_run_dir):
+    """Optimistic concurrency on merge, same contract as compact."""
+    import pytest
+
+    from cianparser_spark.engine.store import ConcurrentCommitError
+
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(0, 0)])})
+
+    def sneak_commit():
+        st.commit_wave(1, appends={"stopped": _stopped(spark, [(7, 70)])})
+
+    with pytest.raises(ConcurrentCommitError):
+        st.merge("stopped", _stopped(spark, [(0, 99)]), ["seed_id"],
+                 on_before_publish=sneak_commit)
+    got = sorted((r.seed_id, r.captcha_page)
+                 for r in st.read("stopped").collect())
+    assert got == [(0, 0), (7, 70)]   # loser's rewrite invisible
+
+
 def test_compact_noop_on_single_file(spark, tmp_run_dir):
     st = _store(spark, tmp_run_dir)
     st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 1)])})
