@@ -1757,6 +1757,7 @@ def q_store_compaction(spark, sf_dir):
 
 MERGE_NEW_ROW = (999, 1, 0, "new0001",
                  "https://cian.ru/sale/flat/new0001/", 123456.0)
+_MERGE_STORE_ROOT: list[str] = []   # last run's dir, removed on re-entry
 
 
 def q_store_merge(spark, sf_dir):
@@ -1775,7 +1776,15 @@ def q_store_merge(spark, sf_dir):
     from cianparser_spark.engine.store import WaveStore
 
     base = spark.read.parquet(truth.ensure_politeness_offers_truth())
+    # the returned DataFrame reads lazily from this dir, so it can't be
+    # removed here; cap the leak at one live dir by removing the
+    # previous run's store on re-entry
+    if _MERGE_STORE_ROOT:
+        import shutil
+
+        shutil.rmtree(_MERGE_STORE_ROOT.pop(), ignore_errors=True)
     root = tempfile.mkdtemp(prefix="merge_store_")
+    _MERGE_STORE_ROOT.append(root)
     store = WaveStore(spark, root, {"offers_m": base.schema})
     store.commit_wave(1, appends={"offers_m": base})
     upd = (base.filter(F.col("card_index") == 0)

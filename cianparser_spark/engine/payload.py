@@ -242,14 +242,11 @@ def parse_captions(df: DataFrame, col: str = "caption") -> DataFrame:
     scrub, ops/text.py)."""
     cap = F.col(col)
     rooms = F.when(cap.startswith("Студия"), F.lit(0)).otherwise(
-        F.expr(f"try_cast(regexp_extract({col}, '^(\\\\d+)-комн', 1) as int)"))
-    area = F.expr(
-        f"try_cast(replace(regexp_extract({col}, '(\\\\d+(,\\\\d+)?) м²', 1),"
-        " ',', '.') as double)")
-    floor_ = F.expr(
-        f"try_cast(regexp_extract({col}, '(\\\\d+)/(\\\\d+) этаж', 1) as int)")
-    floors = F.expr(
-        f"try_cast(regexp_extract({col}, '(\\\\d+)/(\\\\d+) этаж', 2) as int)")
+        F.regexp_extract(cap, r"^(\d+)-комн", 1).try_cast("int"))
+    area = F.replace(F.regexp_extract(cap, r"(\d+(,\d+)?) м²", 1),
+                     F.lit(","), F.lit(".")).try_cast("double")
+    floor_ = F.regexp_extract(cap, r"(\d+)/(\d+) этаж", 1).try_cast("int")
+    floors = F.regexp_extract(cap, r"(\d+)/(\d+) этаж", 2).try_cast("int")
     admitted = (rooms.isNotNull() & area.isNotNull() & floor_.isNotNull()
                 & floors.isNotNull()
                 & area.between(10.0, 500.0)

@@ -189,23 +189,33 @@ class WaveStore:
                            f"c{snap['version']:05d}-{uuid.uuid4().hex[:8]}")
         absdir = os.path.join(self.root, rel)
         df.repartition(int(n_out)).write.mode("overwrite").parquet(absdir)
-        if on_before_publish is not None:
-            on_before_publish()
-        cur = self._load_snapshot()
-        if cur["version"] != snap["version"]:
-            import shutil
-
-            shutil.rmtree(absdir, ignore_errors=True)
-            raise ConcurrentCommitError(
-                f"snapshot advanced {snap['version']}→{cur['version']} "
-                f"during compaction of {name!r}; rewrite discarded")
-        tables = {k: list(v) for k, v in snap["tables"].items()}
-        tables[name] = [rel]
-        self._publish(tables, snap["wave"], snap["version"])
+        self._publish_rewrite(name, snap, rel, absdir, "compaction",
+                              on_before_publish)
         files_after = len([f for f in os.listdir(absdir)
                            if f.endswith(".parquet")])
         return {"files_before": len(files), "files_after": files_after,
                 "bytes": int(total), "compacted": True}
+
+    def _publish_rewrite(self, name: str, snap: dict, rel: str,
+                         absdir: str, action: str,
+                         on_before_publish=None) -> None:
+        """Optimistic-concurrency publish of a table rewrite (shared by
+        compact and merge): if any commit landed since ``snap`` was
+        captured, discard the rewrite's files and raise — nothing is
+        ever half-visible."""
+        if on_before_publish is not None:
+            on_before_publish()
+        latest = self._load_snapshot()
+        if latest["version"] != snap["version"]:
+            import shutil
+
+            shutil.rmtree(absdir, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"snapshot advanced {snap['version']}→{latest['version']} "
+                f"during {action} of {name!r}; rewrite discarded")
+        tables = {k: list(v) for k, v in snap["tables"].items()}
+        tables[name] = [rel]
+        self._publish(tables, snap["wave"], snap["version"])
 
     def merge(self, name: str, updates: DataFrame, key_cols: list[str],
               on_before_publish=None) -> dict:
@@ -237,27 +247,25 @@ class WaveStore:
         else:
             cur = self.spark.createDataFrame([], schema)
         keys = upd.select(*key_cols).distinct()
+        # Iceberg's cardinality rule: more than one source row per key
+        # is an error ("multiple source rows matched"), never a silent
+        # duplicate-key table.  Checked before any write.
+        rows_updates = upd.count()
+        if keys.count() != rows_updates:
+            raise ValueError(
+                f"merge into {name!r}: updates contain duplicate "
+                f"{key_cols} keys (MERGE requires one source row per key)")
+        rows_before = cur.count()
         merged = cur.join(keys, key_cols, "left_anti").unionByName(upd)
         rel = os.path.join("data", name,
                            f"m{snap['version']:05d}-{uuid.uuid4().hex[:8]}")
         absdir = os.path.join(self.root, rel)
         merged.write.mode("overwrite").parquet(absdir)
-        if on_before_publish is not None:
-            on_before_publish()
-        latest = self._load_snapshot()
-        if latest["version"] != snap["version"]:
-            import shutil
-
-            shutil.rmtree(absdir, ignore_errors=True)
-            raise ConcurrentCommitError(
-                f"snapshot advanced {snap['version']}→{latest['version']} "
-                f"during merge into {name!r}; rewrite discarded")
-        tables = {k: list(v) for k, v in snap["tables"].items()}
-        tables[name] = [rel]
-        self._publish(tables, snap["wave"], snap["version"])
-        rows_before = cur.count()
-        rows_updates = upd.count()
-        rows_after = self.read(name).count()
+        # stats from the rewrite's own files (race-free: never CURRENT,
+        # which a concurrent committer may have advanced by now)
+        rows_after = self.spark.read.schema(schema).parquet(absdir).count()
+        self._publish_rewrite(name, snap, rel, absdir, "merge",
+                              on_before_publish)
         return {"rows_before": rows_before, "rows_updates": rows_updates,
                 "rows_matched": rows_before + rows_updates - rows_after,
                 "rows_after": rows_after}

@@ -198,6 +198,21 @@ def test_merge_upserts_matched_and_inserts_new(spark, tmp_run_dir):
     assert st.read("stopped").count() == 5
 
 
+def test_merge_rejects_duplicate_update_keys(spark, tmp_run_dir):
+    """Iceberg's cardinality rule: two source rows for one merge key is
+    an error, never a silent duplicate-key table."""
+    import pytest
+
+    st = _store(spark, tmp_run_dir)
+    st.commit_wave(0, appends={"stopped": _stopped(spark, [(1, 10)])})
+    with pytest.raises(ValueError, match="duplicate"):
+        st.merge("stopped", _stopped(spark, [(1, 11), (1, 12)]),
+                 ["seed_id"])
+    # table untouched by the rejected merge
+    assert [(r.seed_id, r.captcha_page)
+            for r in st.read("stopped").collect()] == [(1, 10)]
+
+
 def test_merge_aborts_on_concurrent_commit(spark, tmp_run_dir):
     """Optimistic concurrency on merge, same contract as compact."""
     import pytest
