@@ -1666,6 +1666,40 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_graph_components(spark, sf_dir):
+    """G1 driver-visible: connected components of the politeness
+    sub-site's link graph (treated undirected), straight from the
+    production operator (ops/graph.connected_components — min-label
+    propagation with pointer jumping, O(log n) rounds).  Oracle:
+    sequential fixpoint reachability as a DuckDB recursive CTE — a
+    wholly different algorithm over the same shared edge parquet."""
+    from cianparser_spark import truth
+    from cianparser_spark.ops import graph
+
+    edges = spark.read.parquet(truth.ensure_link_graph_truth())
+    return (graph.connected_components(edges)
+            .select("node", F.col("component").alias("component"))
+            .orderBy("node"))
+
+
+def q_caption_normalize(spark, sf_dir):
+    """Caption normalization driver-visible (engine/payload.
+    normalize_caption — the pymorphy2 stand-in: lowercase, decimal
+    commas unified, punctuation → space, whitespace collapsed; pure
+    codegen regexp chain).  Oracle: DuckDB re-runs the identical
+    chain with RE2 'g'-flag replaces — the Java/RE2-agreeing subset
+    (character classes incl. \\p{{L}}/\\p{{N}}, no alternation-order
+    dependence), same non-overlapping left-to-right replace
+    semantics."""
+    from cianparser_spark import truth
+    from cianparser_spark.engine.payload import normalize_caption
+
+    meta = spark.read.parquet(truth.ensure_images_meta_truth())
+    return (normalize_caption(meta.select("image_id", "caption"))
+            .select("image_id", "caption_norm")
+            .orderBy("image_id"))
+
+
 def q_export_shards(spark, sf_dir):
     """Training-export shard manifest: deterministic shard assignment
     (numeric id suffix mod 16 — expressible identically in both
@@ -2128,6 +2162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exact_dedup": q_image_exact_dedup,
         "pipeline_assemble": q_pipeline_assemble,
         "store_merge": q_store_merge,
+        "graph_components": q_graph_components,
+        "caption_normalize": q_caption_normalize,
         "image_aspect_buckets": q_image_aspect_buckets,
         "multimodal_png_meta": q_multimodal_png_meta,
         "multimodal_exif": q_multimodal_exif,
@@ -3231,6 +3267,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(link_graph_path,
                                                iters=5, damping=0.85),
+        # G1 components: sequential recursive-CTE reachability vs the
+        # distributed pointer-jumping label propagation
+        "graph_components": f"""
+            WITH RECURSIVE und AS (
+                SELECT src, dst FROM read_parquet('{link_graph_path}')
+                UNION
+                SELECT dst AS src, src AS dst
+                FROM read_parquet('{link_graph_path}')
+            ), reach AS (
+                SELECT src AS node, src AS lab FROM und
+                UNION
+                SELECT e.src AS node, r.lab
+                FROM und e JOIN reach r ON r.node = e.dst
+            )
+            SELECT node, min(lab) AS component
+            FROM reach GROUP BY node ORDER BY node
+        """,
+        # Caption normalization: the identical regexp chain in RE2
+        # with 'g' replaces (Java and RE2 agree on this subset)
+        "caption_normalize": f"""
+            SELECT image_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(caption),
+                               '(\\d),(\\d)', '\\1.\\2', 'g'),
+                           '[^\\p{{L}}\\p{{N}}\\s.\\-²]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS caption_norm
+            FROM read_parquet('{images_meta_path}')
+            ORDER BY image_id
+        """,
         "export_shards": f"""
             SELECT (substr(image_id, 4)::INT % 16) AS shard,
                    count(*) AS n_images,

@@ -80,7 +80,7 @@ HEADLINE = [
     "payload_dup_clusters", "graph_pagerank", "export_shards",
     "stream_sessionization", "image_tiles", "store_compaction",
     "agg_percentiles", "agg_rollup", "window_running", "crawl_recrawl",
-    "store_merge",
+    "store_merge", "graph_components", "caption_normalize",
     "temporal_asof",
     "sketch_hll", "sketch_kmv", "sketch_kmv_jaccard", "sketch_cms",
 ]
