@@ -258,6 +258,47 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """The text-side END-TO-END dedup a training pipeline actually
+    runs, composed from three already-oracled operators in ONE DAG:
+    MinHash+LSH near-dup pairs (ops/dedup.minhash_lsh_pairs, candidates
+    verified by exact Jaccard) → connected components over the pair
+    graph (ops/graph.connected_components — transitive closure, so
+    A~B~C dedups even when A,C aren't directly similar) → keep the
+    highest-quality doc per cluster (ops/text.quality_score, doc_id
+    tiebreak).  Returns one row per cluster: keeper + size + quality.
+    Oracle: DuckDB re-derives everything independently — exact
+    all-pairs Jaccard at the threshold, recursive-CTE reachability,
+    and the quality-score SQL twin."""
+    from pyspark.sql import Window
+
+    from cianparser_spark.ops.dedup import minhash_lsh_pairs
+    from cianparser_spark.ops.graph import connected_components
+    from cianparser_spark.ops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    selfe = docs.select(F.col("doc_id").alias("src"),
+                        F.col("doc_id").alias("dst"))
+    comp = connected_components(pairs.unionByName(selfe))
+    q = quality_score(docs).select("doc_id", "quality")
+    j = (comp.join(q, comp["node"] == q["doc_id"])
+         .select(F.col("component").alias("cluster_id"),
+                 "doc_id", "quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs",
+                    F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"),
+                "n_docs", F.col("quality").alias("keep_quality"))
+        .orderBy("cluster_id")
+    )
+
+
 DEDUP_BATCH_CUT = 400  # doc_id < cut = standing corpus, >= cut = new batch
 
 
@@ -2146,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_topk": q_dedup_ngram_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_topk": q_dedup_cosine_topk,
@@ -2616,6 +2658,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sl ON sl.doc_id = left_id
             JOIN sizes sr ON sr.doc_id = right_id
             WHERE i * 1.0 / (sl.n + sr.n - i) >= 0.2
+        """,
+        # end-to-end text dedup: exact pairs at threshold → recursive
+        # reachability → quality-ranked keeper — all re-derived in SQL
+        "dedup_canonical": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
+              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT left_id, right_id FROM inter
+              JOIN sizes sl ON sl.doc_id = left_id
+              JOIN sizes sr ON sr.doc_id = right_id
+              WHERE i * 1.0 / (sl.n + sr.n - i) >= 0.2
+            ),
+            edges AS (
+              SELECT doc_id AS src, doc_id AS dst FROM documents
+              UNION SELECT left_id, right_id FROM pairs
+              UNION SELECT right_id, left_id FROM pairs
+            ),
+            reach AS (
+              SELECT src AS node, src AS lab FROM edges
+              UNION
+              SELECT e.src AS node, r.lab
+              FROM edges e JOIN reach r ON r.node = e.dst
+            ),
+            comp AS (
+              SELECT node AS doc_id, min(lab) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            q AS (
+              SELECT doc_id,
+                     round((least(greatest((n_chars * 1.0 / greatest(n_tok, 1) - 2) / 10, 0), 1) * 0.5
+                          + (1 - least(stop_hits * 2.0 / greatest(n_tok, 1), 1)) * 0.3
+                          + (1 - least(punct * 5.0 / greatest(n_chars, 1), 1)) * 0.2)
+                          * (CASE WHEN n_tok < 20 THEN 0.5 ELSE 1.0 END), 6) AS quality
+              FROM (SELECT doc_id, {_QUALITY_CORE} FROM documents)
+            ),
+            ranked AS (
+              SELECT c.cluster_id, c.doc_id, q.quality,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                         ORDER BY q.quality DESC, c.doc_id) AS rk,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+              FROM comp c JOIN q USING (doc_id)
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id, n_docs,
+                   quality AS keep_quality
+            FROM ranked WHERE rk = 1
+            ORDER BY cluster_id
         """,
         # incremental near-dup: exact batch×corpus Jaccard scan — the
         # banded probe of the prebuilt index must reproduce it in full

@@ -53,7 +53,8 @@ HEADLINE = [
     "t1_ordered_limit", "p12_projection", "a7_union", "u6_sort_pushdown",
     "u7_filter_pushdown", "p10_deal_url_id", "url_canonical", "d4_phone_regex",
     "a6_dedup_sort", "dedup_exact", "dedup_ngram_topk",
-    "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash", "dedup_cosine_topk",
+    "dedup_minhash_lsh", "dedup_canonical", "dedup_incremental",
+    "dedup_simhash", "dedup_cosine_topk",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embed_kmeans",
     "multimodal_features",
     "multimodal_formats", "multimodal_quality", "multimodal_resize",
