@@ -1005,6 +1005,35 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/text.decontaminate): flag corpus
+    docs sharing any exact word 4-gram with the benchmark split
+    (doc_id % 37 == 0 — a deterministic stand-in for an eval suite).
+    Benchmark n-grams are BROADCAST; the corpus side is one map-only
+    native-shingling scan + broadcast join + per-doc aggregate — no
+    corpus-side n-gram shuffle, the shape that survives 100 TB.
+    n=4 (not the production 8) because the synthetic vocabulary is
+    ~30 words; the oracle re-derives everything in DuckDB list SQL."""
+    from cianparser_spark.ops.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=4).orderBy("doc_id")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (ops/text.repetition_stats):
+    duplicate word/2-gram/3-gram fractions, the modal 2-gram (computed
+    IN-ROW via array_sort + one aggregate pass — zero shuffle, no
+    explode), and the composite `repetitive` gate.  Oracle: DuckDB
+    re-derives the fractions with list functions and the mode with an
+    unnest→group→row_number twin."""
+    from cianparser_spark.ops.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_a8_label_dedup(spark, sf_dir):
     """A8 keep-first analog with a SQL oracle: min vec_id per label."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1647,6 +1676,27 @@ def q_payload_near_dup(spark, sf_dir):
         .orderBy("left_id", "right_id")
 
 
+def q_image_blocklist(spark, sf_dir):
+    """Ingest-time image admission against a curated phash blocklist
+    (engine/payload.blocklist_probe): every corpus image probes the
+    BROADCAST banded blocklist at hamming <= 2 (recall total by
+    pigeonhole over 4×16-bit bands); blocklist = image_id % 41 == 0,
+    a deterministic stand-in for a moderation list.  Oracle: DuckDB
+    all-pairs popcount over the payload truth dump's stored hashes —
+    no banding, so a green row proves the banded probe loses nothing."""
+    import tempfile
+
+    from cianparser_spark.engine import payload
+
+    path = tempfile.mkdtemp(prefix="imgs_") + "/images.parquet"
+    images = payload.build_images_table(spark, path, n=240, partitions=4)
+    num = F.substring("image_id", 4, 8).cast("int")
+    blocklist = images.filter(num % 41 == 0)
+    corpus = images.filter(num % 41 != 0)
+    return payload.blocklist_probe(corpus, blocklist, max_hamming=2) \
+        .orderBy("image_id")
+
+
 def q_payload_phash_recompute(spark, sf_dir):
     """Distributed decode→dHash recompute vs the corpus's STORED phash:
     the oracle is the stored column from the pure-Python truth dump, so
@@ -2223,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_pii_scrub": q_text_pii_scrub,
         "text_fingerprint": q_text_fingerprint,
+        "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
         "a8_label_dedup": q_a8_label_dedup,
         "stream_first_wins": q_stream_first_wins,
         "stream_window_counts": q_stream_window_counts,
@@ -2254,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_phash_dedup": q_payload_phash_dedup,
         "payload_phash_recompute": q_payload_phash_recompute,
         "payload_near_dup": q_payload_near_dup,
+        "image_blocklist": q_image_blocklist,
         "payload_dup_clusters": q_payload_dup_clusters,
         "graph_pagerank": q_graph_pagerank,
         "export_shards": q_export_shards,
@@ -2618,6 +2671,100 @@ def oracle_sql() -> dict[str, str]:
                              '{_PII['cc']}', '[CC]', 'g'),
                              '{_PII['phone']}', '[PHONE]', 'g')) AS scrub_md5
             FROM injected
+        """,
+        # decontamination: benchmark 4-grams re-derived independently
+        # with DuckDB list SQL; '' (not NULL) marks a clean doc on both
+        # engines so string normalization can't diverge
+        "text_decontaminate": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            pd AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 4 THEN
+                       list_distinct(list_transform(range(len(ws) - 3),
+                         i -> array_to_string(ws[i+1:i+4], ' ')))
+                     ELSE [] END AS grams
+              FROM words
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM pd WHERE doc_id % 37 = 0
+            ),
+            ex AS (
+              SELECT doc_id, unnest(grams) AS gram FROM pd WHERE doc_id % 37 <> 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS nc, min(gram) AS first_gram
+              FROM ex JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT p.doc_id, len(p.grams)::BIGINT AS n_ngrams,
+                   coalesce(h.nc, 0)::BIGINT AS n_contaminated,
+                   CASE WHEN coalesce(h.nc, 0) > 0 THEN 1 ELSE 0 END AS contaminated,
+                   coalesce(h.first_gram, '') AS first_hit
+            FROM pd p LEFT JOIN hits h USING (doc_id)
+            WHERE p.doc_id % 37 <> 0
+            ORDER BY p.doc_id
+        """,
+        # repetition: dup fractions via list_distinct; the modal 2-gram
+        # via unnest -> group -> row_number (count DESC, gram ASC — the
+        # same smallest-gram-among-ties rule as the Spark in-row scan)
+        "text_repetition": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w <> '') AS ws,
+                     length(trim(text)) AS nc
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, ws, nc, len(ws) AS nw,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(range(len(ws) - 1),
+                         i -> array_to_string(ws[i+1:i+2], ' '))
+                     ELSE [] END AS g2,
+                     CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(len(ws) - 2),
+                         i -> array_to_string(ws[i+1:i+3], ' '))
+                     ELSE [] END AS g3
+              FROM words
+            ),
+            top AS (
+              SELECT doc_id, gram, cnt FROM (
+                SELECT doc_id, gram, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY count(*) DESC, gram) AS rn
+                FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+                GROUP BY doc_id, gram
+              ) WHERE rn = 1
+            ),
+            feat AS (
+              SELECT b.doc_id, b.nw,
+                     CASE WHEN b.nw > 0 THEN
+                       round(1.0 - len(list_distinct(b.ws)) * 1.0 / b.nw, 6)
+                     ELSE 0.0 END AS dw,
+                     CASE WHEN len(b.g2) > 0 THEN
+                       round(1.0 - len(list_distinct(b.g2)) * 1.0 / len(b.g2), 6)
+                     ELSE 0.0 END AS d2,
+                     CASE WHEN len(b.g3) > 0 THEN
+                       round(1.0 - len(list_distinct(b.g3)) * 1.0 / len(b.g3), 6)
+                     ELSE 0.0 END AS d3,
+                     coalesce(t.gram, '') AS tg,
+                     coalesce(t.cnt, 0)::BIGINT AS tc,
+                     CASE WHEN coalesce(t.cnt, 0) > 0 THEN
+                       round(t.cnt * length(t.gram) * 1.0 / greatest(b.nc, 1), 6)
+                     ELSE 0.0 END AS cf
+              FROM base b LEFT JOIN top t USING (doc_id)
+            )
+            SELECT doc_id, nw::BIGINT AS n_words, dw AS dup_word_frac,
+                   d2 AS dup_2gram_frac, d3 AS dup_3gram_frac,
+                   tg AS top_2gram, tc AS top_2gram_count,
+                   cf AS top_2gram_char_frac,
+                   CASE WHEN dw > 0.85 OR d2 > 0.6 OR cf > 0.1
+                        THEN 1 ELSE 0 END AS repetitive
+            FROM feat ORDER BY doc_id
         """,
         "a8_label_dedup": "SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label",
         "stream_first_wins": """
@@ -3333,6 +3480,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{payload_path}') r ON l.image_id < r.image_id
             WHERE bit_count(xor(l.phash, r.phash)) <= 3
             ORDER BY left_id, right_id
+        """,
+        # Blocklist admission: exhaustive corpus×blocklist popcount —
+        # the banded broadcast probe must reproduce it in full
+        "image_blocklist": f"""
+            WITH t AS (
+              SELECT image_id, phash, CAST(image_id[4:] AS INT) AS n
+              FROM read_parquet('{payload_path}')
+            ),
+            b AS (SELECT * FROM t WHERE n % 41 = 0),
+            c AS (SELECT * FROM t WHERE n % 41 <> 0),
+            hits AS (
+              SELECT c.image_id, count(*) AS nh,
+                     min(bit_count(xor(c.phash, b.phash))) AS mh
+              FROM c JOIN b ON bit_count(xor(c.phash, b.phash)) <= 2
+              GROUP BY c.image_id
+            )
+            SELECT c.image_id, coalesce(h.nh, 0)::BIGINT AS n_blocklist_hits,
+                   coalesce(h.mh, -1)::BIGINT AS min_hamming,
+                   CASE WHEN coalesce(h.nh, 0) > 0 THEN 1 ELSE 0 END AS blocked
+            FROM c LEFT JOIN hits h USING (image_id)
+            ORDER BY c.image_id
         """,
         # Components via sequential fixpoint reachability (recursive
         # CTE) — a wholly different algorithm from the distributed

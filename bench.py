@@ -65,7 +65,8 @@ HEADLINE = [
     "multimodal_video_gif", "multimodal_audio_meta",
     "sample_split", "sample_domain_cap", "sample_weighted", "payload_phash_xformat",
     "text_token_count", "text_quality",
-    "text_langid", "text_fingerprint", "text_pii_scrub", "a8_label_dedup",
+    "text_langid", "text_fingerprint", "text_pii_scrub",
+    "text_decontaminate", "text_repetition", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
     "crawl_faults", "crawl_detail_faults", "crawl_dead_letter",
@@ -76,7 +77,7 @@ HEADLINE = [
     "a4_offers_per_page", "j5_offers_images",
     "s5_csv_roundtrip", "u1_url_builder",
     "payload_verify", "payload_phash_dedup",
-    "payload_phash_recompute", "payload_near_dup",
+    "payload_phash_recompute", "payload_near_dup", "image_blocklist",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
     "payload_dup_clusters", "graph_pagerank", "export_shards",
     "stream_sessionization", "image_tiles", "store_compaction",

@@ -210,6 +210,69 @@ def near_dup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def blocklist_probe(corpus: DataFrame, blocklist: DataFrame,
+                    max_hamming: int = 3) -> DataFrame:
+    """Ingest-time admission gate: match every corpus image against a
+    curated phash blocklist at Hamming distance <= ``max_hamming`` —
+    the moderation / known-bad filter a crawl pipeline runs on every
+    incoming image (the asymmetric sibling of ``near_dup_pairs``, the
+    same shape ``ops.dedup.incremental_lsh_pairs`` gives text).
+
+    Returns one row per corpus image: ``(image_id, n_blocklist_hits,
+    min_hamming, blocked)``; ``min_hamming`` is −1 for clean images so
+    both engines agree without nullable-int drift.
+
+    100 TB shape: the blocklist is small (curated, ≤millions) — its 4
+    16-bit band projections are BROADCAST, so the corpus side is one
+    map-only band explode + broadcast join + per-image aggregate; the
+    corpus is never self-joined and image bytes never move (the probe
+    reads only (image_id, phash)).  Recall at max_hamming<=3 is total
+    by pigeonhole: <=3 differing bits leave >=1 of 4 bands exactly
+    equal.  The first-agreeing-band filter dedups multi-band collisions
+    without a distinct, same trick as ``near_dup_pairs``."""
+
+    def bands(df: DataFrame, idc: str, pc: str) -> DataFrame:
+        return df.select(
+            F.col("image_id").alias(idc), F.col("phash").alias(pc),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])).alias("b"),
+        ).select(idc, pc, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+    def band_val(col, i):
+        return F.shiftright(col, 16 * i).bitwiseAND(F.lit(0xFFFF))
+
+    cb = bands(corpus, "image_id", "cp")
+    bb = bands(blocklist, "block_id", "bp")
+    earlier_agree = F.lit(False)
+    for i in range(3):
+        earlier_agree = earlier_agree | (
+            (F.col("band") > i) & (band_val(F.col("cp"), i) == band_val(F.col("bp"), i))
+        )
+    ham = F.bit_count(F.col("cp").bitwiseXOR(F.col("bp")))
+    hits = (
+        cb.join(F.broadcast(bb), ["band", "val"])
+        .filter(~earlier_agree)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("image_id")
+        .agg(F.count(F.lit(1)).alias("_nh"), F.min("hamming").alias("_mh"))
+    )
+    return (
+        corpus.select("image_id").join(hits, "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("_nh", F.lit(0)).cast("long").alias("n_blocklist_hits"),
+            F.coalesce("_mh", F.lit(-1)).cast("long").alias("min_hamming"),
+            (F.coalesce("_nh", F.lit(0)) > 0).cast("int").alias("blocked"),
+        )
+    )
+
+
 def normalize_caption(df: DataFrame, col: str = "caption",
                       out: str = "caption_norm") -> DataFrame:
     """Vectorized caption normalization: lowercase, unify decimal

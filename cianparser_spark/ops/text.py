@@ -133,3 +133,148 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     text — identical in Spark and any SQL engine with md5()."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+# ------------------------------------------------------------ n-grams
+
+def ngram_expr(text_col: str, n: int):
+    """FULL word n-grams as a native Catalyst expression
+    (``array<string>``).  Unlike ``dedup.shingle_expr`` (which joins a
+    short doc into one sub-k shingle so every doc has a signature), a
+    doc with fewer than ``n`` words yields an EMPTY array here —
+    decontamination and repetition statistics are defined over exact
+    n-grams only.  Same word grammar as the rest of the text ops:
+    split on whitespace runs, drop empties."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    cnt = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - F.lit(n)),
+        lambda i: F.array_join(F.slice(words, i + F.lit(1), n), " "),
+    )
+    return (
+        F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination — the training-pipeline step that
+    flags corpus documents sharing any exact word n-gram with an
+    evaluation/benchmark set (the GPT-3/Llama recipe; n=8..13 in
+    production, parameterized here).
+
+    Returns one row per corpus doc: ``(id, n_ngrams, n_contaminated,
+    contaminated, first_hit)`` where ``n_ngrams`` counts the doc's
+    DISTINCT n-grams, ``n_contaminated`` how many of those occur
+    anywhere in the benchmark set, and ``first_hit`` is the
+    lexicographically smallest matching n-gram ('' when clean —
+    kept non-null so engines agree).
+
+    100 TB shape: the benchmark side is tiny (an eval suite, thousands
+    of docs) — its distinct n-gram set is BROADCAST, so the corpus
+    side is one map-only scan (native shingling, codegen) feeding a
+    broadcast hash join + a per-doc partial aggregate.  No corpus-side
+    shuffle of n-grams, no self-join; work is linear in corpus tokens.
+    Reference analogy: the seen-set membership test of
+    cianparser/base_list.py:24 lifted from URLs to n-grams.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(ngram_expr(text_col, n))).alias("gram"))
+        .distinct()
+    )
+    per_doc = docs.select(
+        id_col, F.array_distinct(ngram_expr(text_col, n)).alias("_grams"))
+    hits = (
+        per_doc.select(id_col, F.explode("_grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nc"), F.min("gram").alias("_first"))
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.size("_grams").cast("long").alias("n_ngrams"),
+            F.coalesce("_nc", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("_nc", F.lit(0)) > 0).cast("int").alias("contaminated"),
+            F.coalesce("_first", F.lit("")).alias("first_hit"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     dup_word_max: float = 0.85, dup_2gram_max: float = 0.6,
+                     top_2gram_char_max: float = 0.1) -> DataFrame:
+    """Gopher-style repetition quality signals, entirely map-only.
+
+    Per doc: ``dup_word_frac`` / ``dup_2gram_frac`` / ``dup_3gram_frac``
+    (1 − distinct/total over words and full n-grams), the most frequent
+    2-gram with its count (ties broken by lexicographic order — the
+    smallest gram wins), ``top_2gram_char_frac`` (count × gram length ÷
+    doc chars; occurrences may overlap, so this is the standard upper-
+    bound heuristic, not exact coverage), and a composite ``repetitive``
+    flag at the given thresholds.
+
+    100 TB shape: zero shuffle.  The mode-2-gram is computed INSIDE the
+    row via ``array_sort`` + a single ``aggregate`` pass over the
+    sorted array (longest equal run), so no explode→groupBy→window per
+    doc — the whole operator is one codegen'd projection riding the
+    text scan.  A per-doc explode would shuffle ~|tokens| rows; this
+    shuffles none.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_chars = F.length(F.trim(F.col(text_col)))
+
+    def dup_frac(arr):
+        tot = F.size(arr)
+        return F.when(
+            tot > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(arr)) / tot, 6)
+        ).otherwise(F.lit(0.0))
+
+    g2 = ngram_expr(text_col, 2)
+    g3 = ngram_expr(text_col, 3)
+
+    # longest equal run over the sorted 2-gram array == mode; strict >
+    # keeps the FIRST (lexicographically smallest) gram among ties
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bestg"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top = F.aggregate(F.array_sort(g2), zero, step)
+    top_cnt = top["best"]
+    top_gram = top["bestg"]
+    char_frac = F.when(
+        top_cnt > 0,
+        F.round(top_cnt * F.length(top_gram) / F.greatest(n_chars, F.lit(1)), 6)
+    ).otherwise(F.lit(0.0))
+
+    dw, d2 = dup_frac(words), dup_frac(g2)
+    rep = ((dw > dup_word_max) | (d2 > dup_2gram_max)
+           | (char_frac > top_2gram_char_max)).cast("int")
+    return docs.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        dw.alias("dup_word_frac"),
+        d2.alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        top_gram.alias("top_2gram"),
+        top_cnt.cast("long").alias("top_2gram_count"),
+        char_frac.alias("top_2gram_char_frac"),
+        rep.alias("repetitive"),
+    )

@@ -1134,3 +1134,93 @@ def test_incremental_lsh_matches_full_cross_scan(spark, docs):
         if j >= 0.2:
             want.add((row["left_id"], row["right_id"], round(j, 9)))
     assert got == want and len(want) > 0
+
+
+def test_decontaminate_hand_built(spark):
+    from cianparser_spark.ops.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # contains bench 4-grams
+            (2, "x y z w"),              # clean, one 4-gram
+            (3, "a b"),                  # < n words -> zero grams, clean
+            (4, "c d e f g h c d e f"),  # repeated gram counted ONCE
+            (5, ""),                     # empty -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q q a b c d e f q q")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=4).collect()}
+    assert got[1]["n_ngrams"] == 3 and got[1]["n_contaminated"] == 3
+    assert got[1]["contaminated"] == 1 and got[1]["first_hit"] == "a b c d"
+    assert got[2]["n_contaminated"] == 0 and got[2]["contaminated"] == 0
+    assert got[2]["first_hit"] == ""
+    assert got[3]["n_ngrams"] == 0 and got[3]["contaminated"] == 0
+    # doc 4: distinct grams only — 'c d e f' matches once
+    assert got[4]["n_contaminated"] == 1 and got[4]["first_hit"] == "c d e f"
+    assert got[5]["n_ngrams"] == 0 and got[5]["contaminated"] == 0
+
+
+def _rep_python(text):
+    """Pure-Python twin of repetition_stats for one doc."""
+    import math
+
+    def r6(x):  # HALF_UP like Spark/DuckDB round(), not banker's
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ws = text.strip().split()
+    nw, nc = len(ws), len(text.strip())
+    g2 = [" ".join(ws[i:i + 2]) for i in range(nw - 1)] if nw >= 2 else []
+    g3 = [" ".join(ws[i:i + 3]) for i in range(nw - 2)] if nw >= 3 else []
+
+    def dup(arr):
+        return r6(1.0 - len(set(arr)) / len(arr)) if arr else 0.0
+
+    if g2:
+        from collections import Counter
+        cnt = Counter(g2)
+        best = max(cnt.values())
+        topg = min(g for g, c in cnt.items() if c == best)
+        cf = r6(best * len(topg) / max(nc, 1))
+    else:
+        best, topg, cf = 0, "", 0.0
+    dw, d2 = dup(ws), dup(g2)
+    rep = 1 if (dw > 0.85 or d2 > 0.6 or cf > 0.1) else 0
+    return (nw, dw, d2, dup(g3), topg, best, cf, rep)
+
+
+def test_repetition_stats_matches_python(spark, docs):
+    from cianparser_spark.ops.text import repetition_stats
+
+    sample = docs.filter(F.col("doc_id") < 120)
+    got = {r["doc_id"]: r for r in repetition_stats(sample).collect()}
+    for r in sample.select("doc_id", "text").collect():
+        nw, dw, d2, d3, topg, best, cf, rep = _rep_python(r["text"])
+        g = got[r["doc_id"]]
+        assert g["n_words"] == nw
+        assert abs(g["dup_word_frac"] - dw) < 1e-9
+        assert abs(g["dup_2gram_frac"] - d2) < 1e-9
+        assert abs(g["dup_3gram_frac"] - d3) < 1e-9
+        assert g["top_2gram"] == topg and g["top_2gram_count"] == best
+        assert abs(g["top_2gram_char_frac"] - cf) < 1e-9
+        assert g["repetitive"] == rep
+
+
+def test_repetition_stats_pathological(spark):
+    from cianparser_spark.ops.text import repetition_stats
+
+    rows = [
+        (1, "spam " * 50),            # one word repeated
+        (2, "a b " * 30),             # alternating pair
+        (3, "w"),                     # single word, no 2-grams
+        (4, ""),                      # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["repetitive"] == 1 and got[1]["top_2gram"] == "spam spam"
+    assert got[1]["top_2gram_count"] == 49
+    assert got[2]["repetitive"] == 1
+    assert got[3]["n_words"] == 1 and got[3]["top_2gram"] == ""
+    assert got[3]["repetitive"] == 0
+    assert got[4]["n_words"] == 0 and got[4]["dup_word_frac"] == 0.0

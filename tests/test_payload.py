@@ -113,3 +113,31 @@ def test_compute_phash_matches_pure_python(images):
             assert g["phash"] == want["phash"]
         else:
             assert imaging.hamming64(g["phash"], want["phash"]) <= 4
+
+
+@pytest.mark.parametrize("max_hamming", [0, 1, 3])
+def test_blocklist_probe_matches_bruteforce(spark, images, max_hamming):
+    """Banded broadcast probe == exhaustive cross popcount (recall is
+    total by pigeonhole for max_hamming <= 3 over 4x16-bit bands)."""
+    num = F.substring("image_id", 4, 8).cast("int")
+    blocklist = images.filter(num % 53 == 0)
+    corpus = images.filter(num % 53 != 0)
+    got = payload.blocklist_probe(corpus, blocklist, max_hamming=max_hamming)
+
+    b = blocklist.select(F.col("phash").alias("bp"))
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("bp")))
+    brute = (
+        corpus.select("image_id", "phash").crossJoin(F.broadcast(b))
+        .withColumn("h", ham).filter(F.col("h") <= max_hamming)
+        .groupBy("image_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("m"))
+    )
+    want = {
+        r["image_id"]: (r["n"], r["m"]) for r in brute.collect()
+    }
+    rows = got.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        n, m = want.get(r["image_id"], (0, -1))
+        assert (r["n_blocklist_hits"], r["min_hamming"]) == (n, m), r
+        assert r["blocked"] == (1 if n > 0 else 0)
