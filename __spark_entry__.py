@@ -1034,6 +1034,38 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval (ops/text.bm25_topk, Lucene idf variant)
+    for three fixed queries over the documents corpus.  The broadcast
+    query-term filter reaches the token explode, so tf/df touch only
+    matching tokens; scores round to 6 dp BEFORE ranking so a 1-ulp
+    ln() difference can't reorder engines.  Oracle: the full BM25
+    formula re-derived in DuckDB SQL."""
+    from cianparser_spark.ops.text import bm25_topk
+
+    qs = spark.createDataFrame(
+        [(1, "key table scan"), (2, "hash join merge"),
+         (3, "window sort stream")],
+        "query_id long, query string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), qs, k=10) \
+        .orderBy("query_id", "rank")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (ops/text.
+    pack_sequences): docs concatenated in doc_id order, cut into
+    64-token training blocks; per doc the global token span and the
+    blocks it lands in.  The global prefix sum is the two-phase
+    distributed cumsum (range repartition + per-partition window +
+    broadcast partition offsets), NOT one global window.  Oracle: a
+    plain DuckDB window cumsum — engine-independent semantics, so the
+    distributed phase split must be exactly invisible."""
+    from cianparser_spark.ops.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=64) \
+        .orderBy("doc_id")
+
+
 def q_a8_label_dedup(spark, sf_dir):
     """A8 keep-first analog with a SQL oracle: min vec_id per label."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2275,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
+        "text_bm25": q_text_bm25,
+        "pack_sequences": q_pack_sequences,
         "a8_label_dedup": q_a8_label_dedup,
         "stream_first_wins": q_stream_first_wins,
         "stream_window_counts": q_stream_window_counts,
@@ -2671,6 +2705,70 @@ def oracle_sql() -> dict[str, str]:
                              '{_PII['cc']}', '[CC]', 'g'),
                              '{_PII['phone']}', '[PHONE]', 'g')) AS scrub_md5
             FROM injected
+        """,
+        # BM25: full formula re-derived (Lucene idf, k1=1.2 b=0.75);
+        # round-before-rank on both sides pins the order
+        "text_bm25": """
+            WITH q(query_id, term) AS (VALUES
+              (1,'key'),(1,'table'),(1,'scan'),
+              (2,'hash'),(2,'join'),(2,'merge'),
+              (3,'window'),(3,'sort'),(3,'stream')),
+            words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            toks AS (SELECT doc_id, unnest(ws) AS term FROM words),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT DISTINCT term FROM q)
+              GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dfreq d USING (term) JOIN q USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats s
+              GROUP BY 1, 2
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        # packing: ONE plain window cumsum — the Spark side's two-phase
+        # distributed prefix sum must be exactly invisible
+        "pack_sequences": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            t AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM words),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id)::BIGINT AS e
+              FROM t
+            )
+            SELECT doc_id, n_tokens, (e - n_tokens)::BIGINT AS start_tok,
+                   floor((e - n_tokens) / 64.0)::BIGINT AS bin_first,
+                   CASE WHEN n_tokens > 0 THEN floor((e - 1) / 64.0)::BIGINT
+                        ELSE floor((e - n_tokens) / 64.0)::BIGINT END AS bin_last,
+                   CASE WHEN n_tokens > 0
+                         AND floor((e - 1) / 64.0) > floor((e - n_tokens) / 64.0)
+                        THEN 1 ELSE 0 END AS crosses
+            FROM c ORDER BY doc_id
         """,
         # decontamination: benchmark 4-grams re-derived independently
         # with DuckDB list SQL; '' (not NULL) marks a clean doc on both

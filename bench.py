@@ -66,7 +66,8 @@ HEADLINE = [
     "sample_split", "sample_domain_cap", "sample_weighted", "payload_phash_xformat",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "text_pii_scrub",
-    "text_decontaminate", "text_repetition", "a8_label_dedup",
+    "text_decontaminate", "text_repetition", "text_bm25",
+    "pack_sequences", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
     "crawl_faults", "crawl_detail_faults", "crawl_dead_letter",

@@ -9,7 +9,7 @@ codegen; zero Python in the hot path) with exact ANSI-SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets (deterministic heuristic)
@@ -277,4 +277,145 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         top_cnt.cast("long").alias("top_2gram_count"),
         char_frac.alias("top_2gram_char_frac"),
         rep.alias("repetitive"),
+    )
+
+
+# ------------------------------------------------------------ retrieval
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k retrieval (Lucene idf variant: ``ln(1 + (N-df+0.5)/
+    (df+0.5))``) for a small query set over the corpus.
+
+    Returns ``(query_id, rank, doc_id, score)``, rank 1..k per query by
+    score DESC then doc_id ASC — scores are rounded to 6 dp BEFORE
+    ranking so the order is reproducible across engines (a 1-ulp ``ln``
+    difference cannot reorder).
+
+    100 TB shape: the query term set is tiny and BROADCAST — the corpus
+    token explode is filtered to query terms AT THE SCAN (isin on a
+    broadcast literal join), so tf/df aggregates touch only matching
+    tokens; doc lengths are a map-only projection; N and avgdl are one
+    scalar aggregate cross-joined back (no driver round-trip in the
+    plan).  Everything downstream of the filter is proportional to
+    matching tokens, not corpus size."""
+    words = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                     lambda w: w != F.lit(""))
+    toks = docs.select(id_col, F.explode(words).alias("term"))
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(
+                F.filter(F.split(F.trim(F.lower(F.col("query"))), r"\s+"),
+                         lambda w: w != F.lit("")))).alias("term"))
+        .distinct()
+    )
+    term_set = qterms.select("term").distinct()
+
+    dl = docs.select(id_col, F.size(words).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+
+    tf = (
+        toks.join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+        .withColumn(
+            "part",
+            F.col("idf") * F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 512,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   partitions: int | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-pretraining layout:
+    documents are concatenated in ``id_col`` order into one token
+    stream, which is cut into fixed ``seq_len`` blocks.  Each doc maps
+    to its token span ``[start_tok, start_tok+n_tokens)`` and the
+    training sequences it lands in (``bin_first``..``bin_last``,
+    ``crosses`` = spans a block boundary).
+
+    The global running token offset is an EXACT prefix sum computed in
+    two distributed phases — NOT a single global window (which would
+    serialize the whole corpus through one task): (1) ONE
+    range-repartition by id + in-partition sort, then the per-partition
+    running sum as an Arrow-batched cumsum (``mapInPandas`` carries the
+    running total across batches of its partition — a window
+    partitioned by ``spark_partition_id`` would add a second, hash
+    exchange, because Catalyst can't see that the data is already
+    grouped by pid); (2) per-partition totals (one tiny row per
+    partition) prefix-summed and broadcast-joined back as offsets.
+    ``repartitionByRange`` makes partition ids ascend with the id
+    ranges, so offset(pid) = sum of totals of pid' < pid.  At 100 TB
+    phase 2 is a few thousand rows.  The phase-1 result is persisted so
+    the totals pass doesn't re-execute the shuffle (at warehouse scale
+    this intermediate is the ledger you'd checkpoint anyway).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    spark = docs.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    d = (
+        docs.select(id_col, F.size(words).cast("long").alias("n_tokens"))
+        .repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def cumsum(iterator):
+        run = 0
+        for pdf in iterator:
+            c = pdf["n_tokens"].to_numpy(dtype="int64").cumsum() + run
+            if len(c):
+                run = int(c[-1])
+            yield pdf.assign(_lend=c)
+
+    local = d.mapInPandas(
+        cumsum,
+        f"{id_col} long, n_tokens long, _pid int, _lend long").persist()
+    totals = local.groupBy("_pid").agg(F.max("_lend").alias("_tot"))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(woff), F.lit(0)))
+    end = F.col("_lend") + F.col("_off")
+    start = end - F.col("n_tokens")
+    bin_first = F.floor(start / seq_len)
+    bin_last = F.when(F.col("n_tokens") > 0,
+                      F.floor((end - 1) / seq_len)).otherwise(bin_first)
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select(
+            id_col,
+            F.col("n_tokens"),
+            start.alias("start_tok"),
+            bin_first.cast("long").alias("bin_first"),
+            bin_last.cast("long").alias("bin_last"),
+            (bin_last > bin_first).cast("int").alias("crosses"),
+        )
     )

@@ -176,6 +176,36 @@ PICKS = [
      "shuffle); bytes never cross an exchange — each task emits ~40 "
      "bytes of features per image, which is why the shard rewrite is "
      "scan-bound at 100 TB"),
+    ("dedup_canonical", "end-to-end text dedup: LSH pair generation, "
+     "connected components and quality ranking compose into ONE DAG — "
+     "the component iteration reuses the banded exchange, the final "
+     "keeper rank is one window over (cluster, quality); no all-pairs "
+     "stage anywhere"),
+    ("text_decontaminate", "benchmark n-grams are the BROADCAST build "
+     "side — the corpus-side shingling is a native expression inside "
+     "WholeStageCodegen feeding a BroadcastHashJoin, so the only "
+     "exchange carries per-doc (id, hit) partial aggregates; corpus "
+     "n-grams are never shuffled"),
+    ("text_repetition", "all repetition signals INCLUDING the modal "
+     "2-gram (array_sort + aggregate over the sorted array) are one "
+     "codegen'd projection over the scan — ZERO exchanges; the "
+     "explode→groupBy→window alternative would shuffle ~|tokens| rows"),
+    ("text_bm25", "the broadcast query-term semi filter cuts the token "
+     "explode before any aggregate; tf/df are partial-first hash "
+     "aggregates; N/avgdl enter as a single-row broadcast cross join; "
+     "ranking is one window over the (tiny) matched set"),
+    ("pack_sequences", "exact global prefix sum WITHOUT a global "
+     "window: ONE RangePartitioning exchange → Arrow-batched "
+     "per-partition running sum (MapInPandas; a window partitioned by "
+     "spark_partition_id would add a second, hash exchange) → "
+     "persisted (InMemoryRelation, so the totals pass reuses it) → "
+     "per-partition totals broadcast back; the only single-partition "
+     "window is over the one-row-per-partition totals table"),
+    ("image_blocklist", "banded phash probe: the 4-band explode of the "
+     "curated blocklist is the BROADCAST build side; the corpus side "
+     "is a map-only band projection + broadcast join + partial "
+     "aggregate — the corpus is never self-joined and bytes never "
+     "leave the scan (only (image_id, phash) is read)"),
 ]
 
 

@@ -1224,3 +1224,67 @@ def test_repetition_stats_pathological(spark):
     assert got[3]["n_words"] == 1 and got[3]["top_2gram"] == ""
     assert got[3]["repetitive"] == 0
     assert got[4]["n_words"] == 0 and got[4]["dup_word_frac"] == 0.0
+
+
+def test_bm25_matches_python_twin(spark, docs):
+    from cianparser_spark.ops.text import bm25_topk
+
+    qs = spark.createDataFrame(
+        [(1, "key table scan"), (2, "hash join MERGE")],
+        "query_id long, query string")
+    got = bm25_topk(docs, qs, k=5).collect()
+
+    import math
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().lower().split() for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    queries = {1: ["key", "table", "scan"], 2: ["hash", "join", "merge"]}
+
+    def score(qid, did):
+        s = 0.0
+        for term in queries[qid]:
+            tf = toks[did].count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[did]) / avgdl))
+        return math.floor(s * 1e6 + 0.5) / 1e6  # HALF_UP like Spark round
+
+    for qid in queries:
+        want = sorted(((score(qid, d), d) for d in toks),
+                      key=lambda x: (-x[0], x[1]))[:5]
+        mine = [(r["score"], r["doc_id"]) for r in got if r["query_id"] == qid]
+        assert mine == want, (qid, mine, want)
+
+
+def test_pack_sequences_invariants(spark, docs):
+    from cianparser_spark.ops.text import pack_sequences
+
+    a = pack_sequences(docs, seq_len=64, partitions=2).orderBy("doc_id").collect()
+    b = pack_sequences(docs, seq_len=64, partitions=7).orderBy("doc_id").collect()
+    assert a == b  # phase split invisible
+    pos = 0
+    for r in a:
+        assert r["start_tok"] == pos  # contiguous global stream
+        pos += r["n_tokens"]
+        assert r["bin_first"] == r["start_tok"] // 64
+        end = r["start_tok"] + r["n_tokens"]
+        want_last = (end - 1) // 64 if r["n_tokens"] else r["bin_first"]
+        assert r["bin_last"] == want_last
+        assert r["crosses"] == (1 if r["bin_last"] > r["bin_first"] else 0)
+
+
+def test_pack_sequences_oversized_and_empty(spark):
+    from cianparser_spark.ops.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "w " * 200), (2, ""), (3, "a b c")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, seq_len=64).collect()}
+    assert got[1]["bin_first"] == 0 and got[1]["bin_last"] == 3  # 200 toks
+    assert got[1]["crosses"] == 1
+    assert got[2]["n_tokens"] == 0 and got[2]["crosses"] == 0
+    assert got[2]["bin_first"] == got[2]["bin_last"] == 200 // 64
+    assert got[3]["start_tok"] == 200
