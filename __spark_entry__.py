@@ -932,6 +932,23 @@ def q_sample_domain_cap(spark, sf_dir):
     )
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Temperature data-mixing (ops/sampling.mixture_sample, α=0.5
+    over per-source total chars, target 200 of 500): the per-source
+    rate table is tiny and BROADCAST back, per-row selection is the
+    shared deterministic md5 uniform — map-only corpus pass, auditable
+    (rate, selected) on every row.  Oracle: DuckDB recomputes the
+    temperature weights, rates and the identical uniform."""
+    from cianparser_spark.ops.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        mixture_sample(docs, "source", "doc_id", size_col="n_chars",
+                       alpha=0.5, target=200, salt="mix-v1")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_weighted(spark, sf_dir):
     """Weighted sampling without replacement (ops/sampling.
     weighted_sample, Efraimidis–Spirakis A-ES): per-source top-3 docs
@@ -1495,6 +1512,33 @@ def q_a4_offers_per_page(spark, sf_dir):
     )
 
 
+def q_j6_salted_join(spark, sf_dir):
+    """Skew-resistant fact⋈dim join (ops/joins.salted_join): lineitem
+    rows carry a deterministic xxhash64 salt, orders is replicated
+    ``buckets``× on an exploded salt, the join key becomes
+    (orderkey, salt) — a hot order spreads over 8 reducer partitions
+    instead of one straggler.  Revenue summed as DECIMAL so the
+    result is associativity-independent and the UNSALTED DuckDB join
+    must match to the cent — the oracle proves salting changes the
+    physical distribution and nothing else."""
+    from cianparser_spark.ops.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber",
+        "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    joined = salted_join(li, orders, "okey",
+                         ["okey", "l_linenumber"], buckets=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_j5_offers_images(spark, sf_dir):
     """J5 driver-visible: offers ⋈ images — the crawl's offer rows
     joined to the images DIMENSION (metadata-only twin of the
@@ -1849,6 +1893,56 @@ def q_export_shards(spark, sf_dir):
              F.max("image_id").alias("max_id"),
              F.expr("bit_xor(phash)").alias("xor_phash"))
         .orderBy("shard")
+    )
+
+
+def q_stream_admission(spark, sf_dir):
+    """Streaming ingest admission (streaming/streams.admission_stream):
+    incoming docs (doc_id >= 400, landed as TWO parquet files → two
+    micro-batches at maxFilesPerTrigger=1) are gated per batch against
+    the STANDING corpus — near-dup via the prebuilt LSH index probe,
+    quality >= 0.6, benchmark 4-gram decontamination — and decisions
+    append to a parquet sink.  Per-doc decisions depend only on the
+    fixed corpus, so the stream is micro-batch-invariant and the
+    oracle re-derives every gate in batch SQL (exact Jaccard scan,
+    quality twin, n-gram overlap); batch_id is asserted to cover both
+    batches, then dropped from the compared output."""
+    import os
+    import tempfile
+
+    from cianparser_spark.ops.dedup import build_dedup_index
+    from cianparser_spark.streaming import admission_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < DEDUP_BATCH_CUT)
+    bench = corpus.filter(F.col("doc_id") % 37 == 0)
+    idx = build_dedup_index(corpus)
+
+    inc_dir = tempfile.mkdtemp(prefix="adm_in_")
+    sink = os.path.join(tempfile.mkdtemp(prefix="adm_out_"), "decisions")
+    half = DEDUP_BATCH_CUT + 50
+    docs.filter((F.col("doc_id") >= DEDUP_BATCH_CUT)
+                & (F.col("doc_id") < half)) \
+        .coalesce(1).write.mode("overwrite").parquet(inc_dir + "/b0")
+    docs.filter(F.col("doc_id") >= half) \
+        .coalesce(1).write.mode("overwrite").parquet(inc_dir + "/b1")
+    for sub in ("b0", "b1"):
+        for f in os.listdir(f"{inc_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{inc_dir}/{sub}/{f}", f"{inc_dir}/{sub}.parquet")
+
+    q = admission_stream(spark, inc_dir, corpus, idx, bench, sink,
+                         threshold=0.2, min_quality=0.6, ngram_n=4)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(sink)
+    assert out.select("batch_id").distinct().count() == 2, \
+        "expected two micro-batches"
+    return (
+        out.select("doc_id", "near_dup",
+                   F.round("quality", 6).alias("quality"),
+                   "contaminated", "admitted")
+        .orderBy("doc_id")
     )
 
 
@@ -2299,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_domain_cap": q_sample_domain_cap,
         "sample_weighted": q_sample_weighted,
+        "sample_mixture": q_sample_mixture,
         "payload_phash_xformat": q_payload_phash_xformat,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -2327,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_membership": q_frontier_membership,
         "a4_offers_per_page": q_a4_offers_per_page,
         "j5_offers_images": q_j5_offers_images,
+        "j6_salted_join": q_j6_salted_join,
         "s5_csv_roundtrip": q_s5_csv_roundtrip,
         "u1_url_builder": q_u1_url_builder,
         "crawl_robots": q_crawl_robots,
@@ -2345,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "export_shards": q_export_shards,
         "stream_sessionization": q_stream_sessionization,
+        "stream_admission": q_stream_admission,
         "image_tiles": q_image_tiles,
         "store_compaction": q_store_compaction,
         "agg_percentiles": q_agg_percentiles,
@@ -2532,6 +2629,15 @@ def oracle_sql() -> dict[str, str]:
         "j1_lookup_join": """
             SELECT n_nationkey, n_name, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        # salted join: the UNSALTED join — salting must be invisible
+        "j6_salted_join": """
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS n_items,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "j4_anti_join": """
             SELECT c_custkey, c_name FROM customer
@@ -3272,6 +3378,28 @@ def oracle_sql() -> dict[str, str]:
             FROM f ORDER BY doc_id
         """,
         # Weighted A-ES sampling: identical ln(u)/w key + group top-k
+        # temperature mixing: weights, rates and the md5 uniform all
+        # re-derived; selection compares the UNROUNDED rate on both
+        # sides (rate is only rounded for display)
+        "sample_mixture": """
+            WITH stats AS (
+              SELECT source, count(*)::DOUBLE AS n,
+                     sum(n_chars)::DOUBLE AS w
+              FROM documents GROUP BY source
+            ),
+            z AS (SELECT sum(pow(w, 0.5)) AS z FROM stats),
+            rates AS (
+              SELECT source,
+                     least(1.0, 200.0 * (pow(w, 0.5) / z.z) / n) AS rate
+              FROM stats CROSS JOIN z
+            )
+            SELECT d.doc_id, d.source, round(r.rate, 6) AS rate,
+                   CASE WHEN (('0x' || substr(md5(d.doc_id || 'mix-v1'), 1, 12))::BIGINT)
+                             / 281474976710656.0 < r.rate
+                        THEN 1 ELSE 0 END AS selected
+            FROM documents d JOIN rates r USING (source)
+            ORDER BY d.doc_id
+        """,
         "sample_weighted": f"""
             SELECT source, doc_id, n_chars, rnk, round(skey, 6) AS skey
             FROM (
@@ -3678,6 +3806,79 @@ def oracle_sql() -> dict[str, str]:
         # gap is STRICTLY greater than 4h — probed on this pyspark:
         # events exactly gap apart MERGE (their windows [t, t+gap]
         # touch); session end = last event + gap.
+        # streaming admission: every gate re-derived in batch SQL —
+        # exact Jaccard vs the corpus, the quality twin, benchmark
+        # 4-gram overlap; the stream must equal the batch derivation
+        "stream_admission": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
+              FROM sh l JOIN sh r ON l.shingle = r.shingle
+                AND l.doc_id >= 400 AND r.doc_id < 400
+              GROUP BY 1, 2
+            ),
+            nd AS (
+              SELECT DISTINCT left_id AS doc_id FROM inter
+              JOIN sizes sl ON sl.doc_id = left_id
+              JOIN sizes sr ON sr.doc_id = right_id
+              WHERE i * 1.0 / (sl.n + sr.n - i) >= 0.2
+            ),
+            words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            g4 AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 4 THEN
+                       list_distinct(list_transform(range(len(ws) - 3),
+                         i -> array_to_string(ws[i+1:i+4], ' ')))
+                     ELSE [] END AS grams
+              FROM words
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g4
+              WHERE doc_id < 400 AND doc_id % 37 = 0
+            ),
+            cont AS (
+              SELECT DISTINCT g.doc_id
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g4
+                    WHERE doc_id >= 400) g
+              JOIN bench USING (gram)
+            ),
+            q AS (
+              SELECT doc_id,
+                     round((least(greatest((n_chars * 1.0 / greatest(n_tok, 1) - 2) / 10, 0), 1) * 0.5
+                          + (1 - least(stop_hits * 2.0 / greatest(n_tok, 1), 1)) * 0.3
+                          + (1 - least(punct * 5.0 / greatest(n_chars, 1), 1)) * 0.2)
+                          * (CASE WHEN n_tok < 20 THEN 0.5 ELSE 1.0 END), 6) AS quality
+              FROM (SELECT doc_id, {_QUALITY_CORE} FROM documents
+                    WHERE doc_id >= 400)
+            )
+            SELECT d.doc_id,
+                   CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+                   q.quality,
+                   CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+                   CASE WHEN nd.doc_id IS NULL AND c.doc_id IS NULL
+                             AND q.quality >= 0.6
+                        THEN 1 ELSE 0 END AS admitted
+            FROM documents d
+            LEFT JOIN nd ON nd.doc_id = d.doc_id
+            LEFT JOIN cont c ON c.doc_id = d.doc_id
+            JOIN q ON q.doc_id = d.doc_id
+            WHERE d.doc_id >= 400
+            ORDER BY d.doc_id
+        """,
         "stream_sessionization": """
             WITH x AS (
                 SELECT user_id, ts, value,

@@ -66,7 +66,7 @@ HEADLINE = [
     "sample_split", "sample_domain_cap", "sample_weighted", "payload_phash_xformat",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "text_pii_scrub",
-    "text_decontaminate", "text_repetition", "text_bm25",
+    "text_decontaminate", "text_repetition", "text_bm25", "sample_mixture",
     "pack_sequences", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",
@@ -75,13 +75,13 @@ HEADLINE = [
     "crawl_robots", "robots_dead_letter",
     "t5_politeness_waves", "lineage_waves", "frontier_membership",
     "store_changelog",
-    "a4_offers_per_page", "j5_offers_images",
+    "a4_offers_per_page", "j5_offers_images", "j6_salted_join",
     "s5_csv_roundtrip", "u1_url_builder",
     "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup", "image_blocklist",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
     "payload_dup_clusters", "graph_pagerank", "export_shards",
-    "stream_sessionization", "image_tiles", "store_compaction",
+    "stream_sessionization", "stream_admission", "image_tiles", "store_compaction",
     "agg_percentiles", "agg_rollup", "window_running", "crawl_recrawl",
     "store_merge", "graph_components", "caption_normalize",
     "temporal_asof",

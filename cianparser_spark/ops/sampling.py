@@ -115,3 +115,45 @@ def domain_cap(df: DataFrame, group_col: str, order_col: str,
     w = Window.partitionBy(group_col).orderBy(F.col(order_col), F.col(group_col))
     return (df.withColumn("grp_rank", F.row_number().over(w))
               .filter(F.col("grp_rank") <= cap))
+
+
+def mixture_sample(df: DataFrame, group_col: str, id_col: str,
+                   size_col: str | None = None, alpha: float = 0.5,
+                   target: int = 200, salt: str = "mix") -> DataFrame:
+    """Temperature-based source mixing — the LLM-pretraining data-mix
+    step (multinomial sampling with exponent ``alpha``, the
+    mBERT/XLM-R recipe): a source's share of the sample is
+    ``w_s^alpha / Σ w_t^alpha`` where ``w_s`` is its total ``size_col``
+    (row count when None), flattening the head and boosting the tail
+    as alpha → 0.
+
+    Per-source sampling rate = min(1, target·q_s / n_s); per-row
+    selection is the deterministic md5 uniform (``_uniform``) against
+    that rate, so re-runs, engines, and incremental extensions agree
+    row-for-row.  Returns every row with (rate, selected) — callers
+    filter; keeping the flag makes the decision auditable.
+
+    100 TB shape: one map-side-combined groupBy builds the per-source
+    stat table (|sources| rows — thousands at worst), the rate formula
+    is computed ON that tiny table, and it rejoins as a BROADCAST; the
+    corpus-side pass is map-only (hash + compare).  No corpus shuffle,
+    no driver loop; the sample never materializes centrally."""
+    w_s = (F.sum(size_col) if size_col else F.count(F.lit(1))).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"), w_s.alias("_w"))
+    tot = stats.agg(F.sum(F.pow("_w", F.lit(alpha))).alias("_z"))
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("_q", F.pow("_w", F.lit(alpha)) / F.col("_z"))
+        .withColumn("_rate", F.least(F.lit(1.0), F.lit(float(target)) * F.col("_q") / F.col("_n")))
+        .select(group_col, "_rate")
+    )
+    u = _uniform(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .select(
+            id_col, group_col,
+            F.round("_rate", 6).alias("rate"),
+            (u < F.col("_rate")).cast("int").alias("selected"),
+        )
+    )

@@ -123,3 +123,72 @@ def crawl_metrics_stream(spark: SparkSession, run_dir: str) -> DataFrame:
         F.sum("n_429").alias("n_429"),
         F.max("wave").alias("last_wave"),
     )
+
+
+def admission_stream(spark: SparkSession, incoming_dir: str,
+                     corpus: DataFrame, corpus_index: DataFrame,
+                     benchmark: DataFrame, sink_dir: str,
+                     threshold: float = 0.2, min_quality: float = 0.6,
+                     ngram_n: int = 4, max_files_per_trigger: int = 1):
+    """Streaming ingest admission for a training corpus: each arriving
+    micro-batch of documents is gated against the STANDING corpus —
+    (1) near-dup: the batch probes the prebuilt LSH index
+    (``ops.dedup.incremental_lsh_pairs`` — work ∝ batch + collisions,
+    corpus never rescanned), (2) quality floor
+    (``ops.text.quality_score``), (3) benchmark decontamination
+    (``ops.text.decontaminate``).  Decisions (near_dup, quality,
+    contaminated, admitted, batch_id) append to ``sink_dir`` parquet —
+    the Iceberg-append analog of a moderated ingest table.
+
+    Runs as ``foreachBatch`` (the gates are joins/aggregates, which
+    plain streaming operators can't express); each doc's decision
+    depends only on the FIXED corpus/index/benchmark, never on other
+    incoming docs, so results are micro-batch-partitioning-invariant —
+    which is what makes the whole stream DuckDB-oracle-checkable.
+    Returns the started StreamingQuery (caller drains/stops)."""
+    import tempfile
+
+    from cianparser_spark.ops.dedup import incremental_lsh_pairs
+    from cianparser_spark.ops.text import decontaminate, quality_score
+
+    s = (
+        spark.readStream.schema(corpus.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(incoming_dir)
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        near = (
+            incremental_lsh_pairs(batch, corpus, corpus_index,
+                                  threshold=threshold)
+            .select(F.col("left_id").alias("doc_id")).distinct()
+            .withColumn("near_dup", F.lit(1))
+        )
+        q = quality_score(batch).select("doc_id", "quality")
+        c = decontaminate(batch, benchmark, n=ngram_n) \
+            .select("doc_id", "contaminated")
+        out = (
+            batch.select("doc_id")
+            .join(near, "doc_id", "left")
+            .join(q, "doc_id").join(c, "doc_id")
+            .select(
+                "doc_id",
+                F.coalesce("near_dup", F.lit(0)).cast("int").alias("near_dup"),
+                "quality", "contaminated")
+            .withColumn(
+                "admitted",
+                ((F.col("near_dup") == 0)
+                 & (F.col("quality") >= min_quality)
+                 & (F.col("contaminated") == 0)).cast("int"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    return (
+        s.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="adm_ckpt_"))
+        .start()
+    )

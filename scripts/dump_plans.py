@@ -206,6 +206,14 @@ PICKS = [
      "is a map-only band projection + broadcast join + partial "
      "aggregate — the corpus is never self-joined and bytes never "
      "leave the scan (only (image_id, phash) is read)"),
+    ("sample_mixture", "temperature mixing: the per-source stat/rate "
+     "table is a tiny aggregate that rejoins as a BroadcastHashJoin — "
+     "the corpus-side pass is one WholeStageCodegen projection (md5 "
+     "uniform + compare), no corpus shuffle"),
+    ("j6_salted_join", "manual skew remedy: Generate(explode) replicates "
+     "the dim buckets-times and the join key becomes (key, salt) — the "
+     "hot key's rows hash to `buckets` distinct reducers; the plan "
+     "shows the salt never reaches the output projection"),
 ]
 
 

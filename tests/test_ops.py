@@ -1288,3 +1288,60 @@ def test_pack_sequences_oversized_and_empty(spark):
     assert got[2]["n_tokens"] == 0 and got[2]["crosses"] == 0
     assert got[2]["bin_first"] == got[2]["bin_last"] == 200 // 64
     assert got[3]["start_tok"] == 200
+
+
+def test_ngram_expr_edges(spark):
+    from cianparser_spark.ops.text import ngram_expr
+
+    rows = [(1, ""), (2, "one"), (3, "a b c"), (4, "a b"),
+            (5, "a  b\t c \n d"), (6, "  lead trail  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", ngram_expr("text", 3).alias("g")).collect()}
+    assert got[1] == [] and got[2] == [] and got[4] == []
+    assert got[3] == ["a b c"]
+    assert got[5] == ["a b c", "b c d"]  # whitespace runs collapse
+    assert got[6] == []                  # 2 words < n
+
+
+def test_mixture_sample_matches_python(spark, docs):
+    import hashlib
+    from cianparser_spark.ops.sampling import mixture_sample
+
+    got = mixture_sample(docs, "source", "doc_id", size_col="n_chars",
+                         alpha=0.5, target=200, salt="mix-v1").collect()
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    w = {}
+    n = {}
+    for r in rows:
+        w[r["source"]] = w.get(r["source"], 0) + r["n_chars"]
+        n[r["source"]] = n.get(r["source"], 0) + 1
+    z = sum(v ** 0.5 for v in w.values())
+    rate = {s: min(1.0, 200.0 * (w[s] ** 0.5 / z) / n[s]) for s in w}
+
+    def uni(doc_id):
+        h = hashlib.md5(f"{doc_id}mix-v1".encode()).hexdigest()[:12]
+        return int(h, 16) / float(16 ** 12)
+
+    for r in got:
+        assert abs(r["rate"] - round(rate[r["source"]], 6)) < 1e-9
+        assert r["selected"] == (1 if uni(r["doc_id"]) < rate[r["source"]] else 0)
+    # the realized sample lands near the target
+    assert 150 <= sum(r["selected"] for r in got) <= 250
+
+
+def test_salted_join_equals_plain(spark):
+    from cianparser_spark.ops.joins import salted_join
+
+    # one mega-hot key (9000 of 10000 rows) + a tail
+    fact = spark.range(0, 10000).select(
+        F.when(F.col("id") < 9000, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("row_id"))
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    got = salted_join(fact, dim, "k", ["row_id"], buckets=8)
+    assert "_salt" not in got.columns
+    plain = fact.join(dim, "k")
+    a = sorted((r["k"], r["row_id"], r["v"]) for r in got.collect())
+    b = sorted((r["k"], r["row_id"], r["v"]) for r in plain.collect())
+    assert a == b and len(a) == 10000

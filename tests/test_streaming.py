@@ -130,3 +130,51 @@ def test_crawl_metrics_stream_totals(spark, tmp_run_dir):
     ).collect()
     assert sum(r["pages_fetched"] for r in got) == batch_pages
     assert max(r["last_wave"] for r in got) >= 2
+
+
+def test_admission_stream_batch_invariant(spark, tmp_run_dir):
+    """Decisions depend only on the standing corpus — one big
+    micro-batch and file-by-file micro-batches must agree row-for-row
+    (and cover the same docs exactly once)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cianparser_spark.ops.dedup import build_dedup_index
+    from cianparser_spark.streaming import admission_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cut = int(docs.agg(F.max("doc_id")).collect()[0][0] * 0.8)
+    corpus = docs.filter(F.col("doc_id") < cut)
+    bench = corpus.filter(F.col("doc_id") % 7 == 0)
+    idx = build_dedup_index(corpus)
+
+    inc = os.path.join(tmp_run_dir, "in")
+    os.makedirs(inc)
+    incoming = docs.filter(F.col("doc_id") >= cut)
+    mid = int(incoming.agg(F.avg("doc_id")).collect()[0][0])
+    for name, df in (("a", incoming.filter(F.col("doc_id") < mid)),
+                     ("b", incoming.filter(F.col("doc_id") >= mid))):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{inc}/{name}")
+        for f in os.listdir(f"{inc}/{name}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{inc}/{name}/{f}", f"{inc}/{name}.parquet")
+
+    outs = []
+    for i, mfpt in enumerate((1, 10)):
+        sink = os.path.join(tmp_run_dir, f"out{i}")
+        q = admission_stream(spark, inc, corpus, idx, bench, sink,
+                             threshold=0.2, min_quality=0.5,
+                             max_files_per_trigger=mfpt)
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.read.parquet(sink).drop("batch_id") \
+            .orderBy("doc_id").collect()
+        outs.append(rows)
+    assert outs[0] == outs[1]
+    ids = [r["doc_id"] for r in outs[0]]
+    assert ids == sorted(set(ids)) and len(ids) == incoming.count()
+    n_batches = [len({r["batch_id"] for r in
+                      spark.read.parquet(os.path.join(tmp_run_dir, f"out{i}"))
+                      .select("batch_id").collect()}) for i in (0, 1)]
+    assert n_batches[0] == 2 and n_batches[1] == 1
