@@ -1920,11 +1920,12 @@ def q_stream_admission(spark, sf_dir):
 
     inc_dir = tempfile.mkdtemp(prefix="adm_in_")
     sink = os.path.join(tempfile.mkdtemp(prefix="adm_out_"), "decisions")
-    half = DEDUP_BATCH_CUT + 50
-    docs.filter((F.col("doc_id") >= DEDUP_BATCH_CUT)
-                & (F.col("doc_id") < half)) \
+    # incoming window [CUT, CUT+1000): the whole tail at sf0.01, a
+    # bounded batch at larger SFs (keeps the suite timing flat)
+    lo, hi, half = DEDUP_BATCH_CUT, DEDUP_BATCH_CUT + 1000, DEDUP_BATCH_CUT + 50
+    docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < half)) \
         .coalesce(1).write.mode("overwrite").parquet(inc_dir + "/b0")
-    docs.filter(F.col("doc_id") >= half) \
+    docs.filter((F.col("doc_id") >= half) & (F.col("doc_id") < hi)) \
         .coalesce(1).write.mode("overwrite").parquet(inc_dir + "/b1")
     for sub in ("b0", "b1"):
         for f in os.listdir(f"{inc_dir}/{sub}"):
@@ -3823,7 +3824,7 @@ def oracle_sql() -> dict[str, str]:
             inter AS (
               SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
               FROM sh l JOIN sh r ON l.shingle = r.shingle
-                AND l.doc_id >= 400 AND r.doc_id < 400
+                AND l.doc_id >= 400 AND l.doc_id < 1400 AND r.doc_id < 400
               GROUP BY 1, 2
             ),
             nd AS (
@@ -3853,7 +3854,7 @@ def oracle_sql() -> dict[str, str]:
             cont AS (
               SELECT DISTINCT g.doc_id
               FROM (SELECT doc_id, unnest(grams) AS gram FROM g4
-                    WHERE doc_id >= 400) g
+                    WHERE doc_id >= 400 AND doc_id < 1400) g
               JOIN bench USING (gram)
             ),
             q AS (
@@ -3863,7 +3864,7 @@ def oracle_sql() -> dict[str, str]:
                           + (1 - least(punct * 5.0 / greatest(n_chars, 1), 1)) * 0.2)
                           * (CASE WHEN n_tok < 20 THEN 0.5 ELSE 1.0 END), 6) AS quality
               FROM (SELECT doc_id, {_QUALITY_CORE} FROM documents
-                    WHERE doc_id >= 400)
+                    WHERE doc_id >= 400 AND doc_id < 1400)
             )
             SELECT d.doc_id,
                    CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
@@ -3876,7 +3877,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nd ON nd.doc_id = d.doc_id
             LEFT JOIN cont c ON c.doc_id = d.doc_id
             JOIN q ON q.doc_id = d.doc_id
-            WHERE d.doc_id >= 400
+            WHERE d.doc_id >= 400 AND d.doc_id < 1400
             ORDER BY d.doc_id
         """,
         "stream_sessionization": """
