@@ -35,6 +35,11 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     pure function of the fact row, never ``rand()`` — re-runs,
     retries, and speculative tasks agree (a rand() salt breaks
     exactly-once on stage retry, the classic silent-dup bug)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # right/full joins would emit every unmatched dim row once PER
+        # REPLICA — a silent buckets× duplication
+        raise ValueError(f"salted_join supports fact-preserving joins only, got {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact_unique_cols]),
                   F.lit(buckets)).cast("int")
     f = fact.withColumn("_salt", salt)

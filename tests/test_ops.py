@@ -1345,3 +1345,20 @@ def test_salted_join_equals_plain(spark):
     a = sorted((r["k"], r["row_id"], r["v"]) for r in got.collect())
     b = sorted((r["k"], r["row_id"], r["v"]) for r in plain.collect())
     assert a == b and len(a) == 10000
+
+
+def test_salted_join_left_and_guard(spark):
+    import pytest as _pytest
+
+    from cianparser_spark.ops.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (2, 20), (99, 30)],
+                                 "k long, row_id long")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    left = salted_join(fact, dim, "k", ["row_id"], buckets=4, how="left")
+    rows = sorted((r["k"], r["v"]) for r in left.collect())
+    assert rows == [(1, "a"), (2, "b"), (99, None)]  # unmatched row once
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", ["row_id"], how="full")
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", ["row_id"], how="right")
