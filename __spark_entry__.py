@@ -1083,6 +1083,40 @@ def q_pack_sequences(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def q_text_chunk_dedup(spark, sf_dir):
+    """Span-level exact dedup with document reassembly (ops/text.
+    chunk_dedup — the chunked approximation of Lee et al.'s exact-
+    substring training-data dedup).  Docs are cut into 10-token spans
+    by a pure-codegen sequence/transform/slice projection (no Python,
+    no per-token explode); a span survives iff it is the corpus-wide
+    first occurrence of its text (order = (doc_id, pos)); kept spans
+    are stitched back per doc.  One shuffle on the span hash + one
+    partial-aggregating groupBy — the shape that survives 100 TB.
+    Oracle: DuckDB re-derives the chunking with list slicing and the
+    same first-wins window."""
+    from cianparser_spark.ops.text import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk=10) \
+        .orderBy("doc_id")
+
+
+def q_text_bpe(spark, sf_dir):
+    """Distributed BPE merge-table training (ops/text.bpe_train,
+    Sennrich et al. 2016): corpus touched once (word-count partial
+    aggregate), then 8 merge iterations over the DISTINCT-WORD table
+    weighted by count — |vocab| rows per iteration regardless of
+    corpus size, 1-row driver collect per merge (the argmax pair,
+    ties count-desc then lexicographic), merge application as a
+    native Catalyst `aggregate` fold over the symbol arrays.  Output:
+    final per-word segmentation + the full merge trajectory rendered
+    into `merge_trace`.  Oracle: an independent pure-Python scalar
+    BPE twin (truth.ensure_bpe_truth), pinned to sf0.01."""
+    from cianparser_spark.ops.text import bpe_segment
+
+    return bpe_segment(_t(spark, sf_dir, "documents"), n_merges=8) \
+        .orderBy("word")
+
+
 def q_a8_label_dedup(spark, sf_dir):
     """A8 keep-first analog with a SQL oracle: min vec_id per label."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2404,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "text_bm25": q_text_bm25,
+        "text_chunk_dedup": q_text_chunk_dedup,
+        "text_bpe": q_text_bpe,
         "pack_sequences": q_pack_sequences,
         "a8_label_dedup": q_a8_label_dedup,
         "stream_first_wins": q_stream_first_wins,
@@ -2580,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
     defmetro_path = truth.ensure_definer_metro_truth()
     simhash_path = truth.ensure_simhash_truth()
     urlnorm_path = truth.ensure_urlnorm_truth()
+    bpe_path = truth.ensure_bpe_truth()
     dim = truth.embedding_dim()
     planes = truth.lsh_plane_literals(dim=dim)
     pq_codes, pq_adc = truth.pq_oracle_parts()
@@ -2916,6 +2953,59 @@ def oracle_sql() -> dict[str, str]:
         # repetition: dup fractions via list_distinct; the modal 2-gram
         # via unnest -> group -> row_number (count DESC, gram ASC — the
         # same smallest-gram-among-ties rule as the Spark in-row scan)
+        # span-level exact dedup: DuckDB re-derives the 10-token
+        # chunking with list slicing (scalar range() -> list) and the
+        # identical corpus-wide first-wins window over md5(span)
+        "text_chunk_dedup": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            chunk_lists AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(ws)/10.0) AS BIGINT)),
+                       p -> struct_pack(
+                              pos := p,
+                              span := array_to_string(
+                                        ws[(p*10+1):((p+1)*10)], ' '))) AS cs
+              FROM words
+            ),
+            chunks AS (
+              SELECT doc_id, unnest(cs, recursive := true) FROM chunk_lists
+            ),
+            ranked AS (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY md5(span)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM chunks
+            ),
+            reb AS (
+              SELECT doc_id,
+                     count(*) AS n_chunks,
+                     count(*) FILTER (WHERE rn = 1) AS n_kept,
+                     string_agg(span, ' ' ORDER BY pos)
+                       FILTER (WHERE rn = 1) AS clean
+              FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_chunks, 0) AS n_chunks,
+                   coalesce(n_kept, 0) AS n_kept,
+                   coalesce(n_chunks, 0) - coalesce(n_kept, 0) AS n_removed,
+                   md5(coalesce(clean, '')) AS clean_md5
+            FROM documents d LEFT JOIN reb USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # BPE: independent pure-Python scalar twin of the merge loop
+        # (identical word counts, argmax tiebreak and greedy merge
+        # application), dumped once at sf0.01 — see ensure_bpe_truth
+        "text_bpe": f"""
+            SELECT word, count, n_pieces, pieces_str, merge_trace
+            FROM read_parquet('{bpe_path}')
+            ORDER BY word
+        """,
         "text_repetition": """
             WITH words AS (
               SELECT doc_id,

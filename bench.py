@@ -66,7 +66,8 @@ HEADLINE = [
     "sample_split", "sample_domain_cap", "sample_weighted", "payload_phash_xformat",
     "text_token_count", "text_quality",
     "text_langid", "text_fingerprint", "text_pii_scrub",
-    "text_decontaminate", "text_repetition", "text_bm25", "sample_mixture",
+    "text_decontaminate", "text_repetition", "text_bm25",
+    "text_chunk_dedup", "text_bpe", "sample_mixture",
     "pack_sequences", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",

@@ -419,3 +419,171 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
             (bin_last > bin_first).cast("int").alias("crosses"),
         )
     )
+
+
+# ------------------------------------------------- span-level dedup
+
+def chunk_dedup(docs: DataFrame, chunk: int = 10,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Span-level exact dedup with document reassembly (the chunked
+    approximation of Lee et al.'s exact-substring training-data dedup).
+
+    Each document is cut into non-overlapping ``chunk``-token spans;
+    a span is kept iff it is the corpus-wide FIRST occurrence of its
+    text (order = (doc_id, span position)), every later copy — within
+    the same doc or any other — is dropped; the kept spans are then
+    stitched back into the cleaned document.
+
+    100 TB shape: the spans are produced by a single codegen'd
+    projection (``sequence``+``transform``+``slice`` — no Python, no
+    per-token explode), first-wins is ONE shuffle on the span hash
+    (window rank over md5), and reassembly is one partial-aggregating
+    ``groupBy`` on doc_id.  Span hashes are uniform by construction so
+    the shuffle cannot skew; memory per group is ≤ tokens/chunk rows.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk)).cast("int")
+    spans = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk + 1, chunk), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    exploded = (
+        docs.select(id_col, F.posexplode_outer(spans).alias("pos", "span"))
+    )
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy(id_col, "pos")
+    ranked = exploded.filter(F.col("span").isNotNull()).withColumn(
+        "_rn", F.row_number().over(w))
+    rebuilt = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_rn") == 1,
+                               F.struct("pos", "span")))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("n_chunks", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+# ----------------------------------------------------- BPE training
+
+def _merge_pair_expr(sym_col, left: str, right: str):
+    """Greedy left-to-right application of one BPE merge (left,right)
+    to an array<string> of symbols, as a single Catalyst ``aggregate``
+    fold — no Python, no explode."""
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        merged = F.concat(
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+            F.array(F.lit(left + right)),
+        )
+        return F.when(can, merged).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(sym_col, F.array().cast("array<string>"), step)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Distributed byte-pair-encoding merge-table training (Sennrich
+    et al. 2016) over the corpus.
+
+    Returns ``(merges, vocab)``: ``merges`` is a driver-side list of
+    ``(step, left, right, pair_count)`` in training order; ``vocab``
+    is the final distinct-word table ``(word, count, pieces)`` with
+    each word's symbol array after all merges.
+
+    100 TB shape: the corpus is touched ONCE (word-count aggregation,
+    map-side partial); all ``n_merges`` iterations then run on the
+    DISTINCT-WORD table weighted by count — |vocab| rows regardless of
+    corpus size.  Per iteration: one codegen'd adjacent-pair explode +
+    one groupBy(sum) + a 1-row driver collect (the argmax pair, ties
+    broken count-desc then lexicographic), then the merge is applied
+    to the symbol arrays via a native ``aggregate`` fold.  Nothing per
+    -corpus-row ever reaches the driver.
+    """
+    words = (
+        docs.select(F.explode(F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: w != F.lit(""))).alias("word"))
+        .groupBy("word").agg(F.count("*").cast("long").alias("count"))
+    )
+    vocab = words.withColumn("pieces", F.split(F.col("word"), "")).persist()
+    vocab.count()
+
+    merges = []
+    for step_no in range(1, n_merges + 1):
+        pairs = vocab.filter(F.size("pieces") >= 2).select(
+            "count",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.size("pieces") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("pieces"), i + 1).alias("l"),
+                    F.element_at(F.col("pieces"), i + 2).alias("r")),
+            )).alias("pair"),
+        )
+        best = (
+            pairs.groupBy(F.col("pair.l").alias("l"),
+                          F.col("pair.r").alias("r"))
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step_no, left, right, n))
+        nxt = vocab.withColumn(
+            "pieces", _merge_pair_expr(F.col("pieces"), left, right)
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
+def bpe_segment(docs: DataFrame, n_merges: int = 8,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Contract-shaped BPE result: train ``n_merges`` merges, then
+    return the final per-word segmentation table ``(word, count,
+    n_pieces, pieces_str, merge_trace)`` — ``merge_trace`` is the full
+    ordered merge table rendered into every row so the oracle pins the
+    training trajectory, not just the final split."""
+    merges, vocab = bpe_train(docs, n_merges, text_col, id_col)
+    trace = ";".join(f"{s}:{l}+{r}={n}" for s, l, r, n in merges)
+    out = vocab.select(
+        "word",
+        "count",
+        F.size("pieces").cast("int").alias("n_pieces"),
+        F.array_join("pieces", "|").alias("pieces_str"),
+        F.lit(trace).alias("merge_trace"),
+    )
+    return out

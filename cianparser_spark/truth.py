@@ -1697,3 +1697,63 @@ def ensure_frontier_truth() -> tuple[str, str]:
     _write_parquet(cand, cand_path)
     _write_parquet(seen, seen_path)
     return cand_path, seen_path
+
+
+# ------------------------------------------------------------------ bpe
+
+def ensure_bpe_truth(sf_dir: str = SF001_DIR, n_merges: int = 8) -> str:
+    """Pure-Python BPE twin (Sennrich et al. 2016) over the sf0.01
+    documents — an independent scalar implementation of the merge loop
+    the distributed ``ops/text.bpe_train`` runs: identical word counts,
+    identical argmax tiebreak (count desc, then lexicographic (l, r)),
+    identical greedy left-to-right merge application.  Dumped once;
+    the oracle SQL just SELECTs it.  Pinned to sf0.01 (the driver's
+    compare SF); at other SFs the contract query still runs, only the
+    oracle row set is sf0.01's."""
+    path = _path("bpe_sf001")
+    if os.path.exists(path):
+        return path
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"]).to_pandas()
+    wc: Counter = Counter()
+    for t in docs["text"]:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, c in wc.items():
+            p = vocab[w]
+            for i in range(len(p) - 1):
+                pc[(p[i], p[i + 1])] += c
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, left, right, n))
+        for w, p in vocab.items():
+            out = []
+            for x in p:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            vocab[w] = out
+    trace = ";".join(f"{s}:{l}+{r}={n}" for s, l, r, n in merges)
+    rows = pd.DataFrame({
+        "word": sorted(vocab),
+        "count": [int(wc[w]) for w in sorted(vocab)],
+        "n_pieces": [len(vocab[w]) for w in sorted(vocab)],
+        "pieces_str": ["|".join(vocab[w]) for w in sorted(vocab)],
+        "merge_trace": [trace] * len(vocab),
+    })
+    rows["count"] = rows["count"].astype("int64")
+    rows["n_pieces"] = rows["n_pieces"].astype("int32")
+    return _write_parquet(rows, path)

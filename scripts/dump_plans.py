@@ -214,6 +214,17 @@ PICKS = [
      "the dim buckets-times and the join key becomes (key, salt) — the "
      "hot key's rows hash to `buckets` distinct reducers; the plan "
      "shows the salt never reaches the output projection"),
+    ("text_chunk_dedup", "span-level exact dedup: the 10-token chunking "
+     "is one codegen'd Project (sequence/transform/slice — no Python, "
+     "no per-token explode); first-wins = ONE exchange on md5(span) "
+     "(uniform by construction, cannot skew) feeding the window rank; "
+     "reassembly = hash aggregate with map-side partials"),
+    ("text_bpe", "distributed BPE: the only corpus-wide stage is the "
+     "word-count hash aggregate (map-side partial combine); every merge "
+     "iteration's pair explode + sum runs over the distinct-word table "
+     "(|vocab| rows, corpus-size independent) and collects exactly ONE "
+     "row; merge application is a codegen'd aggregate fold — no Python "
+     "anywhere in the plan"),
 ]
 
 

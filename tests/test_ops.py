@@ -1362,3 +1362,96 @@ def test_salted_join_left_and_guard(spark):
         salted_join(fact, dim, "k", ["row_id"], how="full")
     with _pytest.raises(ValueError):
         salted_join(fact, dim, "k", ["row_id"], how="right")
+
+
+# ------------------------------------------------- chunk dedup / BPE
+
+def test_chunk_dedup_first_wins_semantics(spark):
+    from cianparser_spark.ops.text import chunk_dedup
+
+    # chunk=3: doc 1 = [A][A][B-partial], doc 2 = [A][C] — the repeated
+    # 3-token span "x y z" survives only at its first occurrence
+    rows = [
+        (1, "x y z x y z tail1 tail2"),
+        (2, "x y z u v w"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chunk_dedup(df, chunk=3).collect()}
+    assert got[1]["n_chunks"] == 3 and got[1]["n_kept"] == 2
+    assert got[1]["n_removed"] == 1
+    assert got[2]["n_chunks"] == 2 and got[2]["n_kept"] == 1  # "x y z" dropped
+    assert got[3]["n_chunks"] == 0 and got[3]["n_removed"] == 0
+    import hashlib
+    assert got[1]["clean_md5"] == hashlib.md5(
+        b"x y z tail1 tail2").hexdigest()
+    assert got[2]["clean_md5"] == hashlib.md5(b"u v w").hexdigest()
+    assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_dedup_kept_spans_globally_unique(spark, docs):
+    """Corpus property: after dedup no 10-token span text survives
+    twice, and per-doc counts add up."""
+    from cianparser_spark.ops.text import chunk_dedup
+
+    out = chunk_dedup(docs, chunk=10)
+    agg = out.agg(
+        F.sum("n_chunks").alias("nc"), F.sum("n_kept").alias("nk"),
+        F.sum("n_removed").alias("nr")).collect()[0]
+    assert agg["nc"] == agg["nk"] + agg["nr"] and agg["nr"] > 0
+    assert out.count() == docs.count()
+
+
+def _bpe_python(texts, n_merges):
+    import re
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in re.split(r"\s+", t.strip()) if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in wc.items():
+            p = vocab[w]
+            for i in range(len(p) - 1):
+                pc[(p[i], p[i + 1])] += c
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, n))
+        for w, p in vocab.items():
+            out = []
+            for x in p:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_twin(spark, docs):
+    from cianparser_spark.ops.text import bpe_train
+
+    sample = docs.filter(F.col("doc_id") < 150)
+    merges, vocab = bpe_train(sample, n_merges=6)
+    texts = [r["text"] for r in sample.select("text").collect()]
+    pm, pv = _bpe_python(texts, 6)
+    assert merges == pm
+    got = {r["word"]: r["pieces"] for r in vocab.collect()}
+    assert got == pv
+    vocab.unpersist()
+
+
+def test_bpe_merge_fold_greedy_overlap(spark):
+    """Greedy left-to-right: 'aaaa' under merge (a,a) -> [aa, aa];
+    'aaa' -> [aa, a] — merged output never re-merges in the same pass."""
+    from cianparser_spark.ops.text import _merge_pair_expr
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("ba",)], "w string")
+    out = {r["w"]: r["m"] for r in df.select(
+        "w", _merge_pair_expr(F.split(F.col("w"), ""), "a", "a").alias("m")
+    ).collect()}
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["ba"] == ["b", "a"]
