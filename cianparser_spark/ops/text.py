@@ -536,9 +536,45 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         .groupBy("word").agg(F.count("*").cast("long").alias("count"))
     )
     vocab = words.withColumn("pieces", F.split(F.col("word"), "")).persist()
-    vocab.count()
+    n_vocab = vocab.count()
+    # The merge loop runs on |vocab| rows, not corpus rows — size its
+    # partitioning to the VOCAB (64k words/partition), not to the
+    # shuffle default the corpus aggregate used.  Without this, every
+    # iteration pays full scheduler+shuffle overhead on near-empty
+    # tasks (11 s → ~3 s for a 31-word vocabulary at local[32]).
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism, int(n_vocab // 65536) + 1))
+    small = vocab.coalesce(parts).persist()
+    small.count()
+    vocab.unpersist()
+    vocab = small
+
+    # Every iteration builds two NEW plans (the merge literals differ),
+    # so compiled execution pays source-gen + janino + class-load per
+    # iteration — 10-100× the interpreted run time of a small vocab
+    # (same tradeoff as the crawl engine's codegen_row_floor).  Run the
+    # loop interpreted when the vocab is small; a web-scale vocabulary
+    # (≥1M distinct words) keeps codegen.
+    spark = docs.sparkSession
+    # AQE re-plans each tiny groupBy as a chain of scheduler jobs —
+    # per-iteration latency that dwarfs the actual work on a small
+    # vocab; the loop's shapes are static, so nothing is lost turning
+    # it off for the loop (measured 7.6 → 2.9 s at local[32]).
+    cg_keys = ("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
+               "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    cg_saved = None
+    if n_vocab < 1_000_000:
+        cg_saved = tuple(spark.conf.get(k, None) for k in cg_keys)
+        spark.conf.set(cg_keys[0], "false")
+        spark.conf.set(cg_keys[1], "NO_CODEGEN")
+        spark.conf.set(cg_keys[2], "false")
+        spark.conf.set(cg_keys[3], str(parts))
 
     merges = []
+    # One job per iteration: the pair-count collect is ALSO what
+    # materializes the previous iteration's persisted merge result, so
+    # the parent cache can only be dropped after it (pending unpersist).
+    pending = None
     for step_no in range(1, n_merges + 1):
         pairs = vocab.filter(F.size("pieces") >= 2).select(
             "count",
@@ -557,6 +593,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
             .limit(1)
             .collect()
         )
+        if pending is not None:
+            pending.unpersist()
+            pending = None
         if not best:
             break
         left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
@@ -564,9 +603,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         nxt = vocab.withColumn(
             "pieces", _merge_pair_expr(F.col("pieces"), left, right)
         ).persist()
-        nxt.count()
-        vocab.unpersist()
-        vocab = nxt
+        pending, vocab = vocab, nxt
+    # materialize the final vocab before dropping its parent's cache
+    if pending is not None:
+        vocab.count()
+        pending.unpersist()
+    if cg_saved is not None:
+        for k, v in zip(cg_keys, cg_saved):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return merges, vocab
 
 
