@@ -1113,8 +1113,44 @@ def q_text_bpe(spark, sf_dir):
     BPE twin (truth.ensure_bpe_truth), pinned to sf0.01."""
     from cianparser_spark.ops.text import bpe_segment
 
-    return bpe_segment(_t(spark, sf_dir, "documents"), n_merges=8) \
+    return bpe_segment(_t(spark, sf_dir, "documents"), n_merges=8,
+                       trained=_trained_bpe(spark, sf_dir)) \
         .orderBy("word")
+
+
+# One BPE training run per (session, sf_dir) shared by the trajectory
+# query (text_bpe) and the corpus-apply query (text_bpe_tokens) — same
+# sharing rationale as _cached_engine; training is deterministic so
+# consumers see identical merges/vocab.
+_BPE_CACHE: dict[tuple, tuple] = {}
+
+
+def _trained_bpe(spark, sf_dir):
+    from cianparser_spark.ops.text import bpe_train
+
+    key = (id(spark), sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is None:
+        hit = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+        _BPE_CACHE[key] = hit
+    return hit
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """Train→apply half of the tokenizer story (ops/text.
+    bpe_token_counts): the trained |vocab|-row word→pieces table
+    BROADCASTS to the corpus token explode, so pricing the whole
+    corpus in BPE tokens is one map-only pass + one per-doc partial
+    aggregate — no corpus-keyed shuffle beyond the doc_id groupBy;
+    OOV words fall back to their character count.  Training is shared
+    with `text_bpe` (one run per session).  Oracle: DuckDB joins the
+    same word grammar against the pure-Python twin's dumped
+    segmentation table."""
+    from cianparser_spark.ops.text import bpe_token_counts
+
+    _, vocab = _trained_bpe(spark, sf_dir)
+    return bpe_token_counts(_t(spark, sf_dir, "documents"), vocab) \
+        .orderBy("doc_id")
 
 
 def q_a8_label_dedup(spark, sf_dir):
@@ -2440,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "text_chunk_dedup": q_text_chunk_dedup,
         "text_bpe": q_text_bpe,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "pack_sequences": q_pack_sequences,
         "a8_label_dedup": q_a8_label_dedup,
         "stream_first_wins": q_stream_first_wins,
@@ -3005,6 +3042,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count, n_pieces, pieces_str, merge_trace
             FROM read_parquet('{bpe_path}')
             ORDER BY word
+        """,
+        # corpus-apply: same word grammar joined against the twin's
+        # dumped segmentation; OOV fallback = character count
+        "text_bpe_tokens": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> w <> '')) AS word
+              FROM documents
+            ),
+            v AS (SELECT word, n_pieces FROM read_parquet('{bpe_path}')),
+            per_doc AS (
+              SELECT w.doc_id,
+                     count(*) AS n_words,
+                     sum(coalesce(v.n_pieces, length(w.word))) AS n_bpe_tokens
+              FROM words w LEFT JOIN v USING (word)
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "text_repetition": """
             WITH words AS (

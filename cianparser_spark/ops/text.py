@@ -618,13 +618,16 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
 
 
 def bpe_segment(docs: DataFrame, n_merges: int = 8,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text", id_col: str = "doc_id",
+                trained=None) -> DataFrame:
     """Contract-shaped BPE result: train ``n_merges`` merges, then
     return the final per-word segmentation table ``(word, count,
     n_pieces, pieces_str, merge_trace)`` — ``merge_trace`` is the full
     ordered merge table rendered into every row so the oracle pins the
-    training trajectory, not just the final split."""
-    merges, vocab = bpe_train(docs, n_merges, text_col, id_col)
+    training trajectory, not just the final split.  Pass ``trained``
+    (a ``bpe_train`` result) to reuse one training run across
+    consumers."""
+    merges, vocab = trained or bpe_train(docs, n_merges, text_col, id_col)
     trace = ";".join(f"{s}:{l}+{r}={n}" for s, l, r, n in merges)
     out = vocab.select(
         "word",
@@ -634,3 +637,43 @@ def bpe_segment(docs: DataFrame, n_merges: int = 8,
         F.lit(trace).alias("merge_trace"),
     )
     return out
+
+
+def bpe_token_counts(docs: DataFrame, vocab: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide application of a trained BPE vocabulary: per-doc
+    word and BPE-token counts.
+
+    The trained ``vocab`` (word → pieces, |vocab| rows) BROADCASTS to
+    the token explode, so the corpus side is one map-only pass + one
+    per-doc partial aggregate — no corpus-keyed shuffle besides the
+    doc_id groupBy.  Out-of-vocabulary words fall back to their
+    character count (the untrained lower bound).  This is the
+    train→apply half of the tokenizer story: `bpe_train` prices the
+    merge table, this op prices the corpus at serving time.
+    """
+    words = docs.select(
+        id_col,
+        F.explode(F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: w != F.lit(""))).alias("word"),
+    )
+    wp = vocab.select("word", F.size("pieces").cast("long").alias("n_pieces"))
+    per_doc = (
+        words.join(F.broadcast(wp), "word", "left")
+        .withColumn("n_pieces",
+                    F.coalesce("n_pieces", F.length("word").cast("long")))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_words"),
+             F.sum("n_pieces").alias("n_bpe_tokens"))
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        )
+    )

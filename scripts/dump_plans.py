@@ -219,6 +219,10 @@ PICKS = [
      "no per-token explode); first-wins = ONE exchange on md5(span) "
      "(uniform by construction, cannot skew) feeding the window rank; "
      "reassembly = hash aggregate with map-side partials"),
+    ("text_bpe_tokens", "BPE corpus apply: the trained vocab "
+     "broadcasts (BroadcastHashJoin) into the token explode — the "
+     "corpus side is Generate + map-side partial aggregate; the only "
+     "corpus-keyed exchange is the doc_id groupBy"),
     ("text_bpe", "distributed BPE: the only corpus-wide stage is the "
      "word-count hash aggregate (map-side partial combine); every merge "
      "iteration's pair explode + sum runs over the distinct-word table "

@@ -1455,3 +1455,30 @@ def test_bpe_merge_fold_greedy_overlap(spark):
     assert out["aaaa"] == ["aa", "aa"]
     assert out["aaa"] == ["aa", "a"]
     assert out["ba"] == ["b", "a"]
+
+
+def test_bpe_token_counts_apply(spark, docs):
+    """Corpus apply of a trained vocab: every word in-vocab (trained on
+    the same corpus), so n_bpe_tokens == sum of per-word piece counts;
+    OOV words in a probe frame fall back to character count."""
+    from cianparser_spark.ops.text import bpe_token_counts, bpe_train
+
+    sample = docs.filter(F.col("doc_id") < 100)
+    merges, vocab = bpe_train(sample, n_merges=4)
+    out = bpe_token_counts(sample, vocab)
+    pieces = {r["word"]: len(r["pieces"]) for r in vocab.collect()}
+    import re
+    for r in sample.select("doc_id", "text").collect():
+        ws = [w for w in re.split(r"\s+", r["text"].strip()) if w]
+        want = sum(pieces[w] for w in ws)
+        got = out.filter(F.col("doc_id") == r["doc_id"]).collect()[0]
+        assert got["n_words"] == len(ws)
+        assert got["n_bpe_tokens"] == want
+        break  # one exact row is enough; aggregate check below
+    agg = out.agg(F.sum("n_bpe_tokens").alias("t"), F.sum("n_words").alias("w")).collect()[0]
+    assert agg["t"] >= agg["w"]
+    probe = spark.createDataFrame([(999999, "zzz-unseen-word")],
+                                  "doc_id long, text string")
+    oov = bpe_token_counts(probe, vocab).collect()[0]
+    assert oov["n_bpe_tokens"] == len("zzz-unseen-word")
+    vocab.unpersist()
