@@ -653,27 +653,21 @@ def bpe_token_counts(docs: DataFrame, vocab: DataFrame,
     train→apply half of the tokenizer story: `bpe_train` prices the
     merge table, this op prices the corpus at serving time.
     """
+    # explode_outer keeps zero-word docs as a null-word row, so ONE
+    # aggregate covers every doc — no docs-side re-join (which would be
+    # a same-sized SortMergeJoin, a gratuitous second corpus shuffle)
     words = docs.select(
         id_col,
-        F.explode(F.filter(
+        F.explode_outer(F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"),
             lambda w: w != F.lit(""))).alias("word"),
     )
     wp = vocab.select("word", F.size("pieces").cast("long").alias("n_pieces"))
-    per_doc = (
+    return (
         words.join(F.broadcast(wp), "word", "left")
         .withColumn("n_pieces",
                     F.coalesce("n_pieces", F.length("word").cast("long")))
         .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_words"),
-             F.sum("n_pieces").alias("n_bpe_tokens"))
-    )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
-        )
+        .agg(F.count("word").cast("long").alias("n_words"),
+             F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("n_bpe_tokens"))
     )
