@@ -932,6 +932,22 @@ def q_sample_domain_cap(spark, sf_dir):
     )
 
 
+def q_sample_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (ops/sampling.epoch_shuffle): a
+    reproducible global permutation of the corpus keyed by
+    md5(id ‖ salt) — the step between assembled dataset and epoch
+    export.  One range exchange on the uniform md5 key + per-
+    partition sort; global positions via the two-phase distributed
+    cumsum (Arrow batch ranks + broadcast partition offsets — no
+    global single-partition window); shard = pos mod 8 (round-robin
+    over shuffled order → every shard an unbiased sample, sizes
+    within 1).  Permutation is partitioning-invariant (pinned in
+    tests).  Oracle: DuckDB row_number over the identical md5 order."""
+    from cianparser_spark.ops.sampling import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_sample_mixture(spark, sf_dir):
     """Temperature data-mixing (ops/sampling.mixture_sample, α=0.5
     over per-source total chars, target 200 of 500): the per-source
@@ -2465,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": q_sample_domain_cap,
         "sample_weighted": q_sample_weighted,
         "sample_mixture": q_sample_mixture,
+        "sample_shuffle": q_sample_shuffle,
         "payload_phash_xformat": q_payload_phash_xformat,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -3533,6 +3550,17 @@ def oracle_sql() -> dict[str, str]:
         # temperature mixing: weights, rates and the md5 uniform all
         # re-derived; selection compares the UNROUNDED rate on both
         # sides (rate is only rounded for display)
+        # epoch shuffle: DuckDB recomputes the identical permutation
+        # from the same md5 sort key (ties broken by id both sides)
+        "sample_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY md5(doc_id || 'epoch0'),
+                                      doc_id) - 1 AS pos,
+                   CAST((row_number() OVER (ORDER BY md5(doc_id || 'epoch0'),
+                                            doc_id) - 1) % 8 AS INT) AS shard
+            FROM documents
+            ORDER BY doc_id
+        """,
         "sample_mixture": """
             WITH stats AS (
               SELECT source, count(*)::DOUBLE AS n,

@@ -68,6 +68,7 @@ HEADLINE = [
     "text_langid", "text_fingerprint", "text_pii_scrub",
     "text_decontaminate", "text_repetition", "text_bm25",
     "text_chunk_dedup", "text_bpe", "text_bpe_tokens", "sample_mixture",
+    "sample_shuffle",
     "pack_sequences", "a8_label_dedup",
     "stream_first_wins", "stream_window_counts", "stream_crawl_metrics",
     "crawl_flagship", "crawl_detail", "crawl_suburban", "crawl_newobject",

@@ -157,3 +157,62 @@ def mixture_sample(df: DataFrame, group_col: str, id_col: str,
             (u < F.col("_rate")).cast("int").alias("selected"),
         )
     )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
+                  salt: str = "epoch0", n_shards: int = 8) -> DataFrame:
+    """Deterministic global training shuffle: a reproducible
+    permutation of the corpus (the step between "assembled dataset"
+    and "epoch export" — every trainer consumes the data in a shuffled
+    order that must be identical across reruns and cluster sizes).
+
+    Each row's sort key is md5(id ‖ salt) — a pure function of the
+    row, so the permutation is engine- and partitioning-independent;
+    changing ``salt`` re-deals the epoch.  Returns ``(id, pos,
+    shard)``: ``pos`` the global 0-based position in shuffled order,
+    ``shard`` = pos mod n_shards (round-robin over shuffled order, so
+    every shard is an unbiased sample AND shard sizes differ by ≤1).
+
+    100 TB shape: the total order is ONE range exchange on the md5
+    key (uniform by construction — range bounds from Spark's sampling
+    cannot skew) + per-partition sort; the global position is the
+    same two-phase distributed cumsum as ``text.pack_sequences`` —
+    per-partition ranks from an Arrow batch counter (order-preserving
+    mapInPandas; no global single-partition window, and no second
+    corpus exchange) plus broadcast per-partition row-count offsets.  Oracle: DuckDB's ``row_number() OVER (ORDER
+    BY md5(...), id)`` recomputes the identical permutation.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    d = (
+        df.select(F.col(id_col), key.alias("_key"))
+        .repartitionByRange(F.col("_key"), F.col(id_col))
+        .sortWithinPartitions("_key", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # partition-local 1-based rank via an Arrow batch counter — NOT a
+    # Window.partitionBy(_pid), which would re-exchange the whole
+    # corpus on _pid (the rows are already range-partitioned + sorted)
+    def ranker(iterator):
+        run = 0
+        for pdf in iterator:
+            n = len(pdf)
+            yield pdf.assign(_rank=range(run + 1, run + n + 1))
+            run += n
+
+    local = d.mapInPandas(
+        ranker, f"{id_col} {id_type}, _key string, _pid int, _rank long")
+    counts = local.groupBy("_pid").agg(F.max("_rank").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    pos = (F.col("_off") + F.col("_rank") - 1).cast("long")
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select(
+            id_col,
+            pos.alias("pos"),
+            (pos % n_shards).cast("int").alias("shard"),
+        )
+    )

@@ -219,6 +219,11 @@ PICKS = [
      "no per-token explode); first-wins = ONE exchange on md5(span) "
      "(uniform by construction, cannot skew) feeding the window rank; "
      "reassembly = hash aggregate with map-side partials"),
+    ("sample_shuffle", "deterministic epoch shuffle: ONE range "
+     "exchange on the uniform md5 key (RangePartitioning in the plan) "
+     "+ per-partition sort; ranks via order-preserving MapInPandas, "
+     "offsets as a tiny per-partition aggregate broadcast back — no "
+     "global single-partition window, no second corpus exchange"),
     ("text_bpe_tokens", "BPE corpus apply: the trained vocab "
      "broadcasts (BroadcastHashJoin) into the token explode — the "
      "corpus side is Generate + map-side partial aggregate; the only "

@@ -1482,3 +1482,22 @@ def test_bpe_token_counts_apply(spark, docs):
     oov = bpe_token_counts(probe, vocab).collect()[0]
     assert oov["n_bpe_tokens"] == len("zzz-unseen-word")
     vocab.unpersist()
+
+
+def test_epoch_shuffle_permutation(spark, docs):
+    """Valid permutation (pos = 0..n-1 exactly once), balanced shards,
+    partitioning-invariant, and salt re-deals the order."""
+    from cianparser_spark.ops.sampling import epoch_shuffle
+
+    out = epoch_shuffle(docs, n_shards=8).toPandas()
+    n = len(out)
+    assert sorted(out["pos"]) == list(range(n))
+    sizes = out.groupby("shard").size()
+    assert len(sizes) == 8 and sizes.max() - sizes.min() <= 1
+    re = epoch_shuffle(docs.repartition(5), n_shards=8) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    base = out.sort_values("doc_id").reset_index(drop=True)
+    assert base.equals(re)
+    other = epoch_shuffle(docs, salt="epoch1", n_shards=8) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert not base["pos"].equals(other["pos"])
