@@ -574,7 +574,22 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     # One job per iteration: the pair-count collect is ALSO what
     # materializes the previous iteration's persisted merge result, so
     # the parent cache can only be dropped after it (pending unpersist).
+    # try/finally: the conf switches above are SESSION-GLOBAL — an
+    # exception mid-loop must never leave codegen/AQE off for later
+    # queries on the same session.
     pending = None
+    try:
+        return _bpe_merge_loop(vocab, pending, merges, n_merges)
+    finally:
+        if cg_saved is not None:
+            for k, v in zip(cg_keys, cg_saved):
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
+def _bpe_merge_loop(vocab, pending, merges, n_merges):
     for step_no in range(1, n_merges + 1):
         pairs = vocab.filter(F.size("pieces") >= 2).select(
             "count",
@@ -608,12 +623,6 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     if pending is not None:
         vocab.count()
         pending.unpersist()
-    if cg_saved is not None:
-        for k, v in zip(cg_keys, cg_saved):
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     return merges, vocab
 
 
