@@ -1501,3 +1501,40 @@ def test_epoch_shuffle_permutation(spark, docs):
     other = epoch_shuffle(docs, salt="epoch1", n_shards=8) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     assert not base["pos"].equals(other["pos"])
+
+
+def test_chunk_dedup_randomized_vs_bruteforce(spark):
+    """Seeded randomized corpus with heavy span duplication, checked
+    against an independent brute-force first-wins implementation."""
+    import random
+
+    from cianparser_spark.ops.text import chunk_dedup
+
+    rng = random.Random(417)
+    vocab = [f"w{i}" for i in range(12)]
+    spans = [" ".join(rng.choice(vocab) for _ in range(3)) for _ in range(9)]
+    rows = []
+    for did in range(40):
+        n = rng.randrange(0, 5)
+        rows.append((did, " ".join(rng.choice(spans) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute force: global first occurrence of each 3-token span text
+    seen, want = set(), {}
+    for did, text in rows:
+        ws = [w for w in text.split() if w]
+        chunks = [" ".join(ws[i:i + 3]) for i in range(0, len(ws), 3)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want[did] = (len(chunks), len(kept), " ".join(kept))
+
+    import hashlib
+    got = {r["doc_id"]: r for r in chunk_dedup(df, chunk=3).collect()}
+    assert len(got) == len(rows)
+    for did, (nc, nk, clean) in want.items():
+        g = got[did]
+        assert (g["n_chunks"], g["n_kept"]) == (nc, nk), did
+        assert g["clean_md5"] == hashlib.md5(clean.encode()).hexdigest(), did
