@@ -3004,9 +3004,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.doc_id % 37 <> 0
             ORDER BY p.doc_id
         """,
-        # repetition: dup fractions via list_distinct; the modal 2-gram
-        # via unnest -> group -> row_number (count DESC, gram ASC — the
-        # same smallest-gram-among-ties rule as the Spark in-row scan)
         # span-level exact dedup: DuckDB re-derives the 10-token
         # chunking with list slicing (scalar range() -> list) and the
         # identical corpus-wide first-wins window over md5(span)
@@ -3084,6 +3081,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per_doc USING (doc_id)
             ORDER BY d.doc_id
         """,
+        # repetition: dup fractions via list_distinct; the modal 2-gram
+        # via unnest -> group -> row_number (count DESC, gram ASC — the
+        # same smallest-gram-among-ties rule as the Spark in-row scan)
         "text_repetition": """
             WITH words AS (
               SELECT doc_id,

@@ -201,8 +201,14 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
             yield pdf.assign(_rank=range(run + 1, run + n + 1))
             run += n
 
+    # persist: `local` feeds BOTH the offsets subtree and the final
+    # join.  Without it the range exchange instantiates twice — double
+    # compute at best, and if exchange reuse is off the two
+    # RangePartitioners can sample DIFFERENT boundaries, making _off
+    # inconsistent with the joined rows (pos no longer a permutation).
     local = d.mapInPandas(
-        ranker, f"{id_col} {id_type}, _key string, _pid int, _rank long")
+        ranker, f"{id_col} {id_type}, _key string, _pid int, _rank long"
+    ).persist()
     counts = local.groupBy("_pid").agg(F.max("_rank").alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

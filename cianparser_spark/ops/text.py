@@ -456,35 +456,36 @@ def chunk_dedup(docs: DataFrame, chunk: int = 10,
     exploded = (
         docs.select(id_col, F.posexplode_outer(spans).alias("pos", "span"))
     )
-    w = Window.partitionBy(F.md5(F.col("span"))).orderBy(id_col, "pos")
-    ranked = exploded.filter(F.col("span").isNotNull()).withColumn(
-        "_rn", F.row_number().over(w))
-    rebuilt = (
+    # Zero-chunk docs ride through as a null-span row so ONE aggregate
+    # covers every doc (no docs-side re-join — a same-sized corpus
+    # shuffle).  Null spans get a per-row-unique window key, so they
+    # never skew one null partition and trivially rank 1 (the "z|"
+    # prefix cannot collide with a 32-hex md5); the aggregates below
+    # count only real spans.
+    wkey = F.coalesce(
+        F.md5(F.col("span")),
+        F.concat(F.lit("z|"), F.col(id_col).cast("string"), F.lit(":"),
+                 F.coalesce(F.col("pos"), F.lit(-1)).cast("string")),
+    )
+    w = Window.partitionBy(wkey).orderBy(id_col, "pos")
+    ranked = exploded.withColumn("_rn", F.row_number().over(w))
+    kept = (F.col("_rn") == 1) & F.col("span").isNotNull()
+    return (
         ranked.groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
-            F.array_join(
+            F.count("span").cast("long").alias("n_chunks"),
+            F.coalesce(F.sum(kept.cast("long")), F.lit(0)).alias("n_kept"),
+            (F.count("span")
+             - F.coalesce(F.sum(kept.cast("long")), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.md5(F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(
-                        F.when(F.col("_rn") == 1,
-                               F.struct("pos", "span")))),
+                        F.when(kept, F.struct("pos", "span")))),
                     lambda s: s["span"],
                 ),
                 " ",
-            ).alias("clean_text"),
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.coalesce("n_chunks", F.lit(0))
-             - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+            )).alias("clean_md5"),
         )
     )
 

@@ -1723,9 +1723,10 @@ def ensure_bpe_truth(sf_dir: str = SF001_DIR, n_merges: int = 8) -> str:
                          columns=["text"]).to_pandas()
     wc: Counter = Counter()
     for t in docs["text"]:
-        for w in re.split(r"\s+", t.strip()):
-            if w:
-                wc[w] += 1
+        # ASCII \S+ == Java's \s complement (incl. \x0b), matching the
+        # Spark op's split(trim, \s+) grammar on non-ASCII whitespace
+        for w in re.findall(r"\S+", t, flags=re.ASCII):
+            wc[w] += 1
     vocab = {w: list(w) for w in wc}
     merges = []
     for step in range(1, n_merges + 1):

@@ -216,9 +216,10 @@ PICKS = [
      "shows the salt never reaches the output projection"),
     ("text_chunk_dedup", "span-level exact dedup: the 10-token chunking "
      "is one codegen'd Project (sequence/transform/slice — no Python, "
-     "no per-token explode); first-wins = ONE exchange on md5(span) "
-     "(uniform by construction, cannot skew) feeding the window rank; "
-     "reassembly = hash aggregate with map-side partials"),
+     "no per-token explode); first-wins = ONE exchange on the span key "
+     "(uniform by construction, cannot skew; zero-chunk docs ride "
+     "through on per-row-unique null keys) feeding the window rank; "
+     "reassembly aggregates the SAME frame — no docs-side re-join"),
     ("sample_shuffle", "deterministic epoch shuffle: ONE range "
      "exchange on the uniform md5 key (RangePartitioning in the plan) "
      "+ per-partition sort; ranks via order-preserving MapInPandas, "

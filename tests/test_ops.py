@@ -1406,7 +1406,8 @@ def _bpe_python(texts, n_merges):
     import re
     from collections import Counter
 
-    wc = Counter(w for t in texts for w in re.split(r"\s+", t.strip()) if w)
+    wc = Counter(w for t in texts
+                 for w in re.findall(r"\S+", t, flags=re.ASCII))
     vocab = {w: list(w) for w in wc}
     merges = []
     for step in range(1, n_merges + 1):
