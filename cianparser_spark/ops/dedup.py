@@ -299,14 +299,21 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
 
 def build_dedup_index(docs: DataFrame, k: int = 3, n_hashes: int = 64,
                       bands: int = 16, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Corpus-side LSH index: the banded (id, band, bucket) table,
     persisted.  Build once over the standing corpus; every incoming
     batch probes it with an equi-join.  At 100 TB this is the table
     you write back to Iceberg partitioned by (band, bucket % N) so a
     batch probe prunes to the buckets it actually touches — the corpus
-    text is never rescanned at ingest time."""
-    sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
+    text is never rescanned at ingest time.
+
+    Pass precomputed ``sigs`` (``minhash_signatures`` rows for exactly
+    ``docs``) to skip the signature kernel — signatures are row-local,
+    so a filtered slice of a full-corpus signature frame is
+    bit-identical to recomputing on the filtered docs."""
+    if sigs is None:
+        sigs = minhash_signatures(docs, k, n_hashes, text_col, id_col)
     return _banded(sigs, bands, n_hashes // bands, id_col).persist()
 
 
@@ -314,7 +321,8 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
                           corpus_index: DataFrame, k: int = 3,
                           n_hashes: int = 64, bands: int = 16,
                           threshold: float = 0.6, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          new_sigs: DataFrame | None = None) -> DataFrame:
     """Ingest-time near-dup admission: pairs (new_id, corpus_id) with
     exact Jaccard ≥ threshold, found by probing the prebuilt corpus
     index with the batch's bands — work scales with the BATCH (its
@@ -324,9 +332,13 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
 
     Same band config ⇒ same recall guarantee as minhash_lsh_pairs;
     ``corpus_docs`` must be the table ``corpus_index`` was built from.
+    ``new_sigs`` (precomputed signatures for exactly ``new_docs``)
+    skips the batch-side signature kernel — same reuse contract as
+    ``build_dedup_index``.
     """
     rows_per_band = n_hashes // bands
-    new_sigs = minhash_signatures(new_docs, k, n_hashes, text_col, id_col)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_docs, k, n_hashes, text_col, id_col)
     new_banded = _banded(new_sigs, bands, rows_per_band, id_col)
     cand = (
         new_banded.alias("l")

@@ -181,6 +181,13 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     mapInPandas; no global single-partition window, and no second
     corpus exchange) plus broadcast per-partition row-count offsets.  Oracle: DuckDB's ``row_number() OVER (ORDER
     BY md5(...), id)`` recomputes the identical permutation.
+
+    The result rides on a persisted intermediate (the ranked exchange
+    feeds BOTH the offsets subtree and the final join); the CALLER
+    owns that cache — same contract as ``text.bpe_train``'s vocab.
+    Call ``release_epoch_shuffle(df)`` (or ``df.unpersist()`` on the
+    handle attached as ``df._epoch_cache``) once the epoch export is
+    materialized.
     """
     id_type = dict(df.dtypes)[id_col]
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
@@ -214,7 +221,7 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
     pos = (F.col("_off") + F.col("_rank") - 1).cast("long")
-    return (
+    out = (
         local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
         .select(
             id_col,
@@ -222,3 +229,14 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
             (pos % n_shards).cast("int").alias("shard"),
         )
     )
+    out._epoch_cache = local  # caller-owned; see release_epoch_shuffle
+    return out
+
+
+def release_epoch_shuffle(df: DataFrame) -> None:
+    """Release the persisted intermediate behind an ``epoch_shuffle``
+    result once it has been materialized (written/collected).  No-op
+    for frames without the cache handle."""
+    cache = getattr(df, "_epoch_cache", None)
+    if cache is not None:
+        cache.unpersist()

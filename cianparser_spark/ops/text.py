@@ -512,14 +512,22 @@ def _merge_pair_expr(sym_col, left: str, right: str):
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 8,
-              text_col: str = "text", id_col: str = "doc_id"):
+              text_col: str = "text"):
     """Distributed byte-pair-encoding merge-table training (Sennrich
     et al. 2016) over the corpus.
 
     Returns ``(merges, vocab)``: ``merges`` is a driver-side list of
     ``(step, left, right, pair_count)`` in training order; ``vocab``
     is the final distinct-word table ``(word, count, pieces)`` with
-    each word's symbol array after all merges.
+    each word's symbol array after all merges.  The returned ``vocab``
+    is persisted — the CALLER owns that cache (unpersist when done).
+
+    Not thread-safe with concurrent queries on the same session: the
+    merge loop temporarily flips session-global SQL confs (codegen,
+    AQE, shuffle partitions) for small vocabularies and restores them
+    via try/finally; a query racing the loop on the same session would
+    execute under the altered confs.  Run training on its own session
+    if the session is shared.
 
     100 TB shape: the corpus is touched ONCE (word-count aggregation,
     map-side partial); all ``n_merges`` iterations then run on the
@@ -578,9 +586,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     # try/finally: the conf switches above are SESSION-GLOBAL — an
     # exception mid-loop must never leave codegen/AQE off for later
     # queries on the same session.
-    pending = None
     try:
-        return _bpe_merge_loop(vocab, pending, merges, n_merges)
+        return _bpe_merge_loop(vocab, merges, n_merges)
     finally:
         if cg_saved is not None:
             for k, v in zip(cg_keys, cg_saved):
@@ -590,7 +597,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
                     spark.conf.set(k, v)
 
 
-def _bpe_merge_loop(vocab, pending, merges, n_merges):
+def _bpe_merge_loop(vocab, merges, n_merges):
+    pending = None
     for step_no in range(1, n_merges + 1):
         pairs = vocab.filter(F.size("pieces") >= 2).select(
             "count",
@@ -628,7 +636,7 @@ def _bpe_merge_loop(vocab, pending, merges, n_merges):
 
 
 def bpe_segment(docs: DataFrame, n_merges: int = 8,
-                text_col: str = "text", id_col: str = "doc_id",
+                text_col: str = "text",
                 trained=None) -> DataFrame:
     """Contract-shaped BPE result: train ``n_merges`` merges, then
     return the final per-word segmentation table ``(word, count,
@@ -637,7 +645,7 @@ def bpe_segment(docs: DataFrame, n_merges: int = 8,
     training trajectory, not just the final split.  Pass ``trained``
     (a ``bpe_train`` result) to reuse one training run across
     consumers."""
-    merges, vocab = trained or bpe_train(docs, n_merges, text_col, id_col)
+    merges, vocab = trained or bpe_train(docs, n_merges, text_col)
     trace = ";".join(f"{s}:{l}+{r}={n}" for s, l, r, n in merges)
     out = vocab.select(
         "word",

@@ -15,6 +15,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional: query names after the sf_dir restrict the run (targeted
+# re-validation after touching a family); no names = full suite
+ONLY = set(sys.argv[2:])
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -41,6 +44,10 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
+    if ONLY:
+        qs = {k: v for k, v in qs.items() if k in ONLY}
+        missing = ONLY - set(qs)
+        assert not missing, f"unknown query names: {sorted(missing)}"
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
