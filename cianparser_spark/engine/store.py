@@ -321,6 +321,14 @@ class WaveStore:
         snap = self._load_snapshot()
         return self._read_manifest(name, snap)
 
+    def table_paths(self, name: str) -> list[str]:
+        """Absolute data directories of the CURRENT snapshot for one
+        table — for readers that bypass Spark (e.g. the Bloom spool
+        probe's per-executor pyarrow loader)."""
+        snap = self._load_snapshot()
+        return [os.path.join(self.root, d)
+                for d in snap["tables"].get(name, [])]
+
     def _read_manifest(self, name: str, manifest: dict) -> DataFrame:
         dirs = manifest["tables"].get(name, [])
         schema = self.schemas[name]

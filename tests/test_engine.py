@@ -259,3 +259,72 @@ def test_bloom_prefilter_never_drops_unseen(spark, tmp_run_dir):
     rows = compat.to_reference_rows(eng.run(), [seed])
     assert rows == sim.rows
     assert eng.store.read("bloom").count() >= 1
+
+
+# ------------------------------------------------- SPOOL sidecar mode
+
+def test_bloom_spool_bitmatch_and_blob_parity(spark, tmp_run_dir):
+    """bloom_spool=True (the 10^10-URL shape: executor-side OR-merge,
+    blobs never on the driver) must (a) bit-match the sequential
+    oracle and (b) commit a blob table BYTE-IDENTICAL to the default
+    driver-merged mode — build and probe share one routing function
+    and OR is order-free, so the two merge topologies must agree
+    exactly."""
+    import tempfile
+    import shutil
+
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     additional_settings={"end_page": 4})
+    sim = ReferenceSimulator(BITMATCH_CFG).run([seed])
+    d2 = tempfile.mkdtemp()
+    try:
+        spool = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG,
+                            host_tokens=2, bloom_buckets=4, bloom_spool=True)
+        assert spool.bloom_spool
+        rows = compat.to_reference_rows(spool.run(), [seed])
+        assert rows == sim.rows
+        drv = CrawlEngine(spark, d2, [seed], BITMATCH_CFG,
+                          host_tokens=2, bloom_buckets=4, bloom_spool=False)
+        compat.to_reference_rows(drv.run(), [seed])
+        blobs_spool = {int(r["bucket"]): bytes(r["blob"])
+                       for r in spool.store.read("bloom").collect()}
+        blobs_drv = {int(r["bucket"]): bytes(r["blob"])
+                     for r in drv.store.read("bloom").collect()}
+        assert blobs_spool == blobs_drv and blobs_spool
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_bloom_spool_resume_forces_spool_probe(spark, tmp_run_dir):
+    """Resume leaves _seen_rows unknown, so every remaining wave MUST
+    take the spool-probe path (per-executor blob load from the
+    committed table) — bit-match proves the executor-side probe is
+    safety-preserving."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
+                       additional_settings={"end_page": 3})]
+    e1 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=2, bloom_spool=True)
+    e1.run(max_waves=2)
+    assert e1.store.last_wave() == 2
+    e2 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=2, bloom_spool=True)
+    assert e2.bloom_spool
+    resumed = compat.to_reference_rows(e2.run(), seeds)
+    assert resumed == ReferenceSimulator(BITMATCH_CFG).run(seeds).rows
+    assert e2._seen_rows is None  # the probe gate stayed open
+
+
+def test_bloom_spool_auto_threshold():
+    """Auto mode flips to spool exactly when the filter state outgrows
+    the driver budget."""
+    import tempfile
+
+    from cianparser_spark.engine.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    seed = CrawlSeed(1, "Москва", "flat", "sale")
+    small = CrawlEngine(spark, tempfile.mkdtemp(), [seed], BITMATCH_CFG)
+    assert not small.bloom_spool  # 16 x 1 Mbit = 2 MB << 64 MB
+    big = CrawlEngine(spark, tempfile.mkdtemp(), [seed], BITMATCH_CFG,
+                      bloom_buckets=64, bloom_bits=1 << 33)
+    assert big.bloom_spool  # 64 x 1 GiB blobs must never hit the driver
