@@ -44,6 +44,12 @@ SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "10000000"))
 GRAPH_NODES = int(os.environ.get("SPARK_GRAFT_GRAPH_NODES", "1000000"))
 META_IMAGES = int(os.environ.get("SPARK_GRAFT_META_IMAGES", "2000"))
+# families re-timed in a FRESH JVM each (subprocess), to separate
+# suite-context cost (113 queries in one JVM: GC + catalog pressure)
+# from per-query cost — the round-3 dedup timing drift was exactly
+# this; both numbers are recorded.  Comma list of name prefixes; ""
+# disables.
+FRESH_FAMILIES = os.environ.get("SPARK_GRAFT_FRESH_FAMILIES", "dedup")
 
 # headline queries: every oracle-checked operator family + the heavy
 # training-data ops + the crawl engine itself
@@ -159,6 +165,51 @@ def run_queries() -> tuple[dict, float, dict, dict, dict]:
     # an otherwise-idle machine
     spark.stop()
     return times, total, frontier, graph, meta
+
+
+def run_only(names: list[str]) -> None:
+    """Subprocess entry for the fresh-JVM family mode: time the named
+    queries in a brand-new session (same warmups as the suite) and
+    print one JSON line {name: sec}."""
+    import __spark_entry__ as entrymod
+    from cianparser_spark.engine.session import get_spark
+
+    spark = get_spark(app_name="bench_fresh", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.range(0, 1_000_000, 1, int(CPUS)).selectExpr("sum(id)").collect()
+    spark.range(0, int(CPUS) * 4, 1, int(CPUS)).mapInPandas(
+        lambda it: it, "id long").count()
+    qs = entrymod.queries()
+    times = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+    print(json.dumps(times))
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def run_fresh_families() -> dict:
+    """One subprocess (fresh JVM + fresh python worker pool) per
+    family; returns {family: {query: sec}}.  Run AFTER the suite
+    session stops so the subprocess measures an otherwise-idle box —
+    the delta vs the in-suite numbers IS the suite-context cost."""
+    out: dict = {}
+    for fam in [f for f in FRESH_FAMILIES.split(",") if f]:
+        names = [q for q in HEADLINE if q.startswith(fam)]
+        if not names:
+            continue
+        cmd = [sys.executable, os.path.abspath(__file__), "--only",
+               ",".join(names)]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1200)
+            out[fam] = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            out[fam] = {"error": str(e)[:200]}
+        print(f"  fresh-jvm {fam}: {out[fam]}", file=sys.stderr)
+    return out
 
 
 def run_scaling() -> dict:
@@ -361,7 +412,11 @@ def _scaling_body(pair, launch, reps: int, pin: bool) -> dict:
 
 
 def main() -> None:
+    if "--only" in sys.argv:
+        run_only(sys.argv[sys.argv.index("--only") + 1].split(","))
+        return
     times, total, frontier, graph, meta = run_queries()
+    fresh = run_fresh_families() if FRESH_FAMILIES else {}
     crawl = {} if SKIP_SCALING else run_scaling()
 
     # Full-fidelity record (rep arrays, platform controls, method
@@ -371,7 +426,7 @@ def main() -> None:
     # of output, and the full JSON outgrew it (BENCH_r02.json came back
     # parsed:null) — so the LAST line must stay well under that.
     here = os.path.dirname(os.path.abspath(__file__))
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "3")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "4")
     detail_rel = f"BENCH/detail_r{rnd}.json"
     detail_path = os.path.join(here, detail_rel)
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -379,7 +434,7 @@ def main() -> None:
         json.dump({"value_s": round(total, 3), "queries_s": times,
                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
                    "frontier": frontier, "graph": graph, "meta": meta,
-                   "crawl": crawl},
+                   "fresh_jvm": fresh, "crawl": crawl},
                   fh, indent=1)
         fh.write("\n")
     print(f"full bench detail written to {detail_path}", file=sys.stderr)
@@ -415,6 +470,15 @@ def main() -> None:
         result["graph_pr_node_iters_per_sec"] = graph["pr_node_iters_per_sec"]
     if meta:
         result["meta_over_decode_speedup"] = meta["meta_over_decode_speedup"]
+        result["meta_over_decode_cpu_speedup"] = \
+            meta.get("meta_over_decode_cpu_speedup")
+    if fresh:
+        # compact: per-family fresh-JVM totals (full per-query numbers
+        # in the sidecar) — read against the same family's in-suite sum
+        result["fresh_jvm_totals"] = {
+            fam: round(sum(v for v in d.values()
+                           if isinstance(v, (int, float))), 1)
+            for fam, d in fresh.items()}
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1800:  # paranoia: never outgrow the tail capture again
         result["queries"] = {k: round(v, 1) for k, v in times.items()}

@@ -102,7 +102,7 @@ def build_snapshot(n_seeds: int, end_page: int, snap_path: str,
 def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
         barrier_dir: str | None = None, barrier_count: int = 2,
         snapshot_path: str | None = None, reps: int = 1,
-        stop_file: str | None = None) -> dict:
+        stop_file: str | None = None, multi_jvm: bool = False) -> dict:
     """``reps`` > 1 repeats the identical crawl back-to-back in ONE JVM
     (fresh run_dir each; shared snapshot) and reports per-rep and mean
     throughput.  Used by the full-overlap scaling pair: the 4N side
@@ -111,17 +111,35 @@ def run(cpus: int, n_seeds: int, end_page: int, host_tokens: int,
     box depends on how many cores are active — a short 4N run paired
     with a long N run otherwise hands the N side a mostly-idle box for
     most of its wall and deflates the measured ratio).  ``stop_file``
-    ends the loop early once the sentinel appears (minimum 1 rep)."""
+    ends the loop early once the sentinel appears (minimum 1 rep).
+
+    ``multi_jvm`` runs the SAME workload on ``local-cluster[cpus,1,m]``
+    — cpus SEPARATE executor JVM processes with 1 core each, each with
+    its own Python worker — so a scaling pair measured this way cannot
+    be an artifact of single-JVM shared memory (VERDICT r03 ask 6).
+    Costs real per-executor overhead (heap each, RPC instead of
+    in-process calls), exactly like a real cluster node."""
+    import pyspark
     from pyspark.sql import functions as F
 
     from cianparser_spark.corpus import webgen
     from cianparser_spark.engine.crawler import CrawlEngine
     from cianparser_spark.engine.session import get_spark
 
-    spark = get_spark(
-        app_name=f"bench_crawl_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-    )
+    if multi_jvm:
+        os.environ.setdefault("SPARK_HOME", pyspark.__path__[0])
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spark = get_spark(
+            app_name=f"bench_crawl_mj_{cpus}",
+            master=f"local-cluster[{cpus},1,2048]",
+            shuffle_partitions=cpus,
+            extra_conf={"spark.executorEnv.PYTHONPATH": repo_root},
+        )
+    else:
+        spark = get_spark(
+            app_name=f"bench_crawl_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
     # scratch on tmpfs when available: on a real cluster every executor
     # brings its own local SSD for spools/shuffle; on this single box
     # the one virtio disk would serialize exactly the I/O that machine
@@ -221,10 +239,14 @@ def main() -> None:
                          "in one JVM; reports per-rep + mean throughput")
     ap.add_argument("--stop-file", default=None,
                     help="end the rep loop early when this file appears")
+    ap.add_argument("--multi-jvm", action="store_true",
+                    help="local-cluster[cpus,1,2048]: one executor JVM "
+                         "process per core (separate-process scaling "
+                         "evidence)")
     args = ap.parse_args()
     print(json.dumps(run(args.cpus, args.seeds, args.pages, args.host_tokens,
                          args.barrier_dir, args.barrier_count, args.snapshot,
-                         args.reps, args.stop_file)))
+                         args.reps, args.stop_file, args.multi_jvm)))
     sys.stdout.flush()
 
 

@@ -174,6 +174,17 @@ class CrawlEngine:
         # marker (the kernel cannot resolve foreign winners), so
         # entries are removed exactly when the marker arrives.
         self._parked_disp: dict[tuple[int, int], set] = {}
+        # derive mode (ENFORCED ledger bound): when _parked_disp
+        # outgrows ledger_spill_rows it spills once into the store's
+        # "parkreg" table and every later consultation runs as
+        # DataFrame ops — see model.PARKREG_SCHEMA.  Per-wave driver
+        # deltas stay bounded by the politeness budget (markers arrive
+        # only for groups that RAN).
+        self._parked_derive: bool = False
+        self._parked_removed: set[tuple[int, int]] = set()  # this wave's pops
+        self._parked_readds: list[tuple] = []   # (_resolve_paused re-adds)
+        self._parked_add_df: DataFrame | None = None  # this wave's additions
+        self._parked_spill_rows: list[tuple] | None = None  # transition wave
         self._ks_nonempty: bool = False
         self._seeds_df: DataFrame | None = None
         # running seen-table row count (upper bound): small-seen waves
@@ -309,21 +320,33 @@ class CrawlEngine:
                 self._ks_nonempty = (
                     self.store.read("keystate").limit(1).count() > 0)
                 self._paused_dirty = bool(self._paused)
-                # dispatched-group placeholder registry: derived from
+                # dispatched-group placeholder registry.  A committed
+                # "parkreg" table means the previous run had spilled —
+                # resume straight in derive mode (the table IS the
+                # registry; rebuilding the dict could immediately
+                # re-violate the cap).  Otherwise derive the dict from
                 # the pending wave's group rows (placeholders whose
-                # winner is outside their own group)
-                nxt = self.store.last_wave() + 1
-                for r in (self.store.read("frontier")
-                          .filter((F.col("kind") == "detail")
-                                  & (F.col("wave") == nxt))
-                          .select("seed_id", "page_number", "card_json")
-                          .collect()):
-                    g = json.loads(r["card_json"])
-                    winners = {c["k"] for c in g["cards"] if not c.get("d")}
-                    ph = {c["k"] for c in g["cards"] if c.get("d")} - winners
-                    if ph:
-                        self._parked_disp[
-                            (int(r["seed_id"]), int(r["page_number"]))] = ph
+                # winner is outside their own group), spilling if even
+                # the rebuild breaches the cap.
+                if self.store.table_paths("parkreg"):
+                    self._parked_derive = True
+                else:
+                    nxt = self.store.last_wave() + 1
+                    n_parked = 0
+                    for r in (self.store.read("frontier")
+                              .filter((F.col("kind") == "detail")
+                                      & (F.col("wave") == nxt))
+                              .select("seed_id", "page_number", "card_json")
+                              .collect()):
+                        g = json.loads(r["card_json"])
+                        winners = {c["k"] for c in g["cards"] if not c.get("d")}
+                        ph = {c["k"] for c in g["cards"] if c.get("d")} - winners
+                        if ph:
+                            self._parked_disp[
+                                (int(r["seed_id"]), int(r["page_number"]))] = ph
+                            n_parked += len(ph)
+                    if n_parked > self.ledger_spill_rows:
+                        self._spill_parked()
         if self._staged_nonempty is None:
             last = self.store.last_wave()
             self._staged_nonempty = (
@@ -620,25 +643,40 @@ class CrawlEngine:
             # fetch to the earliest parked one (flat/list.py:57-67's
             # sequential walk).  Watermarked accept order guarantees
             # every parked occurrence precedes anything built here.
-            parked: set = set()
-            for (s, _pn), keys in self._parked_disp.items():
-                parked.update((s, k) for k in keys)
-            for (s, _pn), st in (self._paused or {}).items():
-                parked.update((s, c["k"]) for c in st["rest"] if c.get("d"))
-            blocked = sorted(parked)
-            if blocked and len(blocked) <= self._LIT_LOOKUP_MAX:
-                bkeys = [f"{s}\x1f{k}" for s, k in blocked]
-                j = j.withColumn(
-                    "_blk",
-                    F.when(F.concat_ws("\x1f", F.col("seed_id"), F.col("_k"))
-                           .isin(bkeys), F.lit(True)))
-            elif blocked:  # huge parked set: broadcast-join fallback
-                bdf = self.spark.createDataFrame(
-                    list(blocked), "seed_id long, _k string") \
-                    .withColumn("_blk", F.lit(True))
-                j = j.join(F.broadcast(bdf), ["seed_id", "_k"], "left")
+            paused_parked = sorted({
+                (s, c["k"]) for (s, _pn), st in (self._paused or {}).items()
+                for c in st["rest"] if c.get("d")})
+            if self._parked_derive:
+                # spilled registry: the blocked set is a DataFrame —
+                # committed parkreg rows (minus this wave's resolved
+                # pages) plus the paused rests (driver-held, budget-
+                # bounded).  Plain join: the registry is backlog-
+                # bounded, AQE broadcasts it while it fits.
+                bdf = self._parked_view().select(
+                    "seed_id", F.col("key").alias("_k"))
+                if paused_parked:
+                    bdf = bdf.unionByName(self.spark.createDataFrame(
+                        list(paused_parked), "seed_id long, _k string"))
+                bdf = bdf.distinct().withColumn("_blk", F.lit(True))
+                j = j.join(bdf, ["seed_id", "_k"], "left")
             else:
-                j = j.withColumn("_blk", F.lit(None).cast("boolean"))
+                parked: set = set(paused_parked)
+                for (s, _pn), keys in self._parked_disp.items():
+                    parked.update((s, k) for k in keys)
+                blocked = sorted(parked)
+                if blocked and len(blocked) <= self._LIT_LOOKUP_MAX:
+                    bkeys = [f"{s}\x1f{k}" for s, k in blocked]
+                    j = j.withColumn(
+                        "_blk",
+                        F.when(F.concat_ws("\x1f", F.col("seed_id"), F.col("_k"))
+                               .isin(bkeys), F.lit(True)))
+                elif blocked:  # huge parked set: broadcast-join fallback
+                    bdf = self.spark.createDataFrame(
+                        list(blocked), "seed_id long, _k string") \
+                        .withColumn("_blk", F.lit(True))
+                    j = j.join(F.broadcast(bdf), ["seed_id", "_k"], "left")
+                else:
+                    j = j.withColumn("_blk", F.lit(None).cast("boolean"))
             w = Window.partitionBy("seed_id", "_k").orderBy("page_number", "card_index")
             j = (j.withColumn("_rk", F.row_number().over(w))
                  .withColumn("_win", (F.col("_rk") == 1)
@@ -698,16 +736,29 @@ class CrawlEngine:
             # (winner outside their own page): these block out-of-order
             # resurrection until the group's marker resolves them.
             # Collect is bounded by the wave's cross-page duplicate
-            # count (politeness-bounded), never by cards.
+            # count; the ENFORCED cap (ledger_spill_rows): when the
+            # cumulative registry outgrows it, spill to the store's
+            # parkreg table and keep additions as a DataFrame from
+            # then on — driver memory stays capped at any backlog.
             wpg = F.max(F.when(F.col("_win"), F.col("page_number"))).over(
                 Window.partitionBy("seed_id", "_k"))
-            for r in (j.withColumn("_wpg", wpg)
-                      .filter(~F.col("_win")
-                              & (F.col("_wpg").isNull()
-                                 | (F.col("_wpg") != F.col("page_number"))))
-                      .select("seed_id", "page_number", "_k").collect()):
-                self._parked_disp.setdefault(
-                    (int(r["seed_id"]), int(r["page_number"])), set()).add(r["_k"])
+            adds = (j.withColumn("_wpg", wpg)
+                    .filter(~F.col("_win")
+                            & (F.col("_wpg").isNull()
+                               | (F.col("_wpg") != F.col("page_number"))))
+                    .select(F.col("_k").alias("key"), "seed_id",
+                            "page_number"))
+            if self._parked_derive:
+                # persisted: feeds parked_min (_resolve_paused) AND the
+                # wave's parkreg replace without recomputing the rank
+                self._parked_add_df = adds.persist()
+            else:
+                for r in adds.collect():
+                    self._parked_disp.setdefault(
+                        (int(r["seed_id"]), int(r["page_number"])),
+                        set()).add(r["key"])
+                if self._parked_size() > self.ledger_spill_rows:
+                    self._spill_parked()
 
         ks_replace = None
         parts = [p for p in (ks_live, inflight_df) if p is not None]
@@ -777,9 +828,36 @@ class CrawlEngine:
         # its minimum parked page (dispatched registry ∪ paused rests),
         # preserving the reference walk's claim order
         parked_min: dict = {}
-        for (s, pn), keys in self._parked_disp.items():
-            for k in keys:
-                parked_min[(s, k)] = min(parked_min.get((s, k), 1 << 30), pn)
+        if self._parked_derive:
+            # spilled registry: min-page per key from the table (plus
+            # this wave's additions), FILTERED to the paused blocker
+            # keys — the only keys parked_min is ever consulted for —
+            # so the collect stays bounded by the paused-rest count
+            if b_keys:
+                srcs = [self._parked_view().select(
+                    "seed_id", "key", "page_number")]
+                if self._parked_add_df is not None:
+                    srcs.append(self._parked_add_df.select(
+                        "seed_id", "key", "page_number"))
+                pv = srcs[0]
+                for p in srcs[1:]:
+                    pv = pv.unionByName(p)
+                pk = F.concat_ws("\x1f", F.col("seed_id"), F.col("key"))
+                plits = [f"{s}\x1f{k}" for s, k in b_keys]
+                if len(b_keys) <= self._LIT_LOOKUP_MAX:
+                    pv = pv.filter(pk.isin(plits))
+                else:
+                    kdf2 = self.spark.createDataFrame(
+                        list(b_keys), "seed_id long, key string")
+                    pv = pv.join(F.broadcast(kdf2), ["seed_id", "key"],
+                                 "left_semi")
+                for r in (pv.groupBy("seed_id", "key")
+                          .agg(F.min("page_number").alias("mn")).collect()):
+                    parked_min[(int(r["seed_id"]), r["key"])] = int(r["mn"])
+        else:
+            for (s, pn), keys in self._parked_disp.items():
+                for k in keys:
+                    parked_min[(s, k)] = min(parked_min.get((s, k), 1 << 30), pn)
         for (s, pn), st in self._paused.items():
             for c in st["rest"]:
                 if c.get("d"):
@@ -830,7 +908,9 @@ class CrawlEngine:
             # the continuation is now a DISPATCHED group: re-register
             # its remaining placeholders (non-local by construction)
             ph = {c["k"] for c in rest if c.get("d")}
-            if ph:
+            if ph and self._parked_derive:
+                self._parked_readds += [(k, sid, pn) for k in sorted(ph)]
+            elif ph:
                 self._parked_disp[(sid, pn)] = ph
         cont_df = (self.spark.createDataFrame(cont_rows, model.FRONTIER_SCHEMA)
                    if cont_rows else None)
@@ -1275,6 +1355,7 @@ class CrawlEngine:
             for r in gmarkers:
                 sid, pn = int(r["seed_id"]), int(r["page_number"])
                 self._parked_disp.pop((sid, pn), None)
+                self._parked_removed.add((sid, pn))  # derive-mode twin
                 if not self._stop_ok(sid, pn):
                     self._paused.pop((sid, pn), None)
                     continue
@@ -1614,7 +1695,9 @@ class CrawlEngine:
             if self._seen_rows is not None:
                 self._seen_rows += n_seen
 
+        self._commit_parked(wave, replaces)
         self.store.commit_wave(wave, appends=appends, replaces=replaces, adopt=adopt)
+        self._parked_wave_reset()
         self._tick("commit")
         self._next_pending = n_frontier_next
         if n_seen:
@@ -1762,6 +1845,76 @@ class CrawlEngine:
                 "left_anti",
             ).drop("_dk")
         return batch_first.drop("_dk")
+
+    # ------------------------------------- parked-registry spill (derive mode)
+
+    def _spill_parked(self) -> None:
+        """One-time transition dict → derive mode: the current registry
+        becomes pending rows committed to "parkreg" at this wave's end;
+        the driver dict is dropped.  From then on the registry lives in
+        the store and all maintenance is DataFrame ops."""
+        rows = [(k, int(s), int(p))
+                for (s, p), ks in self._parked_disp.items() for k in ks]
+        self._parked_spill_rows = rows
+        self._parked_disp = {}
+        self._parked_derive = True
+
+    def _parked_size(self) -> int:
+        return sum(len(v) for v in self._parked_disp.values())
+
+    def _parked_view(self) -> DataFrame:
+        """Derive-mode registry as of NOW within the wave: the committed
+        table minus pages whose group marker arrived this wave.
+        Transition-wave state rides ``_parked_spill_rows`` instead (the
+        table isn't committed yet)."""
+        if self._parked_spill_rows is not None:
+            pt = self.spark.createDataFrame(
+                self._parked_spill_rows or
+                [("", -1, -1)], model.PARKREG_SCHEMA)
+            if not self._parked_spill_rows:
+                pt = pt.filter(F.lit(False))
+        else:
+            pt = self.store.read("parkreg")
+        if self._parked_removed:
+            rm = self.spark.createDataFrame(
+                sorted(self._parked_removed), "seed_id long, page_number long")
+            pt = pt.join(F.broadcast(rm), ["seed_id", "page_number"],
+                         "left_anti")
+        # captcha-stop cancellation, the DF twin of the dict-mode
+        # cleanup in _run_wave
+        return self._apply_stop_filter(pt)
+
+    def _commit_parked(self, wave: int, replaces: dict) -> None:
+        """Fold this wave's deltas into the registry table replace:
+        (committed − removed pages) ∪ ledger additions ∪ paused
+        re-adds, stop-filtered.  Every delta is politeness-bounded;
+        the union is one small job riding the wave commit."""
+        if not self._parked_derive:
+            return
+        dirty = (self._parked_spill_rows is not None or self._parked_removed
+                 or self._parked_readds or self._parked_add_df is not None)
+        if not dirty:
+            return
+        parts = [self._parked_view()]
+        if self._parked_add_df is not None:
+            parts.append(self._parked_add_df.select(
+                "key", "seed_id", "page_number"))
+        if self._parked_readds:
+            parts.append(self.spark.createDataFrame(
+                self._parked_readds, model.PARKREG_SCHEMA))
+        pt = parts[0]
+        for p in parts[1:]:
+            pt = pt.unionByName(p)
+        replaces["parkreg"] = self._apply_stop_filter(
+            pt.dropDuplicates(["seed_id", "page_number", "key"]))
+
+    def _parked_wave_reset(self) -> None:
+        if self._parked_add_df is not None:
+            self._parked_add_df.unpersist()
+        self._parked_add_df = None
+        self._parked_removed = set()
+        self._parked_readds = []
+        self._parked_spill_rows = None
 
     def _bloom_exists(self) -> bool:
         """Any sidecar state to consult? (driver blobs in default mode,

@@ -122,6 +122,19 @@ PAUSED_SCHEMA = T.StructType(
             longs=["seed_id", "page_number", "budget", "ver"])
 )
 
+# Spilled dispatched-placeholder registry (derive mode): the parked
+# keys the driver normally caches in ``_parked_disp`` (one row per
+# non-local duplicate placeholder inside a dispatched, not-yet-run
+# detail group).  The driver dict is only a CACHE of state derivable
+# from pending frontier group rows; when it outgrows
+# ``ledger_spill_rows`` it spills here once and all later maintenance
+# (additions, marker removals, the blocked-keys join, parked-min
+# lookups) runs as DataFrame ops against this table — driver memory
+# stays capped at any detail backlog.
+PARKREG_SCHEMA = T.StructType(
+    _fields(strings=["key"], longs=["seed_id", "page_number"])
+)
+
 # raw fetch-kernel output = discriminated union of page outcomes and
 # raw detail pages; ``content`` carries the HTML.  An OK list page is
 # ONE row carrying the whole page HTML — the card-boundary split runs
@@ -166,8 +179,10 @@ TABLE_SCHEMAS = {
     "bloom": BLOOM_SCHEMA,
     "keystate": KEYSTATE_SCHEMA,
     "paused": PAUSED_SCHEMA,
+    "parkreg": PARKREG_SCHEMA,
 }
-REPLACE_TABLES = frozenset({"staged", "stopped", "bloom", "keystate", "paused"})
+REPLACE_TABLES = frozenset({"staged", "stopped", "bloom", "keystate",
+                            "paused", "parkreg"})
 
 
 # ------------------------------------------------------------ seed helpers

