@@ -64,3 +64,19 @@ def test_empty_seen_passes_everything(spark):
     blobs = build_blooms(seen, n_buckets=4)
     got = membership_split(cand, seen, blobs, n_buckets=4)
     assert got.count() == 512
+
+
+def test_scale_bench_small(spark, tmp_path):
+    """The SPOOL-mode wave loop at toy size: executor-side merge +
+    file-cache probe must produce the exact fresh counts (the run
+    asserts per-wave), hold zero blob bytes on the driver, and keep
+    the probe closure at a path tuple."""
+    from cianparser_spark.bench_frontier import run_scale_bench
+
+    res = run_scale_bench(spark, n_keys=60_000, n_waves=2,
+                          probe_per_wave=20_000, n_buckets=4,
+                          n_bits=1 << 17, scratch=str(tmp_path))
+    assert len(res["waves"]) == 2
+    assert res["driver_blob_bytes_max"] == 0
+    assert all(w["probe_closure_bytes"] < 1024 for w in res["waves"])
+    assert res["blob_table_mbytes_on_disk"] > 0
