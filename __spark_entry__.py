@@ -1829,6 +1829,30 @@ def q_s9_definer_cities(spark, sf_dir):
     return definers.define_cities(spark, lo, hi)
 
 
+def q_s9_definer_cities_inflected(spark, sf_dir):
+    """S9 + the reference's pymorphy2 normal-form step, exercised for
+    real: the synthetic site renders PREPOSITIONAL-case city titles
+    ("Снять квартиру в Москве…" — cfg.inflect_city_headers, the real
+    site's shape, reference definer_cities_id.py:52-54), so the
+    definer pipeline must normalize each extracted form back to its
+    nominative.  Normalization is ONE literal-map Catalyst expression
+    over the 156-city vocabulary (semantics/morphru.py rule-generated
+    prepositional forms + identity fallback — the scoped pymorphy2
+    stand-in; engine/definers._normal_form_col).  Oracle: DuckDB
+    re-derives extraction + the reject cascade in SQL and undoes the
+    inflection via the pure-Python twin's dumped normalization map."""
+    import dataclasses
+
+    from cianparser_spark import truth
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine import definers
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG,
+                              inflect_city_headers=True)
+    lo, hi = truth.DEFINER_CITY_RANGE
+    return definers.define_cities(spark, lo, hi, cfg=cfg)
+
+
 def q_s9_definer_metro(spark, sf_dir):
     """S9: the metro id-definer pipeline (reference:
     definers/definer_metro_id.py:29-103) — probe metro[0]=id under
@@ -2483,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampled ones follow — evidence routing only, zero semantic
     # change (every entry is judge-green regardless of position).
     return {
+        "s9_definer_cities_inflected": q_s9_definer_cities_inflected,
         "sample_shuffle": q_sample_shuffle,
         "payload_phash_xformat": q_payload_phash_xformat,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2719,6 +2744,8 @@ def oracle_sql() -> dict[str, str]:
     link_graph_path = truth.ensure_link_graph_truth()
     metro_path = truth.ensure_metro_truth()
     defcity_path = truth.ensure_definer_cities_truth()
+    defcity_infl_path = truth.ensure_definer_cities_inflected_truth()
+    citynorm_path = truth.ensure_city_norm_map()
     defmetro_path = truth.ensure_definer_metro_truth()
     simhash_path = truth.ensure_simhash_truth()
     urlnorm_path = truth.ensure_urlnorm_truth()
@@ -3888,6 +3915,32 @@ def oracle_sql() -> dict[str, str]:
               AND NOT ({_definer_city_reject_sql()})
             GROUP BY location_name
             ORDER BY location_name
+        """,
+        # inflected variant: titles carry PREPOSITIONAL city names (the
+        # real site's rendering); the oracle re-derives extraction +
+        # rejects in SQL and undoes the inflection by joining the
+        # pure-Python morphology twin's dumped normalization map —
+        # the Spark side compiles the same vocabulary into a literal
+        # create_map expression instead (independent lookup machinery)
+        "s9_definer_cities_inflected": f"""
+            SELECT coalesce(m.nominative, x.location_name) AS location_name,
+                   min(x.probe_id) AS city_id
+            FROM (
+                SELECT regexp_extract(title,
+                        'нять квартиру в (.+?) на длительный срок', 1)
+                           AS location_name,
+                       probe_id
+                FROM read_parquet('{defcity_infl_path}')
+                WHERE title IS NOT NULL
+                  AND contains(title, 'АрендаСнять')
+                  AND NOT contains(title, 'в России')
+            ) x
+            LEFT JOIN read_parquet('{citynorm_path}') m
+              ON lower(x.location_name) = m.form
+            WHERE x.location_name <> ''
+              AND NOT ({_definer_city_reject_sql().replace("location_name", "x.location_name")})
+            GROUP BY 1
+            ORDER BY 1
         """,
         "s9_definer_metro": f"""
             SELECT city, metro_name, metro_id FROM (

@@ -88,6 +88,7 @@ HEADLINE = [
     "payload_verify", "payload_phash_dedup",
     "payload_phash_recompute", "payload_near_dup", "image_blocklist",
     "a5_progress", "j2_metro_join", "s9_definer_cities", "s9_definer_metro",
+    "s9_definer_cities_inflected",
     "payload_dup_clusters", "graph_pagerank", "export_shards",
     "stream_sessionization", "stream_admission", "image_tiles", "store_compaction",
     "agg_percentiles", "agg_rollup", "window_running", "crawl_recrawl",

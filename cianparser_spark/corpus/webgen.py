@@ -73,6 +73,13 @@ class WebConfig:
     # deterministic, so behavior is bit-identical either way; urls
     # missing from the snapshot fall through to live rendering.
     snapshot_path: str | None = None
+    # real-site fidelity toggle: render HeaderDefault city names in
+    # PREPOSITIONAL case ("Снять квартиру в Москве…"), as cian.ru
+    # does — forcing the definer pipeline to actually perform the
+    # reference's pymorphy2 normal-form step (semantics/morphru.py is
+    # the scoped stand-in).  Default False keeps the historical
+    # nominative rendering every existing oracle was pinned against.
+    inflect_city_headers: bool = False
 
 
 DEFAULT_CONFIG = WebConfig()
@@ -492,19 +499,26 @@ def _render_card_newobject(host: str, t: dict, city: str = "Город") -> str:
     )
 
 
-def header_title(region: str, deal_type: str) -> str | None:
+def header_title(region: str, deal_type: str,
+                 inflect: bool = False) -> str | None:
     """Region-aware HeaderDefault title (what the city definer mines,
     reference: definers/definer_cities_id.py:35-48).
 
     A known city id yields the rent-long form the definer's extraction
     markers expect; an unknown id yields — deterministically — either
     no header at all (the definer's empty-``offers`` skip) or a
-    region-level title that trips one of its reject substrings.  The
-    synthetic titles carry the city name in NOMINATIVE case, so the
-    reference's pymorphy2 normal-form step is the identity here
-    (documented deviation: real-site titles are prepositional)."""
+    region-level title that trips one of its reject substrings.  By
+    default titles carry the city name in NOMINATIVE case (pymorphy2
+    normal-form = identity, the documented historical deviation);
+    ``inflect`` renders the real site's PREPOSITIONAL form instead
+    (cfg.inflect_city_headers), which the definer must then normalize
+    back (semantics/morphru.py)."""
     name = region_city(region)
     if name is not None:
+        if inflect:
+            from cianparser_spark.semantics import morphru
+
+            name = morphru.prepositional_form(name)
         if deal_type == "sale":
             return f"ПродажаКупить квартиру в {name}"
         return f"АрендаСнять квартиру в {name} на длительный срок"
@@ -533,7 +547,9 @@ def render_list_page(url: str, cfg: WebConfig = DEFAULT_CONFIG, with_header: boo
             cards.append(_render_card_suburban(p["host"], deal, t, is_sale, city))
         else:
             cards.append(_render_card_flat(p["host"], deal, t, is_sale, city))
-    title = header_title(p["region"], p["deal_type"]) if with_header else None
+    title = (header_title(p["region"], p["deal_type"],
+                          inflect=cfg.inflect_city_headers)
+             if with_header else None)
     header = (
         f'<div data-name="HeaderDefault"><span>{title}</span></div>'
         if title is not None else ""

@@ -32,9 +32,18 @@ Deviations (documented):
   engine's politeness model is the per-host token budget; definer
   probes are bounded one-shot GETs, run at partition parallelism.
 * the reference normalizes the prepositional-case city via pymorphy2
-  (definer_cities_id.py:52-53); the synthetic site's titles carry the
-  nominative name (corpus/webgen.py:header_title), so normalization is
-  the identity here.
+  (definer_cities_id.py:52-53).  Implemented (round 4) as a scoped
+  rule-based stand-in: semantics/morphru.py generates each vocabulary
+  city's prepositional form and ``_normal_form_col`` compiles the
+  reverse lookup into one literal-map Catalyst expression (identity
+  fallback).  The synthetic site renders nominative titles by default
+  (normalization = identity, as before);
+  ``WebConfig.inflect_city_headers`` renders the real site's
+  prepositional titles, exercised end-to-end by the
+  ``s9_definer_cities_inflected`` contract query.  Out of scope
+  (documented): pymorphy2's general-vocabulary lemmatization — the
+  definer only ever normalizes city names, which the vocabulary map
+  covers exactly.
 * the reference re-writes the whole CSV after every discovery
   (save_results inside the loop) — an O(n²) incremental-save tic; the
   Spark job writes once at the end.  Its quirk of building a header
@@ -136,9 +145,30 @@ def _probe_df(spark: SparkSession, start_id: int, end_id: int,
     return ids.mapInPandas(kernel, f"probe_id long, {out_col} string")
 
 
+def _normal_form_col(city_col):
+    """The reference's pymorphy2 normal-form step
+    (definer_cities_id.py:52-54) as ONE Catalyst expression: a literal
+    ``create_map`` over the city vocabulary's (lowercased observed
+    form → nominative) pairs — both the prepositional and the
+    nominative spelling of every known city (semantics/morphru.py, the
+    scoped pymorphy2 stand-in) — with identity fallback.  Zero jobs,
+    zero Python: at definer scale the whole normalization is a map
+    probe inside codegen; on nominative-rendering sites it reduces to
+    the identity exactly like the reference's normal_form does."""
+    from cianparser_spark.semantics import morphru
+
+    m = morphru.city_normal_map(morphru.default_vocab())
+    pairs = []
+    for k, v in sorted(m.items()):
+        pairs += [F.lit(k), F.lit(v)]
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.lower(city_col)), city_col)
+
+
 def city_rows(raw: DataFrame) -> DataFrame:
-    """Catalyst reject cascade + extraction over raw probe titles →
-    ``(location_name, city_id)`` accepted rows (pre-dedup)."""
+    """Catalyst reject cascade + extraction + case normalization over
+    raw probe titles → ``(location_name, city_id)`` accepted rows
+    (pre-dedup)."""
     # the reference lowercases the title and searches "снять квартиру в "
     # (definer_cities_id.py:37-38); Java regex (?i) is ASCII-only, so we
     # anchor on the case-stable tail of the marker instead — matches the
@@ -151,10 +181,14 @@ def city_rows(raw: DataFrame) -> DataFrame:
     lc = F.lower(city)
     for sub in CITY_REJECT_SUBSTRINGS:
         reject = reject | lc.contains(sub)
+    # reject cascade runs on the RAW extracted (possibly inflected)
+    # city, THEN normalization — the reference's exact order
+    # (rejects :40-48 precede normal_form :52)
     return (
         raw.withColumn("location_name", city)
         .filter(~reject & (F.col("location_name") != ""))
-        .select("location_name", F.col("probe_id").alias("city_id"))
+        .select(_normal_form_col(F.col("location_name")).alias("location_name"),
+                F.col("probe_id").alias("city_id"))
     )
 
 

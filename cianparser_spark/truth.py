@@ -565,6 +565,53 @@ def ensure_definer_cities_truth() -> str:
     return _write_parquet(pd.DataFrame(rows, columns=["probe_id", "title"]), path)
 
 
+def ensure_definer_cities_inflected_truth() -> str:
+    """Raw city-definer probe titles with the REAL site's
+    prepositional-case rendering (cfg.inflect_city_headers) — the
+    input the reference's pymorphy2 normal-form step exists for.  The
+    DuckDB oracle re-derives extraction + rejects in SQL and undoes
+    the inflection via the dumped normalization map
+    (ensure_city_norm_map)."""
+    path = _path("definer_cities_infl")
+    if os.path.exists(path):
+        return path
+    import dataclasses
+
+    import pandas as pd
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine.definers import probe_city_title
+
+    cfg = dataclasses.replace(webgen.DEFAULT_CONFIG,
+                              inflect_city_headers=True)
+    lo, hi = DEFINER_CITY_RANGE
+    rows = [{"probe_id": i, "title": probe_city_title(i, cfg)}
+            for i in range(lo, hi + 1)]
+    return _write_parquet(pd.DataFrame(rows, columns=["probe_id", "title"]),
+                          path)
+
+
+def ensure_city_norm_map() -> str:
+    """The (lowercased observed form → nominative) city normalization
+    table as parquet — generated by the PURE-PYTHON morphology twin
+    (semantics/morphru.py), for the oracle's SQL join; the Spark side
+    compiles the same vocabulary into a literal create_map expression
+    (engine/definers._normal_form_col) — shared spec constants,
+    independent lookup machinery, same standard as the ann_lsh plane
+    literals."""
+    path = _path("city_norm_map")
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from cianparser_spark.semantics import morphru
+
+    m = morphru.city_normal_map(morphru.default_vocab())
+    rows = [{"form": k, "nominative": v} for k, v in sorted(m.items())]
+    return _write_parquet(pd.DataFrame(rows, columns=["form", "nominative"]),
+                          path)
+
+
 def ensure_definer_metro_truth() -> str:
     """Raw metro-definer probe results ``(probe_id, address)`` for the
     DuckDB-side extraction + first-wins oracle."""

@@ -120,3 +120,79 @@ def test_probe_faults_are_single_shot():
     url = definers.CITY_PROBE_URL.format(id=5020)  # Тула: 500 at attempt 0
     assert W.status_for(url, 0) == 500
     assert definers.probe_city_title(5020, W.DEFAULT_CONFIG) is None
+
+
+# --------------------------- pymorphy2 stand-in (semantics/morphru.py)
+
+def test_morphru_hand_checked_forms():
+    """Lock a hand-verified sample of real Russian prepositional
+    forms — a declension-rule regression must fail loudly here, not
+    inside an oracle diff."""
+    from cianparser_spark.semantics import morphru
+
+    expected = {
+        "Москва": "Москве",
+        "Казань": "Казани",
+        "Санкт-Петербург": "Санкт-Петербурге",
+        "Нижний Новгород": "Нижнем Новгороде",
+        "Великий Новгород": "Великом Новгороде",
+        "Набережные Челны": "Набережных Челнах",
+        "Ростов-на-Дону": "Ростове-на-Дону",
+        "Петропавловск-Камчатский": "Петропавловске-Камчатском",
+        "Ярославль": "Ярославле",
+        "Ставрополь": "Ставрополе",
+        "Пермь": "Перми",
+        "Тверь": "Твери",
+        "Орёл": "Орле",
+        "Череповец": "Череповце",
+        "Электросталь": "Электростали",
+        "Анадырь": "Анадыре",
+        "Сочи": "Сочи",
+        "Тольятти": "Тольятти",
+        "Улан-Удэ": "Улан-Удэ",
+        "Грозный": "Грозном",
+        "Видное": "Видном",
+        "Люберцы": "Люберцах",
+        "Химки": "Химках",
+        "Мытищи": "Мытищах",
+        "Кемерово": "Кемерове",
+        "Йошкар-Ола": "Йошкар-Оле",
+        "Аксай": "Аксае",
+        "Новосибирск": "Новосибирске",
+    }
+    for nom, prep in expected.items():
+        assert morphru.prepositional_form(nom) == prep, nom
+
+
+def test_morphru_vocabulary_roundtrip():
+    """Every vocabulary city's generated form maps back to exactly its
+    own nominative, and nominative identity entries survive collisions
+    — the two invariants the definer's normalization relies on."""
+    from cianparser_spark.semantics import morphru
+
+    vocab = morphru.default_vocab()
+    assert len(vocab) == 156
+    for c in vocab:
+        assert morphru.normal_form_city(morphru.prepositional_form(c)) == c
+        assert morphru.normal_form_city(c) == c  # identity on nominative
+
+
+def test_definer_inflected_titles_normalize(spark):
+    """End-to-end: prepositional-rendering site → definer pipeline →
+    nominative output identical to the nominative-rendering run (the
+    reference's normal_form contract)."""
+    import dataclasses
+
+    from cianparser_spark.corpus import webgen
+    from cianparser_spark.engine import definers
+
+    cfg_nom = webgen.DEFAULT_CONFIG
+    cfg_inf = dataclasses.replace(cfg_nom, inflect_city_headers=True)
+    nom = definers.define_cities(spark, 4630, 4700, cfg=cfg_nom).collect()
+    inf = definers.define_cities(spark, 4630, 4700, cfg=cfg_inf).collect()
+    assert [tuple(r) for r in nom] == [tuple(r) for r in inf]
+    assert len(nom) > 5
+    # sanity: the inflected site really serves inflected titles
+    t = definers.probe_city_title(4671, cfg_inf)  # Казань's id band
+    t_nom = definers.probe_city_title(4671, cfg_nom)
+    assert t != t_nom
