@@ -2626,11 +2626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOPWORDS_SQL = "('the','a','of','and','is','to','in')"
 _QUALITY_CORE = """
-  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+  len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tok,
   length(text) AS n_chars,
-  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+  len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
       x -> x IN {stop})) AS stop_hits,
-  length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS punct
+  length(regexp_replace(text, '[\\p{{L}}\\p{{N}} \\t\\n\\x0b\\f\\r]', '', 'g')) AS punct
 """.format(stop=_STOPWORDS_SQL)
 
 
@@ -2775,7 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "zh": "('的','和','是','了','在')",
     }
     lang_scores = ",\n".join(
-        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), "
         f"x -> x IN {markers[lang]})) AS s_{lang}"
         for lang in langs
     )
@@ -2896,12 +2896,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_topk": """
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+                       range(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+3])))) AS shingle
               FROM documents
-              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+              WHERE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -2931,9 +2931,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                   greatest(len(regexp_split_to_array(trim(text), '\\s+')),
-                            CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS INT)
+                   len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+                   greatest(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')),
+                            CAST(ceil(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) / 4.0) AS INT)
                    )::BIGINT AS n_subtokens
             FROM documents
         """,
@@ -2954,7 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                   md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
         # PII scrub twin: identical injection, identical patterns (the
@@ -2992,7 +2992,7 @@ def oracle_sql() -> dict[str, str]:
               (3,'window'),(3,'sort'),(3,'stream')),
             words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                  w -> w <> '') AS ws
               FROM documents
             ),
@@ -3028,7 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                  w -> w <> '') AS ws
               FROM documents
             ),
@@ -3053,7 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": """
             WITH words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                  w -> w <> '') AS ws
               FROM documents
             ),
@@ -3168,7 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": """
             WITH words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                  w -> w <> '') AS ws,
                      length(trim(text)) AS nc
               FROM documents
@@ -3240,12 +3240,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": """
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+                       range(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+3])))) AS shingle
               FROM documents
-              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+              WHERE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -3265,12 +3265,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": f"""
             WITH RECURSIVE sh AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+                       range(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+3])))) AS shingle
               FROM documents
-              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+              WHERE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -3324,12 +3324,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": f"""
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+                       range(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+3])))) AS shingle
               FROM documents
-              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+              WHERE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -4074,8 +4074,9 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(
                            regexp_replace(lower(caption),
                                '(\\d),(\\d)', '\\1.\\2', 'g'),
-                           '[^\\p{{L}}\\p{{N}}\\s.\\-²]', ' ', 'g'),
-                       '\\s+', ' ', 'g')) AS caption_norm
+                           '[^\\p{{L}}\\p{{N}} \\t\\n\\x0b\\f\\r.\\-²]',
+                           ' ', 'g'),
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS caption_norm
             FROM read_parquet('{images_meta_path}')
             ORDER BY image_id
         """,
@@ -4099,12 +4100,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_admission": f"""
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-                       i -> concat(regexp_split_to_array(trim(text), '\\s+')[i+1], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+2], ' ',
-                                   regexp_split_to_array(trim(text), '\\s+')[i+3])))) AS shingle
+                       range(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) - 2),
+                       i -> concat(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+2], ' ',
+                                   regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+3])))) AS shingle
               FROM documents
-              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+              WHERE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -4121,7 +4122,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                  w -> w <> '') AS ws
               FROM documents
             ),
@@ -4311,7 +4312,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT source, tok FROM (
                     SELECT source,
                            unnest(regexp_split_to_array(
-                               trim(lower(text)), '\\s+')) AS tok
+                               trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
                     FROM documents
                     WHERE source IN {_VOCAB_SRCS_SQL})
             ), pairs(src_a, src_b) AS (VALUES {_VOCAB_PAIRS_SQL}),

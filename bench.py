@@ -153,18 +153,30 @@ def run_queries() -> tuple[dict, float, dict, dict, dict]:
 
         graph = _gb(spark, n_nodes=GRAPH_NODES, partitions=int(CPUS))
         print(f"  graph: {graph}", file=sys.stderr)
-    # metadata-scan microbench: header-bound (png_text_meta with the
-    # JVM-side head-bytes slice) vs decode-bound pass over the same
-    # 512x512 corpus; set SPARK_GRAFT_META_IMAGES=0 to skip.
-    meta: dict = {}
-    if META_IMAGES:
-        from cianparser_spark.bench_meta import run_bench as _mb
-
-        meta = _mb(spark, n_images=META_IMAGES, w=512, h=512)
-        print(f"  meta: {meta}", file=sys.stderr)
     # free the JVM + python workers so the scaling subprocesses measure
     # an otherwise-idle machine
     spark.stop()
+    # metadata-scan microbench: header-bound (png_text_meta with the
+    # JVM-side head-bytes slice) vs decode-bound pass over the same
+    # 512x512 corpus.  Runs in a FRESH subprocess JVM: inside the
+    # 114-query suite session the ratio measured session state, not
+    # the operators (accumulated JVM heap/GC pressure inflated the
+    # capped meta pass ~3x and warm python workers deflated decode —
+    # recorded 0.3 in-suite vs 3.5-6.2 fresh on the same box+code).
+    # Same isolation rationale as the fresh-JVM family mode.
+    # SPARK_GRAFT_META_IMAGES=0 skips.
+    meta: dict = {}
+    if META_IMAGES:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "cianparser_spark.bench_meta",
+                 str(META_IMAGES), "512"],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            meta = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            meta = {"error": str(e)[:200]}
+        print(f"  meta: {meta}", file=sys.stderr)
     return times, total, frontier, graph, meta
 
 
@@ -180,6 +192,16 @@ def run_only(names: list[str]) -> None:
     spark.range(0, 1_000_000, 1, int(CPUS)).selectExpr("sum(id)").collect()
     spark.range(0, int(CPUS) * 4, 1, int(CPUS)).mapInPandas(
         lambda it: it, "id long").count()
+    # the FULL suite warmup, including the columnar widen-plan compile
+    # run_queries applies — without it a crawl-prefixed family's first
+    # query would embed ~5-10 s of one-time janino codegen and the
+    # fresh-vs-suite delta would misattribute warmup to suite context
+    from cianparser_spark.engine import columnar, model
+
+    raw0 = spark.createDataFrame([], model.RAW_STAGE_SCHEMA)
+    dim0 = columnar.seed_dim(spark, {0: dict(
+        seed_id=0, kind="flat", deal="sale", location="x", suburban_type=None)})
+    columnar.widen(raw0, dim0).count()
     qs = entrymod.queries()
     times = {}
     for name in names:
@@ -470,7 +492,8 @@ def main() -> None:
         result["graph_cc_nodes_per_sec"] = graph["cc_nodes_per_sec"]
         result["graph_pr_node_iters_per_sec"] = graph["pr_node_iters_per_sec"]
     if meta:
-        result["meta_over_decode_speedup"] = meta["meta_over_decode_speedup"]
+        result["meta_over_decode_speedup"] = \
+            meta.get("meta_over_decode_speedup")
         result["meta_over_decode_cpu_speedup"] = \
             meta.get("meta_over_decode_cpu_speedup")
     if fresh:

@@ -308,19 +308,12 @@ def _build_partials_i64(new_keys: DataFrame, n_buckets: int,
 def _or_merge_blobs(prev: DataFrame, partial: DataFrame) -> DataFrame:
     """Executor-side OR-merge of the committed blob table with this
     wave's partials — one bounded exchange of O(buckets) blob rows;
-    nothing reaches the driver."""
-    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        blobs = [np.frombuffer(memoryview(b)[16:], np.uint8)
-                 for b in pdf["blob"]]
-        acc = blobs[0].copy()
-        for b in blobs[1:]:
-            acc |= b
-        head = bytes(pdf["blob"].iloc[0][:16])
-        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
-                             "blob": [head + acc.tobytes()]})
+    nothing reaches the driver.  Kernel = bloom.or_merge_blob_group,
+    the single definition of the blob-format merge."""
+    from cianparser_spark.engine.bloom import or_merge_blob_group
 
     return (prev.unionByName(partial).groupBy("bucket")
-            .applyInPandas(or_merge, "bucket long, blob binary"))
+            .applyInPandas(or_merge_blob_group, "bucket long, blob binary"))
 
 
 def _spool_probe_udf(dirs: tuple, n_buckets: int):

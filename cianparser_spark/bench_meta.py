@@ -43,19 +43,20 @@ import time
 
 
 def _tree_cpu_seconds() -> float:
-    """Total CPU (utime+stime) of this process and every live
-    descendant — driver, in-process JVM threads, and the Python worker
-    pool — via /proc.  Dead-child time is folded in by the kernel's
-    cutime/cstime of the survivors' parents (rusage children), so a
-    delta across a pass is a faithful executor-CPU measure on Linux.
-    """
+    """Total CPU of this process tree — driver, in-process JVM
+    threads, and the Python worker pool — via /proc.  For every LIVE
+    descendant we sum utime+stime (its own CPU) AND cutime+cstime (CPU
+    of its already-REAPED children — e.g. a Python worker restarted
+    mid-pass folds into the surviving JVM's cutime), plus
+    RUSAGE_CHILDREN of the driver for dead direct children.  A live
+    process's own time never appears in any parent's cutime, so the
+    sum is overlap-free; a delta across a pass is a faithful
+    executor-CPU measure on Linux."""
     import resource
 
     me = resource.getrusage(resource.RUSAGE_SELF)
     kids = resource.getrusage(resource.RUSAGE_CHILDREN)
     total = me.ru_utime + me.ru_stime + kids.ru_utime + kids.ru_stime
-    # live descendants (the JVM and its python workers) aren't in
-    # RUSAGE_CHILDREN until they exit — walk /proc for them
     my_pid = os.getpid()
     children: dict[int, int] = {}
     procs: list[tuple[int, float]] = []
@@ -67,12 +68,13 @@ def _tree_cpu_seconds() -> float:
                 with open(f"/proc/{d}/stat") as fh:
                     parts = fh.read().rsplit(") ", 1)[1].split()
                 ppid = int(parts[1])
-                utime, stime = int(parts[11]), int(parts[12])
+                # utime, stime, cutime, cstime = fields 14-17 (1-based)
+                ticks = sum(int(parts[i]) for i in (11, 12, 13, 14))
             except (OSError, IndexError, ValueError):
                 continue
             pid = int(d)
             children[pid] = ppid
-            procs.append((pid, (utime + stime) / os.sysconf("SC_CLK_TCK")))
+            procs.append((pid, ticks / os.sysconf("SC_CLK_TCK")))
     except OSError:
         return total
     # transitive-descendant test

@@ -188,6 +188,41 @@ class PartitionedBloom:
         return cls(len(blobs), [BloomFilter.from_bytes(b) for b in blobs])
 
 
+def or_merge_blob_group(pdf) -> "pd.DataFrame":
+    """applyInPandas kernel: OR-merge one bucket's blob rows into one
+    blob.  Lives HERE, beside ``to_bytes``/``from_bytes``, because it
+    hard-codes the 16-byte (n_bits, n_hashes) header of the blob
+    format — the crawler's spool merge and the frontier scale bench
+    both use this single definition.
+
+    Refuses mismatched filter geometries loudly: blobs of different
+    ``n_bits`` cannot OR (a silent truncating merge would turn Bloom
+    false-positives into FALSE NEGATIVES, i.e. dropped dedup keys).
+    The legitimate path to a new ``bloom_bits`` on an existing store
+    is a sidecar REBUILD from the exact seen table
+    (crawler._update_bloom_spark handles that automatically)."""
+    bodies = [np.frombuffer(memoryview(b)[16:], np.uint8)
+              for b in pdf["blob"]]
+    sizes = {b.size for b in bodies}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"bloom blob geometry mismatch in bucket "
+            f"{int(pdf['bucket'].iloc[0])}: body sizes {sorted(sizes)} — "
+            "bloom_bits changed across waves; rebuild the sidecar from "
+            "the seen table instead of merging")
+    acc = bodies[0].copy()
+    for b in bodies[1:]:
+        acc |= b
+    head = bytes(pdf["blob"].iloc[0][:16])
+    return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                         "blob": [head + acc.tobytes()]})
+
+
+def blob_n_bits(blob: bytes) -> int:
+    """The ``n_bits`` a serialized blob was built with (header peek)."""
+    return int(np.frombuffer(memoryview(blob)[:16], np.int64)[0])
+
+
 # ------------------------------------------------- executor-side spool probe
 
 # One blob GENERATION per executor process: the probe UDF ships only

@@ -2101,17 +2101,55 @@ class CrawlEngine:
 
         return build
 
+    def _stored_bloom_bits(self) -> int | None:
+        """``n_bits`` of the committed sidecar's first blob (header
+        peek via pyarrow — one tiny driver read, no Spark job), or
+        None when no sidecar is committed."""
+        import pyarrow.parquet as pq
+
+        from cianparser_spark.engine.bloom import blob_n_bits
+
+        for d in self.store.table_paths("bloom"):
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                tb = pq.read_table(os.path.join(d, fname), columns=["blob"])
+                if tb.num_rows:
+                    return blob_n_bits(tb.column("blob")[0].as_py())
+        return None
+
     def _update_bloom_spark(self, seen_new: DataFrame,
                             fresh: bool = False) -> DataFrame:
         """SPOOL-mode sidecar merge, fully executor-side: partial
         per-bucket filters from this wave's keys UNION the committed
-        blob table, OR-merged per bucket with applyInPandas, returned
-        as the replacement blob DataFrame (WaveStore writes it with a
-        Spark job).  The driver schedules two stages and holds zero
-        blob bytes — per-wave driver time is flat in filter size, the
-        executor-side cost is one bounded exchange of
+        blob table, OR-merged per bucket with applyInPandas
+        (bloom.or_merge_blob_group — the single definition of the blob
+        merge), returned as the replacement blob DataFrame (WaveStore
+        writes it with a Spark job).  The driver schedules two stages
+        and holds zero blob bytes — per-wave driver time is flat in
+        filter size, the executor-side cost is one bounded exchange of
         O(buckets × blob) rows.  ``fresh=True`` rebuilds from scratch
-        (re-crawl invalidation) instead of merging the old table."""
+        (re-crawl invalidation) instead of merging the old table.
+
+        A resumed store whose committed blobs were built at a
+        DIFFERENT ``bloom_bits`` (operator retuned the filter) cannot
+        OR-merge — the sidecar is REBUILT from the exact seen table
+        instead (old ∪ new keys), which preserves the bloom ⊇ seen
+        safety invariant at the cost of one seen-table pass."""
+        from cianparser_spark.engine.bloom import or_merge_blob_group
+
+        merge_prev = not fresh and bool(self._bloom_nonempty)
+        if merge_prev:
+            stored = self._stored_bloom_bits()
+            if stored is not None and stored != self.bloom_bits:
+                # geometry changed: rebuild from ALL seen keys (the
+                # committed table + this wave's delta); never OR
+                # mismatched blobs (bloom.or_merge_blob_group would
+                # refuse anyway — false negatives otherwise)
+                seen_new = self.store.read("seen") \
+                    .select("seed_id", "deal_url_id") \
+                    .unionByName(seen_new.select("seed_id", "deal_url_id"))
+                merge_prev = False
         partial = (
             seen_new.withColumn(
                 "bucket", self._bucket_udf()(
@@ -2120,23 +2158,10 @@ class CrawlEngine:
             .groupBy("bucket")
             .applyInPandas(self._bucket_build_fn(), "bucket long, blob binary")
         )
-        if fresh or not self._bloom_nonempty:
+        if not merge_prev:
             return partial
-
-        def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-
-            blobs = [np.frombuffer(memoryview(b)[16:], np.uint8)
-                     for b in pdf["blob"]]
-            acc = blobs[0].copy()
-            for b in blobs[1:]:
-                acc |= b
-            head = bytes(pdf["blob"].iloc[0][:16])  # (n_bits, n_hashes)
-            return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
-                                 "blob": [head + acc.tobytes()]})
-
         return (
             self.store.read("bloom").unionByName(partial)
             .groupBy("bucket")
-            .applyInPandas(or_merge, "bucket long, blob binary")
+            .applyInPandas(or_merge_blob_group, "bucket long, blob binary")
         )

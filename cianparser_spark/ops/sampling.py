@@ -182,13 +182,20 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     corpus exchange) plus broadcast per-partition row-count offsets.  Oracle: DuckDB's ``row_number() OVER (ORDER
     BY md5(...), id)`` recomputes the identical permutation.
 
-    The result rides on a persisted intermediate (the ranked exchange
-    feeds BOTH the offsets subtree and the final join); the CALLER
-    owns that cache — same contract as ``text.bpe_train``'s vocab.
-    Call ``release_epoch_shuffle(df)`` (or ``df.unpersist()`` on the
-    handle attached as ``df._epoch_cache``) once the epoch export is
-    materialized.
+    The ranked intermediate feeds BOTH the offsets subtree and the
+    final join, and the two consumers MUST see one materialization
+    (two executions of the range exchange can sample different
+    partitioner boundaries, making ``_off`` inconsistent with the
+    joined rows).  It is pinned by an EAGER spool write to
+    ``spark.local.dir`` scratch (narrow 4-column parquet, deleted on
+    session/OS temp cleanup) rather than ``persist()`` — a cached
+    frame would outlive the call with no owner to release it (the
+    round-3 advisory's leak); the spool also makes the op trivially
+    resumable.  The function is therefore EAGER: the exchange runs at
+    call time, the returned frame reads the spool.
     """
+    import tempfile
+
     id_type = dict(df.dtypes)[id_col]
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     d = (
@@ -208,20 +215,18 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
             yield pdf.assign(_rank=range(run + 1, run + n + 1))
             run += n
 
-    # persist: `local` feeds BOTH the offsets subtree and the final
-    # join.  Without it the range exchange instantiates twice — double
-    # compute at best, and if exchange reuse is off the two
-    # RangePartitioners can sample DIFFERENT boundaries, making _off
-    # inconsistent with the joined rows (pos no longer a permutation).
-    local = d.mapInPandas(
+    scratch = df.sparkSession.conf.get("spark.local.dir", None) or None
+    spool = tempfile.mkdtemp(prefix="epoch_shuffle_", dir=scratch)
+    d.mapInPandas(
         ranker, f"{id_col} {id_type}, _key string, _pid int, _rank long"
-    ).persist()
+    ).write.mode("overwrite").parquet(spool)
+    local = df.sparkSession.read.parquet(spool)
     counts = local.groupBy("_pid").agg(F.max("_rank").alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
     pos = (F.col("_off") + F.col("_rank") - 1).cast("long")
-    out = (
+    return (
         local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
         .select(
             id_col,
@@ -229,14 +234,3 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
             (pos % n_shards).cast("int").alias("shard"),
         )
     )
-    out._epoch_cache = local  # caller-owned; see release_epoch_shuffle
-    return out
-
-
-def release_epoch_shuffle(df: DataFrame) -> None:
-    """Release the persisted intermediate behind an ``epoch_shuffle``
-    result once it has been materialized (written/collected).  No-op
-    for frames without the cache handle."""
-    cache = getattr(df, "_epoch_cache", None)
-    if cache is not None:
-        cache.unpersist()

@@ -328,3 +328,37 @@ def test_bloom_spool_auto_threshold():
     big = CrawlEngine(spark, tempfile.mkdtemp(), [seed], BITMATCH_CFG,
                       bloom_buckets=64, bloom_bits=1 << 33)
     assert big.bloom_spool  # 64 x 1 GiB blobs must never hit the driver
+
+
+def test_bloom_spool_bits_change_rebuilds(spark, tmp_run_dir):
+    """An operator retuning bloom_bits on an existing spool store must
+    NOT OR mismatched blobs (silent false negatives = dropped dedup
+    keys); the sidecar is rebuilt from the exact seen table instead,
+    preserving bloom ⊇ seen.  The resumed crawl stays bit-identical
+    and the committed blobs carry the NEW geometry."""
+    from cianparser_spark.engine.bloom import blob_n_bits
+
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                       additional_settings={"end_page": 8})]
+    # universe big enough that every page carries cards (204 offers ≈
+    # 8 content pages) — the rebuild needs a mid-resume wave with
+    # BOTH new seen keys and pending pages (a wave only updates the
+    # sidecar when a later wave will consult it); cut after wave 1 so
+    # such waves exist
+    cfg = dataclasses.replace(BITMATCH_CFG, universe_base=300,
+                              universe_span=1)
+    e1 = CrawlEngine(spark, tmp_run_dir, seeds, cfg,
+                     host_tokens=2, bloom_spool=True, bloom_bits=1 << 17)
+    e1.run(max_waves=1)
+    assert e1.store.last_wave() == 1
+    blobs = e1.store.read("bloom").collect()
+    assert blobs and blob_n_bits(bytes(blobs[0]["blob"])) == 1 << 17
+    # resume at DOUBLE the filter size
+    e2 = CrawlEngine(spark, tmp_run_dir, seeds, cfg,
+                     host_tokens=2, bloom_spool=True, bloom_bits=1 << 18)
+    resumed = compat.to_reference_rows(e2.run(), seeds)
+    assert resumed == ReferenceSimulator(cfg).run(seeds).rows
+    blobs2 = e2.store.read("bloom").collect()
+    assert blobs2  # a rebuild-triggering wave really ran
+    for r in blobs2:
+        assert blob_n_bits(bytes(r["blob"])) == 1 << 18
