@@ -121,6 +121,17 @@ class ReferenceSimulator:
     def run(self, seeds: list[CrawlSeed]) -> SimResult:
         res = SimResult()
         for seed in seeds:
+            # each seed models ONE reference run (its own process, its
+            # own requests session) — per-URL fetch-attempt counters
+            # start fresh per run.  Leaking them across seeds made the
+            # oracle diverge from both the reference and the engine
+            # whenever two seeds shared URLs (fuzz seed 42 trial 9:
+            # two identical newobject seeds under attempt-indexed
+            # faults — the second seed's fetches started at advanced
+            # attempts and skipped fault indices the reference would
+            # hit).  The engine was already per-seed (frontier rows
+            # carry their own attempt), so this fixes the SIMULATOR.
+            self._fetch_counts = {}
             self._run_seed(seed, res)
         return res
 

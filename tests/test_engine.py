@@ -362,3 +362,23 @@ def test_bloom_spool_bits_change_rebuilds(spark, tmp_run_dir):
     assert blobs2  # a rebuild-triggering wave really ran
     for r in blobs2:
         assert blob_n_bits(bytes(r["blob"])) == 1 << 18
+
+
+def test_identical_seeds_independent_attempt_counters(spark, tmp_run_dir):
+    """Two IDENTICAL seeds = two independent reference runs: per-URL
+    fetch-attempt counters must start fresh per seed on BOTH sides
+    (fuzz seed 42 trial 9 found the simulator leaking counters across
+    seeds, making the oracle emit rows the reference never would).
+    Under attempt-indexed faults each seed must reproduce exactly the
+    single-seed outcome, twice."""
+    cfg = dataclasses.replace(W.DEFAULT_CONFIG, universe_base=60,
+                              universe_span=30, fail_500_mod=3,
+                              faults_on_details=True)
+    mk = lambda sid: CrawlSeed(sid, "Екатеринбург", "newobject", "sale")
+    solo = ReferenceSimulator(cfg).run([mk(1)])
+    both = ReferenceSimulator(cfg).run([mk(1), mk(2)])
+    assert len(both.rows) == 2 * len(solo.rows)
+    assert both.rows[:len(solo.rows)] == solo.rows
+    eng = CrawlEngine(spark, tmp_run_dir, [mk(1), mk(2)], cfg, host_tokens=3)
+    rows = compat.to_reference_rows(eng.run(), [mk(1), mk(2)])
+    assert rows == both.rows
