@@ -15,6 +15,11 @@ from cianparser_spark.engine.session import get_spark  # noqa: E402
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 PICKS = [
+    ("s9_definer_cities_inflected", "the pymorphy2 normal-form stand-in is ONE "
+     "literal create_map probe inside whole-stage codegen (309 entries folded "
+     "into the plan) — zero jobs, zero Python, zero shuffle beyond the "
+     "first-wins aggregate; at 10^6 probes the normalization costs nothing "
+     "over the nominative path"),
     ("u7_filter_pushdown", "filters reach the parquet scan (PushedFilters), "
      "partial aggregation before the single-row exchange"),
     ("p12_projection", "column pruning: ReadSchema carries only the 3 selected "
