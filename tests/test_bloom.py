@@ -54,3 +54,30 @@ def test_cuckoo_supports_delete():
     assert ck.remove("u7")
     assert not ck.contains("u7")
     assert ck.contains("u8")
+
+
+def test_or_merge_blob_group_refuses_mismatched_geometry():
+    """OR-merging blobs of different n_bits must refuse loudly — a
+    silent truncating merge would turn Bloom false-positives into
+    false NEGATIVES (dropped dedup keys)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from cianparser_spark.engine.bloom import (
+        BloomFilter, blob_n_bits, or_merge_blob_group)
+
+    a = BloomFilter(1 << 12)
+    b = BloomFilter(1 << 12)
+    a.add(np.asarray(["x", "y"], dtype=object))
+    b.add(np.asarray(["z"], dtype=object))
+    merged = or_merge_blob_group(pd.DataFrame(
+        {"bucket": [3, 3], "blob": [a.to_bytes(), b.to_bytes()]}))
+    m = BloomFilter.from_bytes(bytes(merged["blob"].iloc[0]))
+    assert m.contains(["x", "y", "z"]).all()
+    assert blob_n_bits(merged["blob"].iloc[0]) == 1 << 12
+
+    c = BloomFilter(1 << 13)  # different geometry
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        or_merge_blob_group(pd.DataFrame(
+            {"bucket": [3, 3], "blob": [a.to_bytes(), c.to_bytes()]}))
