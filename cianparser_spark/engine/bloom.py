@@ -201,21 +201,24 @@ def or_merge_blob_group(pdf) -> "pd.DataFrame":
     The legitimate path to a new ``bloom_bits`` on an existing store
     is a sidecar REBUILD from the exact seen table
     (crawler._update_bloom_spark handles that automatically)."""
-    bodies = [np.frombuffer(memoryview(b)[16:], np.uint8)
-              for b in pdf["blob"]]
-    sizes = {b.size for b in bodies}
-    if len(sizes) != 1:
+    heads = {bytes(b[:16]) for b in pdf["blob"]}
+    if len(heads) != 1:
+        # compare the (n_bits, n_hashes) HEADERS, not derived body
+        # sizes — distinct n_bits can round to the same byte count,
+        # and an n_hashes mismatch has no size signature at all
+        geoms = sorted(tuple(np.frombuffer(h, np.int64)) for h in heads)
         raise ValueError(
             f"bloom blob geometry mismatch in bucket "
-            f"{int(pdf['bucket'].iloc[0])}: body sizes {sorted(sizes)} — "
-            "bloom_bits changed across waves; rebuild the sidecar from "
-            "the seen table instead of merging")
+            f"{int(pdf['bucket'].iloc[0])}: (n_bits, n_hashes) {geoms} — "
+            "filter geometry changed across waves; rebuild the sidecar "
+            "from the seen table instead of merging")
+    bodies = [np.frombuffer(memoryview(b)[16:], np.uint8)
+              for b in pdf["blob"]]
     acc = bodies[0].copy()
     for b in bodies[1:]:
         acc |= b
-    head = bytes(pdf["blob"].iloc[0][:16])
     return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
-                         "blob": [head + acc.tobytes()]})
+                         "blob": [heads.pop() + acc.tobytes()]})
 
 
 def blob_n_bits(blob: bytes) -> int:

@@ -2057,10 +2057,23 @@ class CrawlEngine:
         for r in partial:
             b = int(r["bucket"])
             incoming = BloomFilter.from_bytes(bytes(r["blob"]))
-            if b in merged:
-                merged[b].bits |= incoming.bits
-            else:
+            have = merged.get(b)
+            if have is None:
                 merged[b] = incoming
+            elif have.n_bits == incoming.n_bits:
+                have.bits |= incoming.bits
+            else:
+                # operator retuned bloom_bits on a resumed store:
+                # per-bucket filters are self-describing so MIXED
+                # geometries probe fine, but same-bucket blobs cannot
+                # OR.  SATURATE the bucket (all maybe-seen → exact
+                # anti-join) — bloom ⊇ seen holds trivially; the
+                # bucket's prefilter win is lost until a rebuild
+                # (invalidate_and_recrawl) restores it.  Never a
+                # crash, never a false negative.
+                sat = BloomFilter(incoming.n_bits, incoming.n_hashes)
+                sat.bits[:] = 0xFF
+                merged[b] = sat
         rows = [(b, f.to_bytes()) for b, f in sorted(merged.items())]
         # (rows, schema) = WaveStore local-write path: the merged blobs
         # live on the driver already; a Spark job to write them is pure
@@ -2103,20 +2116,35 @@ class CrawlEngine:
 
     def _stored_bloom_bits(self) -> int | None:
         """``n_bits`` of the committed sidecar's first blob (header
-        peek via pyarrow — one tiny driver read, no Spark job), or
-        None when no sidecar is committed."""
+        peek: one pyarrow batch of ONE row, never the whole blob
+        column), or None when no sidecar is committed.  Checked at
+        most once per run (``bloom_bits`` is fixed for the engine's
+        lifetime and every wave after the first writes the configured
+        geometry), so the driver touches blob bytes O(1) times, not
+        per wave."""
+        if getattr(self, "_stored_bits_cache", False) is not False:
+            return self._stored_bits_cache
         import pyarrow.parquet as pq
 
         from cianparser_spark.engine.bloom import blob_n_bits
 
+        found = None
         for d in self.store.table_paths("bloom"):
             for fname in sorted(os.listdir(d)):
                 if not fname.endswith(".parquet"):
                     continue
-                tb = pq.read_table(os.path.join(d, fname), columns=["blob"])
-                if tb.num_rows:
-                    return blob_n_bits(tb.column("blob")[0].as_py())
-        return None
+                pf = pq.ParquetFile(os.path.join(d, fname))
+                for batch in pf.iter_batches(batch_size=1,
+                                             columns=["blob"]):
+                    if batch.num_rows:
+                        found = blob_n_bits(batch.column(0)[0].as_py())
+                        break
+                if found is not None:
+                    break
+            if found is not None:
+                break
+        self._stored_bits_cache = found
+        return found
 
     def _update_bloom_spark(self, seen_new: DataFrame,
                             fresh: bool = False) -> DataFrame:
@@ -2145,11 +2173,14 @@ class CrawlEngine:
                 # geometry changed: rebuild from ALL seen keys (the
                 # committed table + this wave's delta); never OR
                 # mismatched blobs (bloom.or_merge_blob_group would
-                # refuse anyway — false negatives otherwise)
+                # refuse anyway — false negatives otherwise).  The
+                # rebuild writes the configured geometry, so later
+                # waves merge normally (cache updated).
                 seen_new = self.store.read("seen") \
                     .select("seed_id", "deal_url_id") \
                     .unionByName(seen_new.select("seed_id", "deal_url_id"))
                 merge_prev = False
+                self._stored_bits_cache = self.bloom_bits
         partial = (
             seen_new.withColumn(
                 "bucket", self._bucket_udf()(

@@ -159,8 +159,36 @@ def mixture_sample(df: DataFrame, group_col: str, id_col: str,
     )
 
 
+# spool directories created by epoch_shuffle, released by
+# purge_epoch_spools() (and best-effort at interpreter exit)
+_EPOCH_SPOOLS: list[str] = []
+
+
+def purge_epoch_spools() -> int:
+    """Delete every spool directory epoch_shuffle has written in this
+    process — call between epochs once the export is materialized.
+    Returns the number of directories removed."""
+    import shutil
+
+    n = 0
+    while _EPOCH_SPOOLS:
+        d = _EPOCH_SPOOLS.pop()
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
+
+
+def _register_epoch_spool(d: str) -> None:
+    if not _EPOCH_SPOOLS:
+        import atexit
+
+        atexit.register(purge_epoch_spools)
+    _EPOCH_SPOOLS.append(d)
+
+
 def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
-                  salt: str = "epoch0", n_shards: int = 8) -> DataFrame:
+                  salt: str = "epoch0", n_shards: int = 8,
+                  scratch_dir: str | None = None) -> DataFrame:
     """Deterministic global training shuffle: a reproducible
     permutation of the corpus (the step between "assembled dataset"
     and "epoch export" — every trainer consumes the data in a shuffled
@@ -186,13 +214,21 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     final join, and the two consumers MUST see one materialization
     (two executions of the range exchange can sample different
     partitioner boundaries, making ``_off`` inconsistent with the
-    joined rows).  It is pinned by an EAGER spool write to
-    ``spark.local.dir`` scratch (narrow 4-column parquet, deleted on
-    session/OS temp cleanup) rather than ``persist()`` — a cached
-    frame would outlive the call with no owner to release it (the
-    round-3 advisory's leak); the spool also makes the op trivially
-    resumable.  The function is therefore EAGER: the exchange runs at
-    call time, the returned frame reads the spool.
+    joined rows).  It is pinned by an EAGER spool write (narrow
+    3-column parquet — the md5 key is dropped after ranking) rather
+    than ``persist()`` — a cached frame would outlive the call with
+    no owner to release it (the round-3 advisory's leak: Spark's
+    CacheManager holds plan-keyed entries until an explicit
+    unpersist).  Release spools with ``purge_epoch_spools()`` between
+    epochs; a best-effort atexit purge covers the rest.
+
+    ``scratch_dir`` must be CLUSTER-VISIBLE storage on a multi-node
+    deployment (the warehouse scratch, S3/HDFS) — executors write the
+    spool and the driver-side plan reads it back.  The single-node
+    default (a driver-local temp dir, first ``spark.local.dir`` entry
+    when set) is exactly the sandbox's shared filesystem.  The
+    function is therefore EAGER: the exchange runs at call time, the
+    returned frame reads the spool.
     """
     import tempfile
 
@@ -207,18 +243,27 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
 
     # partition-local 1-based rank via an Arrow batch counter — NOT a
     # Window.partitionBy(_pid), which would re-exchange the whole
-    # corpus on _pid (the rows are already range-partitioned + sorted)
+    # corpus on _pid (the rows are already range-partitioned + sorted).
+    # _key is consumed by the ordering and DROPPED here: spooling the
+    # 32-char md5 would inflate the write+read for nothing.
     def ranker(iterator):
         run = 0
         for pdf in iterator:
             n = len(pdf)
-            yield pdf.assign(_rank=range(run + 1, run + n + 1))
+            yield pdf.drop(columns=["_key"]).assign(
+                _rank=range(run + 1, run + n + 1))
             run += n
 
-    scratch = df.sparkSession.conf.get("spark.local.dir", None) or None
-    spool = tempfile.mkdtemp(prefix="epoch_shuffle_", dir=scratch)
+    if scratch_dir is None:
+        # spark.local.dir may be a comma list of per-disk roots; any
+        # single entry works for a driver-local spool
+        local_dir = (df.sparkSession.conf.get("spark.local.dir", None)
+                     or "").split(",")[0].strip() or None
+        scratch_dir = local_dir
+    spool = tempfile.mkdtemp(prefix="epoch_shuffle_", dir=scratch_dir)
+    _register_epoch_spool(spool)
     d.mapInPandas(
-        ranker, f"{id_col} {id_type}, _key string, _pid int, _rank long"
+        ranker, f"{id_col} {id_type}, _pid int, _rank long"
     ).write.mode("overwrite").parquet(spool)
     local = df.sparkSession.read.parquet(spool)
     counts = local.groupBy("_pid").agg(F.max("_rank").alias("_n"))
