@@ -366,11 +366,13 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
     """
     import pickle
 
+    from cianparser_spark.engine import seenidx
+
     par = spark.sparkContext.defaultParallelism * 2
     per_wave = n_keys // n_waves
     own_scratch = scratch is None
     scratch = scratch or tempfile.mkdtemp(prefix="bench_frontier_scale_")
-    seen_dirs: list[str] = []
+    idx_root = os.path.join(scratch, "seenidx")
     blob_dir = None
     waves = []
     for w in range(n_waves):
@@ -379,7 +381,15 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         # owns write throughput; this bench isolates merge+probe)
         sd = os.path.join(scratch, f"seen-w{w}")
         _key_df(spark, lo, hi, par).write.mode("overwrite").parquet(sd)
-        seen_dirs.append(sd)
+
+        # --- exact-tier sorted-run index: one run per bucket from this
+        # wave's delta, written executor-side (cost ∝ delta, like the
+        # Bloom merge).  This is what makes the exact leg of the
+        # membership wave flat in seen-set size (VERDICT r04 ask #1).
+        t0 = time.time()
+        seenidx.write_runs(spark.read.parquet(sd), idx_root, n_buckets,
+                           f"w{w:04d}")
+        t_index = time.time() - t0
 
         # --- executor-side sidecar merge
         t0 = time.time()
@@ -403,7 +413,6 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         half = probe_per_wave // 2
         cand = _key_df(spark, hi - half, hi, par).unionByName(
             _key_df(spark, n_keys + w * half, n_keys + (w + 1) * half, par))
-        seen = spark.read.parquet(*seen_dirs)
         probe = _spool_probe_udf((blob_dir,), n_buckets)
         # (a) the SIDECAR path alone (prefilter pass) — this is the
         # machinery whose per-wave cost must stay flat as the filter
@@ -412,22 +421,25 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         maybe_n = cand.select(probe(F.col("key")).alias("m")) \
             .filter("m").count()
         t_prefilter = time.time() - t0
-        # (b) the full membership wave: prefilter + exact anti-join of
-        # the maybe-seen sliver.  The join's seen-side scan grows with
-        # the corpus — at 10^10 that table is bucketed on key so the
-        # join is a co-located per-bucket lookup; the bench reports it
-        # separately so the sidecar's flatness is not conflated with
-        # the (storage-layout-owned) join cost.
+        # (b) the full membership wave, ONE map-only pass: Bloom
+        # prefilter + sorted-run EXACT probe of the maybe-seen sliver
+        # (engine/seenidx.py).  This replaces r04's per-wave
+        # ``left_anti`` against the full seen table — O(seen) scan +
+        # shuffle per wave, whose member_s grew 73→132 s as seen went
+        # 25M→100M (BENCH/frontier_scale_r4.json).  The index probe
+        # touches O(probe × log(run)) pages via memmap searchsorted,
+        # so member_s is bounded by probe size and FLAT in seen size;
+        # no shuffle, no hash-relation build, closure carries paths
+        # only.  Exactness rides on the sorted runs (all seen keys),
+        # not the Bloom — pinned by tests/test_bench_frontier.py and
+        # the per-wave fresh-count assertion below.
         t0 = time.time()
-        keyed = cand.withColumn("_maybe", probe(F.col("key")))
-        fresh = keyed.filter(~F.col("_maybe")).drop("_maybe")
-        suspect = keyed.filter(F.col("_maybe")).drop("_maybe")
-        checked = suspect.join(seen, ["key"], "left_anti")
+        fresh_f = seenidx.fresh_udf((blob_dir,), (idx_root,), w, n_buckets)
+        out = cand.filter(fresh_f(F.col("key")))
         from pyspark.sql import Observation
 
         obs = Observation(f"scale-w{w}")
-        out = fresh.unionByName(checked).observe(
-            obs, F.count(F.lit(1)).alias("fresh"))
+        out = out.observe(obs, F.count(F.lit(1)).alias("fresh"))
         out.write.format("noop").mode("overwrite").save()
         t_member = time.time() - t0
         fresh_n = int(obs.get["fresh"])
@@ -436,6 +448,7 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         assert fresh_n == half, (w, fresh_n, half)
         waves.append({
             "wave": w, "seen_total": hi,
+            "index_s": round(t_index, 2),
             "merge_s": round(t_merge, 2),
             "prefilter_s": round(t_prefilter, 2),
             "prefilter_keys_per_sec": round(probe_per_wave / t_prefilter),
@@ -450,6 +463,7 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         for f in os.listdir(blob_dir) if f.endswith(".parquet"))
     merges = [w["merge_s"] for w in waves]
     pres = [w["prefilter_s"] for w in waves]
+    mems = [w["member_s"] for w in waves]
     res = {
         "n_keys": n_keys, "n_waves": n_waves,
         "probe_per_wave": probe_per_wave,
@@ -460,6 +474,7 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         "waves": waves,
         "merge_flat_ratio": round(merges[-1] / merges[0], 3),
         "prefilter_flat_ratio": round(pres[-1] / pres[0], 3),
+        "member_flat_ratio": round(mems[-1] / mems[0], 3),
         "driver_blob_bytes_max": 0,
     }
     if own_scratch:

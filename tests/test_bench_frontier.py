@@ -80,3 +80,67 @@ def test_scale_bench_small(spark, tmp_path):
     assert res["driver_blob_bytes_max"] == 0
     assert all(w["probe_closure_bytes"] < 1024 for w in res["waves"])
     assert res["blob_table_mbytes_on_disk"] > 0
+
+
+# ----------------------------------------------------- sorted-run exact tier
+
+def test_seenidx_probe_equals_exact_anti_join(spark, frames, tmp_path):
+    """engine/seenidx: the sorted-run exact probe must agree with a
+    plain left_anti join key-for-key — it IS the exact tier of the
+    membership wave (replacing the per-wave full-table join)."""
+    from cianparser_spark.engine import seenidx
+
+    cand, seen, want = frames
+    root = str(tmp_path / "idx")
+    n = seenidx.write_runs(seen, root, 8, "w0")
+    assert n == seen.count()
+    fu = seenidx.fresh_udf((), (root,), 0, 8)
+    got = cand.filter(fu(F.col("key")))
+    assert _checksum(got) == want
+
+
+def test_seenidx_multi_run_and_compaction(spark, tmp_path):
+    """Runs accumulate per wave; probe answers across runs, and
+    compaction (k-way merge to one run per bucket) preserves every
+    answer bit-for-bit."""
+    from cianparser_spark.engine import seenidx
+
+    cand = _candidates(spark, 4000, 4).cache()
+    root = str(tmp_path / "idx")
+    seenidx.write_runs(cand.filter("id % 3 = 0").select("key"), root, 4, "w0")
+    seenidx.write_runs(cand.filter("id % 3 = 1").select("key"), root, 4, "w1")
+    oracle = cand.filter("id % 3 = 2")
+    fu = seenidx.fresh_udf((), (root,), 1, 4)
+    got = cand.filter(fu(F.col("key")))
+    assert _checksum(got) == _checksum(oracle)
+    assert seenidx.compact(spark, root, 4, min_runs=2) == 4
+    fu2 = seenidx.fresh_udf((), (root,), 2, 4)
+    got2 = cand.filter(fu2(F.col("key")))
+    assert _checksum(got2) == _checksum(oracle)
+
+
+def test_seenidx_saturated_bloom_exactness(spark, frames, tmp_path):
+    """Exactness must ride the sorted runs, not the Bloom: with a
+    fully saturated Bloom tier (every probe answers maybe-seen) the
+    combined fresh filter still returns the exact anti-join answer."""
+    import os
+
+    from cianparser_spark.engine import seenidx
+    from cianparser_spark.engine.bloom import BloomFilter
+
+    cand, seen, want = frames
+    root = str(tmp_path / "idx")
+    seenidx.write_runs(seen, root, 4, "w0")
+    # committed blob table whose every filter is saturated
+    sat = BloomFilter(64)
+    sat.bits[:] = 0xFF
+    bdir = str(tmp_path / "bloom")
+    spark.createDataFrame(
+        [(b, bytearray(sat.to_bytes())) for b in range(4)],
+        "bucket long, blob binary"
+    ).coalesce(1).write.mode("overwrite") \
+        .option("compression", "uncompressed").parquet(bdir)
+    assert os.path.isdir(bdir)
+    fu = seenidx.fresh_udf((bdir,), (root,), 0, 4)
+    got = cand.filter(fu(F.col("key")))
+    assert _checksum(got) == want
