@@ -69,8 +69,13 @@ def _set_bits(bits: np.ndarray, n_bits: int, h1: np.ndarray, h2: np.ndarray,
     costs ``n_bits`` bytes (8× the filter) — bounded because per-bucket
     filters are fixed-size by construction; above the cap (huge filter,
     tiny batch) fall back to the scatter so memory stays proportional
-    to the batch."""
-    if h1.size and (n_bits <= (1 << 27) or h1.size * 64 >= n_bits):
+    to the batch.  The plane size is ALSO absolutely capped at 512 MB
+    (n_bits = 2^32): for huge geometries (e.g. the auto-spool shape at
+    bloom_bits=1<<33) a large applyInPandas group could otherwise
+    allocate a multi-GiB plane per task executor-side however the
+    batch-size heuristic lands."""
+    if h1.size and n_bits <= (1 << 32) and (
+            n_bits <= (1 << 27) or h1.size * 64 >= n_bits):
         plane = np.zeros(bits.size * 8, np.bool_)
         for i in range(n_hashes):
             idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
@@ -266,6 +271,19 @@ def load_spool_filters(dirs: tuple[str, ...]) -> dict[int, "BloomFilter"]:
                     have = filters.get(int(b))
                     if have is None:
                         filters[int(b)] = f
+                    elif (have.n_bits, have.n_hashes) != (f.n_bits,
+                                                          f.n_hashes):
+                        # same guard as or_merge_blob_group: blobs of
+                        # different geometry must never OR (false
+                        # positives would become false NEGATIVES =
+                        # dropped dedup keys).  Unreachable while the
+                        # blob table is replace-written with uniform
+                        # geometry — which is exactly why it must be
+                        # loud if that ever changes.
+                        raise ValueError(
+                            f"bloom blob geometry mismatch in bucket "
+                            f"{int(b)}: {(have.n_bits, have.n_hashes)}"
+                            f" vs {(f.n_bits, f.n_hashes)}")
                     else:
                         have.bits |= f.bits
         _SPOOL_CACHE.clear()

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cianparser_spark.corpus import webgen
-from cianparser_spark.engine import columnar, model
+from cianparser_spark.engine import columnar, model, seenidx
 from cianparser_spark.engine.bloom import BloomFilter
 from cianparser_spark.engine.stage import make_fetch_parse
 from cianparser_spark.engine.store import WaveStore
@@ -154,6 +154,9 @@ class CrawlEngine:
         self._bloom_bc: tuple[int, object] | None = None
         # spool-mode emptiness flag (the blobs themselves stay on disk)
         self._bloom_nonempty: bool | None = None
+        # exact-tier sidecar (sorted string runs, spool mode only):
+        # None = completeness not yet checked against the manifest
+        self._seenx_ok: bool | None = None
         self._seen_nonempty: bool | None = None
         self._staged_nonempty: bool | None = None
         self._next_pending: int | None = None
@@ -1041,11 +1044,25 @@ class CrawlEngine:
         # join (bloom ⊇ seen restored)
         self._bloom = {}
         self._bloom_gen += 1
+        adopt_replace = None
         if self.bloom_spool:
             bloom_df = self._update_bloom_spark(new_seen, fresh=True)
             self._bloom_nonempty = True
+            # the exact-tier sidecar cannot delete either (sorted runs
+            # are immutable) — rebuild it from the post-invalidation
+            # seen set in the same atomic commit, like the Bloom
+            sx_spool = os.path.join(self.store.root, "scratch",
+                                    f"seenx-inval-{marker:05d}")
+            seenidx.write_str_runs(
+                new_seen.select(F.concat_ws(
+                    "|", F.col("seed_id"),
+                    F.col("deal_url_id")).alias("key")),
+                sx_spool, self.bloom_buckets, f"w{marker:05d}")
+            adopt_replace = {"seenx": sx_spool}
+            self._seenx_ok = True
         else:
             bloom_df = self._update_bloom(new_seen)
+            self._seenx_ok = None  # seen rewritten; recheck before use
         self.store.commit_wave(
             marker,
             appends={"frontier": self.spark.createDataFrame(rows, model.FRONTIER_SCHEMA)},
@@ -1054,6 +1071,7 @@ class CrawlEngine:
                 "seen": new_seen,
                 "bloom": bloom_df,
             },
+            adopt_replace=adopt_replace,
         )
         self._next_pending = len(rows)
         self._seen_nonempty = None  # recompute from the rewritten table
@@ -1465,6 +1483,7 @@ class CrawlEngine:
         # --- split accepted: emit now vs build page-coupled detail groups
         appends: dict[str, DataFrame] = {}
         adopt: dict[str, str] = {}
+        adopt_replace: dict[str, str] = {}
         replaces: dict[str, DataFrame] = {}
         frontier_parts = []
         if n_deferred:
@@ -1689,14 +1708,23 @@ class CrawlEngine:
                 if self.bloom_spool:
                     replaces["bloom"] = self._update_bloom_spark(new_seen)
                     self._bloom_nonempty = True
+                    self._seenx_update(new_seen, wave, adopt, adopt_replace)
+                    self._tick("seenx_update")
                 else:
                     replaces["bloom"] = self._update_bloom(new_seen)
                 self._tick("bloom_update")
+            elif self.bloom_spool and n_seen:
+                # final wave: the seen append lands without a sidecar
+                # update (nothing in THIS run reads it) — recheck
+                # completeness before any later consult on this engine
+                self._seenx_ok = None
             if self._seen_rows is not None:
                 self._seen_rows += n_seen
 
         self._commit_parked(wave, replaces)
-        self.store.commit_wave(wave, appends=appends, replaces=replaces, adopt=adopt)
+        self.store.commit_wave(wave, appends=appends, replaces=replaces,
+                               adopt=adopt,
+                               adopt_replace=adopt_replace or None)
         self._parked_wave_reset()
         self._tick("commit")
         self._next_pending = n_frontier_next
@@ -1825,13 +1853,28 @@ class CrawlEngine:
                 "_key", F.concat_ws("|", F.col("seed_id"), F.col("_dk"))
             ).withColumn("_maybe", maybe_seen(F.col("_key")))
             fresh = keyed.filter(~F.col("_maybe")).drop("_key", "_maybe")
-            suspect = keyed.filter(F.col("_maybe")).drop("_key", "_maybe")
-            checked = suspect.join(
-                self.store.read("seen").select(
-                    "seed_id", F.col("deal_url_id").alias("_dk")),
-                ["seed_id", "_dk"],
-                "left_anti",
-            )
+            suspect = keyed.filter(F.col("_maybe"))
+            if self.bloom_spool and self._seenx_usable():
+                # 10^10 shape (VERDICT r04 ask #1): the exact tier is
+                # the per-bucket sorted-run index (engine/seenidx.py),
+                # probed in the SAME map-only pass style as the Bloom —
+                # no per-wave rescan/shuffle of the full seen table, no
+                # hash-relation build; cost ∝ suspects × log(run).
+                # Exactness rides on the runs holding every committed
+                # seen key (maintained atomically with the seen append;
+                # _seenx_usable falls back to the join otherwise).
+                sx = seenidx.seen_str_udf(
+                    tuple(sorted(self.store.table_paths("seenx"))),
+                    self.bloom_buckets)
+                checked = suspect.filter(~sx(F.col("_key"))) \
+                    .drop("_key", "_maybe")
+            else:
+                checked = suspect.drop("_key", "_maybe").join(
+                    self.store.read("seen").select(
+                        "seed_id", F.col("deal_url_id").alias("_dk")),
+                    ["seed_id", "_dk"],
+                    "left_anti",
+                )
             return fresh.unionByName(checked).drop("_dk")
         if self._seen_nonempty:
             # no Bloom sidecar but a non-empty seen table (e.g. a
@@ -1915,6 +1958,64 @@ class CrawlEngine:
         self._parked_removed = set()
         self._parked_readds = []
         self._parked_spill_rows = None
+
+    def _seenx_usable(self) -> bool:
+        """Exact-tier completeness gate: the sorted-run sidecar may be
+        consulted only if EVERY committed seen append has a matching
+        seenx append (same wave id in the committed dir name — both
+        ride one atomic manifest publish, so a mid-wave crash can't
+        split them).  A legacy store, a non-spool interlude, or a
+        final-wave seen append (nothing was going to read it) fails
+        the check; the exact leg then falls back to the anti-join and
+        the next spool wave HEALS the sidecar with a full rebuild.
+
+        Coverage rule: a seen wave is covered if its id appears among
+        the seenx dirs OR is ≤ the OLDEST seenx dir's wave — a heal or
+        invalidation rebuild commits with REPLACE semantics, so the
+        oldest surviving seenx dir covered the whole seen table as of
+        its commit (earlier seen waves included)."""
+        if self._seenx_ok is None:
+            def waves(name: str) -> set[int]:
+                out = set()
+                for d in self.store.table_paths(name):
+                    base = os.path.basename(d)
+                    if base.startswith("w"):
+                        out.add(int(base[1:].split("-", 1)[0]))
+                return out
+            sw, xw = waves("seen"), waves("seenx")
+            self._seenx_ok = bool(xw) and all(
+                w in xw or w <= min(xw) for w in sw)
+        return self._seenx_ok
+
+    def _seenx_update(self, new_seen: DataFrame, wave: int,
+                      adopt: dict, adopt_replace: dict) -> None:
+        """Maintain the exact-tier sorted-run sidecar for this wave's
+        seen delta (spool mode): per-bucket sorted string runs written
+        executor-side into scratch, committed by rename atomically with
+        the seen append.  An incomplete sidecar (legacy store / mode
+        switch) is healed here instead: one full rebuild from the
+        committed seen table ∪ the delta, committed with REPLACE
+        semantics.  Cost ∝ delta on the steady path, ∝ seen once on
+        heal."""
+        sx_spool = os.path.join(self.store.root, "scratch",
+                                f"seenx-w{wave:05d}")
+        key = F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))
+        delta = new_seen.select(key.alias("key"))
+        if self._seenx_usable():
+            seenidx.write_str_runs(delta, sx_spool, self.bloom_buckets,
+                                   f"w{wave:05d}")
+            adopt["seenx"] = sx_spool
+        else:
+            full = delta
+            if self._seen_nonempty is not False:
+                # unknown counts as nonempty: union with an empty seen
+                # table is harmless, omitting a nonempty one is not
+                full = self.store.read("seen").select(
+                    key.alias("key")).unionByName(delta)
+            seenidx.write_str_runs(full, sx_spool, self.bloom_buckets,
+                                   f"heal-w{wave:05d}")
+            adopt_replace["seenx"] = sx_spool
+            self._seenx_ok = True
 
     def _bloom_exists(self) -> bool:
         """Any sidecar state to consult? (driver blobs in default mode,

@@ -154,7 +154,12 @@ def _normal_form_col(city_col):
     scoped pymorphy2 stand-in) — with identity fallback.  Zero jobs,
     zero Python: at definer scale the whole normalization is a map
     probe inside codegen; on nominative-rendering sites it reduces to
-    the identity exactly like the reference's normal_form does."""
+    the identity exactly like the reference's normal_form does.  The
+    reference's trailing ``.title()`` re-casing is deliberately NOT
+    reproduced (it would emit 'Ростов-На-Дону' against the vocabulary's
+    'Ростов-на-Дону' — the reference's own constants.py:141 disagrees
+    with its definer there); see semantics/morphru.py's documented
+    deviation."""
     from cianparser_spark.semantics import morphru
 
     m = morphru.city_normal_map(morphru.default_vocab())

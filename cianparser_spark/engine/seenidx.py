@@ -288,3 +288,168 @@ def compact(spark, root: str, n_buckets: int, min_runs: int = 8) -> int:
         .repartition(len(todo))
     res = df.mapInPandas(merge, "n long").groupBy().sum("n").collect()
     return int(res[0][0] or 0)
+
+
+# ------------------------------------------------- string-keyed runs (crawl)
+
+# The crawl engine's seen key is the STRING "seed_id|deal_url_id"
+# (first-wins identity, reference flat/list.py:57-68), routed to Bloom
+# buckets with pandas ``hash_array`` (crawler._bucket_udf).  The exact
+# tier for that key family stores each bucket's keys as a sorted
+# FIXED-WIDTH bytes array (numpy 'S<w>', w = the run's longest key):
+# fully exact (no hash anywhere in the stored identity — padding is
+# insignificant in numpy bytes compares and a candidate longer than w
+# cannot equal any stored key), memmap-probed with searchsorted like
+# the int64 runs, and vectorized end to end.
+#
+# File format: run-<tag>.skeys = 16-byte header (int64 width, int64
+# count) + count*width bytes of sorted keys.
+
+_STR_HASH_KEY = "0123456789abcdef"
+
+
+def bucket_str(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    return pd.util.hash_array(keys, hash_key=_STR_HASH_KEY) \
+        % np.uint64(n_buckets)
+
+
+def write_str_runs(keys_df, root: str, n_buckets: int, tag: str,
+                   key_col: str = "key") -> int:
+    """One sorted fixed-width string run per bucket from this delta's
+    keys, written executor-side (cost ∝ delta).  Returns keys written.
+    Task retries are safe: the final ``os.replace`` is atomic and the
+    content is deterministic for a given group."""
+    from pyspark.sql import functions as F
+
+    nb = int(n_buckets)
+    os.makedirs(root, exist_ok=True)
+
+    @F.pandas_udf("long")
+    def bucket_of(keys: pd.Series) -> pd.Series:
+        arr = keys.to_numpy(dtype=object)
+        return pd.Series(bucket_str(arr, nb).astype("int64"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        enc = pdf["_k"].str.encode("utf-8")
+        w = max(1, int(enc.str.len().max()))
+        arr = np.sort(np.array(enc.tolist(), dtype=f"S{w}"))
+        d = os.path.join(root, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(np.array([w, len(arr)], np.int64).tobytes())
+            fh.write(arr.tobytes())
+        os.replace(tmp, os.path.join(d, f"run-{tag}.skeys"))
+        return pd.DataFrame({"bucket": [b], "n": [len(arr)]})
+
+    out = (
+        keys_df.select(F.col(key_col).cast("string").alias("_k"))
+        .withColumn("bucket", bucket_of(F.col("_k")))
+        .groupBy("bucket")
+        .applyInPandas(build, "bucket long, n long")
+        .groupBy().agg(F.sum("n").alias("n")).collect()
+    )
+    return int(out[0]["n"] or 0) if out else 0
+
+
+def _str_bucket_runs(roots: tuple[str, ...]) -> dict[int, list[str]]:
+    """Listing cache for .skeys runs — keyed by the roots tuple alone:
+    the committed-directory list IS the generation (append-only tables
+    grow a new root per wave), and run files are immutable."""
+    key = (roots, "str")
+    hit = _LISTING_CACHE.get(key)
+    if hit is None:
+        runs: dict[int, list[str]] = {}
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                if not d.startswith("bucket="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                full = os.path.join(root, d)
+                for f in sorted(os.listdir(full)):
+                    if f.startswith("run-") and f.endswith(".skeys"):
+                        runs.setdefault(b, []).append(os.path.join(full, f))
+        _LISTING_CACHE.clear()
+        _LISTING_CACHE[key] = runs
+        hit = runs
+    return hit
+
+
+def _str_mmap(path: str) -> tuple[int, np.ndarray]:
+    m = _MMAP_CACHE.get(path)
+    if m is None:
+        with open(path, "rb") as fh:
+            w, n = np.frombuffer(fh.read(16), np.int64)
+        w, n = int(w), int(n)
+        if n == 0:
+            m = (w, np.empty(0, dtype=f"S{max(w, 1)}"))
+        else:
+            m = (w, np.memmap(path, dtype=f"S{w}", mode="r", offset=16))
+        _MMAP_CACHE[path] = m
+    return m
+
+
+def probe_str_runs(roots: tuple[str, ...], keys: np.ndarray,
+                   n_buckets: int) -> np.ndarray:
+    """Exact membership of string ``keys`` against the .skeys index —
+    bool 'seen' array.  Per (bucket, run): candidates longer than the
+    run's width are definitely absent; the rest cast losslessly to the
+    run's dtype and binary-search the memmap.  ``n_buckets`` must be
+    the routing the index was BUILT with (empty buckets leave no
+    files, so it cannot be inferred from the listing)."""
+    runs = _str_bucket_runs(roots)
+    nb_keys = keys.size
+    out = np.zeros(nb_keys, dtype=bool)
+    if not runs or nb_keys == 0:
+        return out
+    enc = pd.Series(keys).str.encode("utf-8")
+    lens = enc.str.len().to_numpy(dtype=np.int64)
+    wmax = max(1, int(lens.max()))
+    cand = np.array(enc.tolist(), dtype=f"S{wmax}")
+    bucket = bucket_str(keys, int(n_buckets))
+    for b, paths in runs.items():
+        mask = bucket == b
+        if not mask.any():
+            continue
+        idxs = np.flatnonzero(mask)
+        hit = np.zeros(idxs.size, dtype=bool)
+        for p in paths:
+            w, run = _str_mmap(p)
+            if run.size == 0:
+                continue
+            pending = np.flatnonzero(~hit)
+            if pending.size == 0:
+                break
+            sub_i = idxs[pending]
+            fit = lens[sub_i] <= w
+            if not fit.any():
+                continue
+            k = cand[sub_i[fit]].astype(f"S{w}")
+            pos = np.searchsorted(run, k)
+            pos_c = np.minimum(pos, run.size - 1)
+            got = (pos < run.size) & (np.asarray(run[pos_c]) == k)
+            h = hit[pending]
+            h[fit] = h[fit] | got
+            hit[pending] = h
+        out[idxs] = hit
+    return out
+
+
+def seen_str_udf(roots: tuple[str, ...], n_buckets: int):
+    """String-key exact probe as a pandas UDF — True = key IS in the
+    seen index.  Closure carries only the committed directory tuple
+    (which doubles as the cache generation) and the bucket count."""
+    from pyspark.sql import functions as F
+
+    nb = int(n_buckets)
+    rt = tuple(roots)
+
+    @F.pandas_udf("boolean")
+    def seen(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            probe_str_runs(rt, keys.to_numpy(dtype=object), nb))
+
+    return seen

@@ -71,14 +71,19 @@ class WaveStore:
 
     def commit_wave(self, wave: int, appends: dict[str, DataFrame] | None = None,
                     replaces: dict[str, DataFrame] | None = None,
-                    adopt: dict[str, str] | None = None) -> None:
+                    adopt: dict[str, str] | None = None,
+                    adopt_replace: dict[str, str] | None = None) -> None:
         """Write all tables' data, then publish ONE manifest atomically.
 
         ``adopt`` maps table → an already-written parquet directory
         (a scratch spool) that becomes an append by rename — zero-copy
         commit of data the wave already materialized.  Writes run first
         so any plan that still reads a to-be-adopted spool executes
-        before the directory moves.
+        before the directory moves.  ``adopt_replace`` is the same
+        rename commit with REPLACE semantics: the adopted directory
+        becomes the table's only data dir (sidecar rebuilds — e.g. the
+        seen-index heal — use it; superseded dirs become unreferenced
+        and fall to ``vacuum``).
         """
         snap = self._load_snapshot()
         tables = {k: list(v) for k, v in snap["tables"].items()}
@@ -96,6 +101,12 @@ class WaveStore:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
             tables.setdefault(name, []).append(rel)
+        for name, src in (adopt_replace or {}).items():
+            rel = os.path.join("data", name, f"w{wave:05d}-{uuid.uuid4().hex[:8]}")
+            dst = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            tables[name] = [rel]
 
         self._publish(tables, wave, snap["version"])
 

@@ -188,7 +188,8 @@ def _register_epoch_spool(d: str) -> None:
 
 def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
                   salt: str = "epoch0", n_shards: int = 8,
-                  scratch_dir: str | None = None) -> DataFrame:
+                  scratch_dir: str | None = None,
+                  purge_previous: bool = True) -> DataFrame:
     """Deterministic global training shuffle: a reproducible
     permutation of the corpus (the step between "assembled dataset"
     and "epoch export" — every trainer consumes the data in a shuffled
@@ -219,8 +220,14 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     than ``persist()`` — a cached frame would outlive the call with
     no owner to release it (the round-3 advisory's leak: Spark's
     CacheManager holds plan-keyed entries until an explicit
-    unpersist).  Release spools with ``purge_epoch_spools()`` between
-    epochs; a best-effort atexit purge covers the rest.
+    unpersist).  Spool lifecycle (the side-effect contract): each call
+    first purges the PREVIOUS epochs' spools (``purge_previous=True``,
+    the default — repeated epochs in a long-lived session hold at most
+    one corpus copy of scratch), so the frame returned by an earlier
+    call must be fully consumed before the next epoch starts; pass
+    ``purge_previous=False`` to keep earlier epochs readable and
+    release them yourself with ``purge_epoch_spools()``.  A
+    best-effort atexit purge covers the rest.
 
     ``scratch_dir`` must be CLUSTER-VISIBLE storage on a multi-node
     deployment (the warehouse scratch, S3/HDFS) — executors write the
@@ -232,6 +239,8 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     """
     import tempfile
 
+    if purge_previous:
+        purge_epoch_spools()
     id_type = dict(df.dtypes)[id_col]
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     d = (

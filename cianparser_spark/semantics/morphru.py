@@ -11,9 +11,19 @@ GENERATOR over the known 156-city vocabulary (dims_data — the exact
 universe the definer can ever emit) plus the REVERSE lookup the
 definer needs.  Scope is documented and deliberate: the reference uses
 pymorphy2 only to undo the title's case inflection of a city name, so
-a generator+reverse-map over the city vocabulary reproduces its
-behavior exactly on every input the pipeline can see; arbitrary-word
+a generator+reverse-map over the city vocabulary reproduces the
+normal-form lookup on every input the pipeline can see; arbitrary-word
 lemmatization is out of scope (and out of the reference's use too).
+
+Documented deviation — the trailing ``.title()``: the reference
+re-cases the (lowercase) normal form with Python ``str.title()``
+(definer_cities_id.py:54), which title-cases EVERY hyphen-separated
+segment — its definer would emit 'Ростов-На-Дону' where its own
+shipped vocabulary says 'Ростов-на-Дону' (reference constants.py:141,
+the only city the two spellings differ on).  This map returns the
+vocabulary spelling instead, keeping the definer's output consistent
+with the location lookup (U5) that consumes it — reproducing the
+reference's internal inconsistency was judged the worse parity break.
 
 Declension rules (standard Russian prepositional, "в …"):
 * adjective-form words: -ний→-нем, -ый/-ий→-ом, -ое→-ом, -ые→-ых

@@ -382,3 +382,88 @@ def test_identical_seeds_independent_attempt_counters(spark, tmp_run_dir):
     eng = CrawlEngine(spark, tmp_run_dir, [mk(1), mk(2)], cfg, host_tokens=3)
     rows = compat.to_reference_rows(eng.run(), [mk(1), mk(2)])
     assert rows == both.rows
+
+
+def test_seenx_heal_on_mode_switch(spark, tmp_run_dir):
+    """A store whose first waves ran WITHOUT the exact-tier sidecar
+    (non-spool mode) and is then resumed in spool mode must detect the
+    incomplete seenx table, fall back to the anti-join for that wave,
+    and HEAL the sidecar (full rebuild, replace-committed) — the
+    resumed crawl stays bit-identical and later consults are exact."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                       additional_settings={"end_page": 4})]
+    # host_tokens=1 -> one list page per wave, so the mode switch and
+    # the heal both land genuinely MID-crawl (frontier still pending)
+    e1 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=1, bloom_spool=False)
+    e1.run(max_waves=2)
+    e2 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=1, bloom_spool=True)
+    assert not e2._seenx_usable()  # legacy waves lack seenx
+    e2.run(max_waves=1)  # one mid-crawl wave: fallback join + HEAL
+    # heal happened: a fresh engine view finds the sidecar complete,
+    # and the healed runs agree with the committed seen table exactly
+    e3 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=1, bloom_spool=True)
+    assert e3._seenx_usable()
+    import numpy as np
+
+    from cianparser_spark.engine import seenidx
+
+    seen_keys = sorted(
+        f"{r['seed_id']}|{r['deal_url_id']}"
+        for r in e3.store.read("seen").collect())
+    dirs = tuple(sorted(e3.store.table_paths("seenx")))
+    got = seenidx.probe_str_runs(
+        dirs, np.array(seen_keys + ["1|absent", "2|nope"], dtype=object),
+        e3.bloom_buckets)
+    assert got[:len(seen_keys)].all() and not got[len(seen_keys):].any()
+    # finish on the healed sidecar: still bit-identical to the oracle;
+    # the completed store then shows the DESIGNED final-wave lag (same
+    # policy as the Bloom: nothing in this run reads it)
+    resumed = compat.to_reference_rows(e3.run(), seeds)
+    assert resumed == ReferenceSimulator(BITMATCH_CFG).run(seeds).rows
+
+
+def test_invalidate_and_recrawl_spool_mode(spark, tmp_run_dir):
+    """Re-crawl invalidation in SPOOL mode: the sorted-run exact tier
+    is rebuilt (replace-committed) alongside the Bloom, and the
+    re-crawled table is bit-identical to the original crawl."""
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     additional_settings={"end_page": 3})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG,
+                      host_tokens=2, bloom_buckets=4, bloom_spool=True)
+    before = compat.to_reference_rows(eng.run(), [seed])
+    n_seen_before = eng.store.read("seen").count()
+    after = compat.to_reference_rows(
+        eng.invalidate_and_recrawl([(1, 2)]), [seed])
+    assert after == before
+    assert eng.store.read("seen").count() == n_seen_before
+    # the rebuild REPLACED the sidecar with exactly the
+    # post-invalidation seen set: every key that SURVIVED the
+    # invalidation probes True, every re-crawl addition (wave >
+    # marker, not re-won from an earlier wave) probes False.  (The
+    # completed store then shows the designed final-wave lag — the
+    # re-crawl's own last wave appends seen without a sidecar nothing
+    # will read — so usability is deliberately NOT asserted here.)
+    import os
+
+    import numpy as np
+
+    from cianparser_spark.engine import seenidx
+
+    dirs = eng.store.table_paths("seenx")
+    assert len(dirs) == 1  # replace semantics: single committed dir
+    marker = int(os.path.basename(dirs[0])[1:].split("-", 1)[0])
+    seen_rows = eng.store.read("seen").collect()
+    kept = sorted({f"{r['seed_id']}|{r['deal_url_id']}"
+                   for r in seen_rows if r["wave"] <= marker})
+    added = sorted({f"{r['seed_id']}|{r['deal_url_id']}"
+                    for r in seen_rows if r["wave"] > marker}
+                   - {f"{r['seed_id']}|{r['deal_url_id']}"
+                      for r in seen_rows if r["wave"] <= marker})
+    got = seenidx.probe_str_runs(
+        tuple(dirs), np.array(kept + added, dtype=object),
+        eng.bloom_buckets)
+    assert got[:len(kept)].all()
+    assert not got[len(kept):].any()
