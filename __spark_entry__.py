@@ -2502,59 +2502,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's head-first ~50-query CORRECTNESS
-    # sample: queries never yet sampled by a driver round lead the
-    # dict (crawl/text/sketch/store/stream families), already-
-    # sampled ones follow — evidence routing only, zero semantic
-    # change (every entry is judge-green regardless of position).
+    # sample, ROTATED each round so every family re-earns driver-side
+    # evidence on a recent code state (VERDICT r04 ask #3): the
+    # families last driver-checked in r03 (dedup/ann/sample/
+    # multimodal/p7-p12/u6-u7/url_canonical/caption/store_merge/...)
+    # lead this round; the r04-sampled crawl/text/sketch/stream
+    # families follow.  Evidence routing only, zero semantic change —
+    # every entry is judge-green regardless of position, and all
+    # callers look up by name or iterate fully.
     return {
-        "s9_definer_cities_inflected": q_s9_definer_cities_inflected,
-        "sample_shuffle": q_sample_shuffle,
-        "payload_phash_xformat": q_payload_phash_xformat,
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_decontaminate": q_text_decontaminate,
-        "text_repetition": q_text_repetition,
-        "text_bm25": q_text_bm25,
-        "text_chunk_dedup": q_text_chunk_dedup,
-        "text_bpe": q_text_bpe,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "pack_sequences": q_pack_sequences,
-        "stream_crawl_metrics": q_stream_crawl_metrics,
-        "crawl_detail": q_crawl_detail,
-        "crawl_detail_faults": q_crawl_detail_faults,
-        "crawl_resume": q_crawl_resume,
-        "crawl_suburban": q_crawl_suburban,
-        "crawl_newobject": q_crawl_newobject,
-        "crawl_faults": q_crawl_faults,
-        "s4_proxy_rotation": q_s4_proxy_rotation,
-        "t5_politeness_waves": q_t5_politeness_waves,
-        "store_changelog": q_store_changelog,
-        "lineage_waves": q_lineage_waves,
-        "frontier_membership": q_frontier_membership,
-        "a4_offers_per_page": q_a4_offers_per_page,
-        "j5_offers_images": q_j5_offers_images,
-        "j6_salted_join": q_j6_salted_join,
-        "s5_csv_roundtrip": q_s5_csv_roundtrip,
-        "u1_url_builder": q_u1_url_builder,
-        "crawl_robots": q_crawl_robots,
-        "robots_dead_letter": q_robots_dead_letter,
-        "crawl_dead_letter": q_crawl_dead_letter,
-        "image_blocklist": q_image_blocklist,
-        "payload_dup_clusters": q_payload_dup_clusters,
-        "graph_pagerank": q_graph_pagerank,
-        "export_shards": q_export_shards,
-        "stream_sessionization": q_stream_sessionization,
-        "stream_admission": q_stream_admission,
-        "image_tiles": q_image_tiles,
-        "store_compaction": q_store_compaction,
-        "agg_percentiles": q_agg_percentiles,
-        "agg_rollup": q_agg_rollup,
-        "window_running": q_window_running,
-        "crawl_recrawl": q_crawl_recrawl,
-        "sketch_hll": q_sketch_hll,
-        "temporal_asof": q_temporal_asof,
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_kmv_jaccard": q_sketch_kmv_jaccard,
-        "sketch_cms": q_sketch_cms,
         "a1_first_wins": q_a1_first_wins,
         "a2_group_counts": q_a2_group_counts,
         "a3_mean": q_a3_mean,
@@ -2621,6 +2577,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_phash_dedup": q_payload_phash_dedup,
         "payload_phash_recompute": q_payload_phash_recompute,
         "payload_near_dup": q_payload_near_dup,
+        "s9_definer_cities_inflected": q_s9_definer_cities_inflected,
+        "sample_shuffle": q_sample_shuffle,
+        "payload_phash_xformat": q_payload_phash_xformat,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
+        "text_bm25": q_text_bm25,
+        "text_chunk_dedup": q_text_chunk_dedup,
+        "text_bpe": q_text_bpe,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "pack_sequences": q_pack_sequences,
+        "stream_crawl_metrics": q_stream_crawl_metrics,
+        "crawl_detail": q_crawl_detail,
+        "crawl_detail_faults": q_crawl_detail_faults,
+        "crawl_resume": q_crawl_resume,
+        "crawl_suburban": q_crawl_suburban,
+        "crawl_newobject": q_crawl_newobject,
+        "crawl_faults": q_crawl_faults,
+        "s4_proxy_rotation": q_s4_proxy_rotation,
+        "t5_politeness_waves": q_t5_politeness_waves,
+        "store_changelog": q_store_changelog,
+        "lineage_waves": q_lineage_waves,
+        "frontier_membership": q_frontier_membership,
+        "a4_offers_per_page": q_a4_offers_per_page,
+        "j5_offers_images": q_j5_offers_images,
+        "j6_salted_join": q_j6_salted_join,
+        "s5_csv_roundtrip": q_s5_csv_roundtrip,
+        "u1_url_builder": q_u1_url_builder,
+        "crawl_robots": q_crawl_robots,
+        "robots_dead_letter": q_robots_dead_letter,
+        "crawl_dead_letter": q_crawl_dead_letter,
+        "image_blocklist": q_image_blocklist,
+        "payload_dup_clusters": q_payload_dup_clusters,
+        "graph_pagerank": q_graph_pagerank,
+        "export_shards": q_export_shards,
+        "stream_sessionization": q_stream_sessionization,
+        "stream_admission": q_stream_admission,
+        "image_tiles": q_image_tiles,
+        "store_compaction": q_store_compaction,
+        "agg_percentiles": q_agg_percentiles,
+        "agg_rollup": q_agg_rollup,
+        "window_running": q_window_running,
+        "crawl_recrawl": q_crawl_recrawl,
+        "sketch_hll": q_sketch_hll,
+        "temporal_asof": q_temporal_asof,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_jaccard": q_sketch_kmv_jaccard,
+        "sketch_cms": q_sketch_cms,
     }
 
 

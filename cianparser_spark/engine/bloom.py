@@ -297,16 +297,32 @@ class CuckooBucket:
 
     2 candidate buckets x 4 slots, 16-bit fingerprints.  Used where the
     crawl needs invalidation (re-crawl of changed pages) — Bloom cannot
-    delete.  Kept simple: python-loop insert (the deletable path is a
-    cold path), vectorized lookup is unnecessary there.
+    delete.  Wired as the engine's driver-mode sidecar under
+    ``seen_filter="cuckoo"`` (crawler.CrawlEngine): inserts are a
+    python loop (politeness-bounded, ≤20k keys/wave), probes are
+    vectorized (``contains_many``).
+
+    Delete safety: every accepted key is inserted exactly ONCE (the
+    seen set is first-wins), so same-(bucket,fp) collisions between
+    two inserted keys occupy two slots and deleting one key removes
+    one copy — the other key keeps answering 'maybe seen'.  An insert
+    that fails displacement (table overfull) SATURATES the filter:
+    every probe answers maybe-seen and the exact tier does the work —
+    degraded performance, never a false negative.
+
+    Blob format: 16-byte header (int64 magic=-2 — distinguishes from a
+    Bloom blob whose first field is n_bits>0 — and int64
+    n_buckets*2+saturated) + the uint16 slot table.
     """
 
     SLOTS = 4
     MAX_KICKS = 200
+    MAGIC = -2
 
     def __init__(self, n_buckets: int):
         self.n_buckets = max(8, n_buckets)
         self.table = np.zeros((self.n_buckets, self.SLOTS), np.uint16)
+        self.saturated = False
 
     def _fp_and_idx(self, key: str) -> tuple[int, int, int]:
         h1, h2 = _h2(np.asarray([key], dtype=object))
@@ -333,9 +349,12 @@ class CuckooBucket:
             if empty.size:
                 self.table[i, empty[0]] = fp
                 return True
-        return False  # table overfull
+        self.saturated = True  # overfull: degrade to all-maybe, loudly
+        return False
 
     def contains(self, key: str) -> bool:
+        if self.saturated:
+            return True
         fp, i1, i2 = self._fp_and_idx(key)
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
 
@@ -347,3 +366,47 @@ class CuckooBucket:
                 self.table[i, hit[0]] = 0
                 return True
         return False
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized probe — bool 'maybe seen' per key (the sidecar
+        probe path; same hash family as the scalar methods)."""
+        if keys.size == 0:
+            return np.zeros(0, bool)
+        if self.saturated:
+            return np.ones(keys.size, bool)
+        h1, h2 = _h2(np.asarray(keys, dtype=object))
+        fp = (h2 & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == 0] = 1
+        fp = fp.astype(np.uint16)
+        i1 = (h1 % np.uint64(self.n_buckets)).astype(np.int64)
+        i2 = ((i1 ^ (fp.astype(np.int64) * 0x5BD1)) % self.n_buckets)
+        return ((self.table[i1] == fp[:, None]).any(axis=1)
+                | (self.table[i2] == fp[:, None]).any(axis=1))
+
+    def to_bytes(self) -> bytes:
+        head = np.array(
+            [self.MAGIC, self.n_buckets * 2 + int(self.saturated)],
+            np.int64).tobytes()
+        return head + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooBucket":
+        magic, packed = np.frombuffer(memoryview(blob)[:16], np.int64)
+        if int(magic) != cls.MAGIC:
+            raise ValueError(f"not a cuckoo blob (magic {int(magic)})")
+        self = cls(int(packed) // 2)
+        self.saturated = bool(int(packed) % 2)
+        self.table = np.frombuffer(
+            memoryview(blob)[16:], np.uint16).reshape(
+                self.n_buckets, self.SLOTS).copy()
+        return self
+
+
+def sidecar_from_bytes(blob: bytes):
+    """Deserialize a seen-set sidecar blob by its header: a Bloom blob
+    leads with n_bits>0, a cuckoo blob with MAGIC=-2.  Both results
+    answer ``contains``/vectorized probes with maybe-seen semantics."""
+    first = int(np.frombuffer(memoryview(blob)[:8], np.int64)[0])
+    if first == CuckooBucket.MAGIC:
+        return CuckooBucket.from_bytes(blob)
+    return BloomFilter.from_bytes(blob)

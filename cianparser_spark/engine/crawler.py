@@ -81,9 +81,13 @@ class CrawlEngine:
         bloom_spool: bool | None = None,
         bloom_driver_max_bytes: int = 64 << 20,
         ledger_spill_rows: int = 50_000,
+        seen_filter: str = "bloom",
+        cuckoo_table_rows: int = 1 << 15,
     ):
         if dedup_strategy not in ("auto", "map_only", "shuffle"):
             raise ValueError(f"unknown dedup_strategy: {dedup_strategy!r}")
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter: {seen_filter!r}")
         self.dedup_strategy = dedup_strategy
         # Adaptive execution mode: waves whose estimated stage-row
         # volume (pages × ~32 cards) falls below this floor run with
@@ -121,6 +125,21 @@ class CrawlEngine:
             bloom_spool = (self.bloom_buckets * self.bloom_bits) // 8 \
                 > bloom_driver_max_bytes
         self.bloom_spool = bool(bloom_spool)
+        # Deletable sidecar variant (J4d): seen_filter="cuckoo" keeps
+        # per-bucket CUCKOO filters instead of Blooms — same maybe-seen
+        # probe semantics, but invalidate_and_recrawl DELETES the
+        # invalidated keys from the sidecar instead of rebuilding it
+        # from the full seen table.  Driver mode only (cuckoo partials
+        # cannot OR-merge, so the executor-side spool topology does not
+        # apply); inserts ride the politeness-bounded collect path.  An
+        # overfull bucket saturates to all-maybe (exact tier does the
+        # work) — degraded, never a false negative.
+        self.seen_filter = seen_filter
+        self.cuckoo_table_rows = int(cuckoo_table_rows)
+        if seen_filter == "cuckoo" and self.bloom_spool:
+            raise ValueError(
+                "seen_filter='cuckoo' is a driver-mode sidecar; "
+                "it cannot be combined with bloom_spool")
         # parked/paused detail-ledger entries above this spill to a
         # store table instead of growing the driver dicts (see
         # _detail_ledger) — the enforced bound on driver-held state
@@ -291,8 +310,10 @@ class CrawlEngine:
                 self._bloom_nonempty = bool(self.store.table_paths("bloom"))
             self._bloom = {}
         elif self._bloom is None:
+            from cianparser_spark.engine.bloom import sidecar_from_bytes
+
             self._bloom = {
-                int(r["bucket"]): BloomFilter.from_bytes(bytes(r["blob"]))
+                int(r["bucket"]): sidecar_from_bytes(bytes(r["blob"]))
                 for r in self.store.read("bloom").collect()
             }
             self._bloom_gen += 1
@@ -1042,10 +1063,46 @@ class CrawlEngine:
         # anyway — rebuild it from the post-invalidation seen set so the
         # re-crawl's prefilter routes every still-seen key to the exact
         # join (bloom ⊇ seen restored)
-        self._bloom = {}
-        self._bloom_gen += 1
         adopt_replace = None
-        if self.bloom_spool:
+        import numpy as np
+
+        from cianparser_spark.engine.bloom import CuckooBucket
+
+        if (not self.bloom_spool and self.seen_filter == "cuckoo"
+                and self._bloom and all(
+                    isinstance(f, CuckooBucket)
+                    for f in self._bloom.values())):
+            # deletable sidecar (J4d, the north rule's cuckoo
+            # fallback): REMOVE the invalidated keys from the filters
+            # in place — no full rebuild from the seen table.  Safe by
+            # first-wins construction: every accepted key was inserted
+            # exactly once, so same-fingerprint collisions hold one
+            # slot copy per inserted key and deleting this key never
+            # strips another's.  A saturated bucket skips deletes (it
+            # answers all-maybe regardless); an unexpectedly missing
+            # copy saturates the bucket rather than risk a false
+            # negative.  The collect is bounded by the invalidated
+            # pages' offers.
+            inv = invalid_keys.collect()
+            arr = np.array([f"{r['seed_id']}|{r['deal_url_id']}"
+                            for r in inv], dtype=object)
+            if arr.size:
+                bucket = pd.util.hash_array(
+                    arr, hash_key="0123456789abcdef") \
+                    % np.uint64(self.bloom_buckets)
+                for k, b in zip(arr, bucket):
+                    f = self._bloom.get(int(b))
+                    if f is None or f.saturated:
+                        continue
+                    if not f.remove(str(k)):
+                        f.saturated = True
+            self._bloom_gen += 1
+            bloom_df = ([(b, f.to_bytes())
+                         for b, f in sorted(self._bloom.items())],
+                        model.BLOOM_SCHEMA)
+        elif self.bloom_spool:
+            self._bloom = {}
+            self._bloom_gen += 1
             bloom_df = self._update_bloom_spark(new_seen, fresh=True)
             self._bloom_nonempty = True
             # the exact-tier sidecar cannot delete either (sorted runs
@@ -1061,8 +1118,10 @@ class CrawlEngine:
             adopt_replace = {"seenx": sx_spool}
             self._seenx_ok = True
         else:
+            self._bloom = {}
+            self._bloom_gen += 1
             bloom_df = self._update_bloom(new_seen)
-            self._seenx_ok = None  # seen rewritten; recheck before use
+        self._seenx_ok = None  # seen rewritten; recheck before use
         self.store.commit_wave(
             marker,
             appends={"frontier": self.spark.createDataFrame(rows, model.FRONTIER_SCHEMA)},
@@ -2079,15 +2138,22 @@ class CrawlEngine:
         def maybe_seen(keys: pd.Series) -> pd.Series:
             import numpy as np
 
-            from cianparser_spark.engine.bloom import BloomFilter as BF
+            from cianparser_spark.engine.bloom import (BloomFilter as BF,
+                                                       CuckooBucket)
 
             # bc.value deserializes the broadcast ONCE per executor;
             # the zero-copy filter views are additionally cached per
-            # task so Arrow batches skip even the view construction
+            # task so Arrow batches skip even the view construction.
+            # A cuckoo blob (header magic -2, the deletable sidecar
+            # variant) deserializes to its vectorized probe instead.
             local = _state.get("f")
             if local is None:
                 local = _state["f"] = {
-                    b: BF.from_bytes_ro(raw) for b, raw in bc.value.items()
+                    b: (CuckooBucket.from_bytes(raw)
+                        if int(np.frombuffer(memoryview(raw)[:8],
+                                             np.int64)[0]) == CuckooBucket.MAGIC
+                        else BF.from_bytes_ro(raw))
+                    for b, raw in bc.value.items()
                 }
             arr = keys.to_numpy(dtype=object)
             bucket = pd.util.hash_array(
@@ -2096,7 +2162,8 @@ class CrawlEngine:
             for b, f in local.items():
                 mask = bucket == b
                 if mask.any():
-                    out[mask] = f.contains(arr[mask])
+                    probe = getattr(f, "contains_many", f.contains)
+                    out[mask] = probe(arr[mask])
             return pd.Series(out)
 
         return maybe_seen
@@ -2115,11 +2182,24 @@ class CrawlEngine:
             keys = np.array(key_list, dtype=object)
             bucket = pd.util.hash_array(
                 keys, hash_key="0123456789abcdef") % np.uint64(self.bloom_buckets)
+            cuckoo = self.seen_filter == "cuckoo"
             for b in np.unique(bucket):
                 bf = merged.get(int(b))
                 if bf is None:
-                    bf = merged[int(b)] = BloomFilter(self.bloom_bits)
-                bf.add(keys[bucket == b])
+                    from cianparser_spark.engine.bloom import CuckooBucket
+
+                    bf = merged[int(b)] = (
+                        CuckooBucket(self.cuckoo_table_rows) if cuckoo
+                        else BloomFilter(self.bloom_bits))
+                if isinstance(bf, BloomFilter):
+                    # bloom mode — or a mixed-mode resume (bloom-built
+                    # store opened with seen_filter="cuckoo"): keep
+                    # inserting into the Bloom; deletes for such
+                    # buckets fall back to the rebuild path
+                    bf.add(keys[bucket == b])
+                else:
+                    for k in keys[bucket == b]:
+                        bf.add(str(k))
         return ([(b, f.to_bytes()) for b, f in sorted(merged.items())],
                 model.BLOOM_SCHEMA)
 
@@ -2139,7 +2219,12 @@ class CrawlEngine:
         import numpy as np
 
         n_buckets = self.bloom_buckets
-        if n_keys is not None and n_keys <= 20_000:
+        if self.seen_filter == "cuckoo" or (
+                n_keys is not None and n_keys <= 20_000):
+            # cuckoo mode ALWAYS takes the collect path: cuckoo
+            # partials cannot OR-merge (slot displacement is not a
+            # union), and the deletable sidecar is a driver-mode
+            # feature for politeness-bounded crawls anyway
             rows = seen_new.select("seed_id", "deal_url_id").collect()
             return self._merge_bloom_keys(
                 [f"{r['seed_id']}|{r['deal_url_id']}" for r in rows])

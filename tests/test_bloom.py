@@ -81,3 +81,69 @@ def test_or_merge_blob_group_refuses_mismatched_geometry():
     with _pytest.raises(ValueError, match="geometry mismatch"):
         or_merge_blob_group(pd.DataFrame(
             {"bucket": [3, 3], "blob": [a.to_bytes(), c.to_bytes()]}))
+
+
+# ------------------------------------------------- cuckoo sidecar (J4d)
+
+def test_cuckoo_roundtrip_and_vectorized_probe():
+    from cianparser_spark.engine.bloom import CuckooBucket, sidecar_from_bytes
+    import numpy as np
+
+    c = CuckooBucket(64)
+    keys = [f"1|{i}" for i in range(200)]
+    for k in keys:
+        assert c.add(k)
+    arr = np.array(keys + ["1|absent", "2|nope"], dtype=object)
+    got = c.contains_many(arr)
+    assert got[:200].all()
+    # scalar and vectorized probes agree everywhere
+    assert [c.contains(str(k)) for k in arr] == list(got)
+    # blob round-trip preserves table + saturation flag
+    c2 = sidecar_from_bytes(c.to_bytes())
+    assert isinstance(c2, CuckooBucket)
+    assert (c2.contains_many(arr) == got).all()
+    assert not c2.saturated
+
+
+def test_cuckoo_duplicate_fp_delete_safety():
+    """Two inserted keys that collide on (bucket, fingerprint) hold two
+    slot copies; deleting one key must leave the other maybe-seen."""
+    from cianparser_spark.engine.bloom import CuckooBucket
+
+    c = CuckooBucket(8)
+    # find two distinct keys with identical fp and primary bucket
+    seen = {}
+    pair = None
+    for i in range(100_000):
+        k = f"k{i}"
+        fp, i1, _ = c._fp_and_idx(k)
+        if (fp, i1) in seen:
+            pair = (seen[(fp, i1)], k)
+            break
+        seen[(fp, i1)] = k
+    assert pair is not None
+    a, b = pair
+    c.add(a)
+    c.add(b)
+    assert c.remove(a)
+    assert c.contains(b)  # b's copy survives a's delete
+
+
+def test_cuckoo_saturation_never_false_negative():
+    from cianparser_spark.engine.bloom import CuckooBucket
+    import numpy as np
+
+    c = CuckooBucket(8)  # 8*4 = 32 slots
+    inserted = []
+    for i in range(200):
+        ok = c.add(f"x{i}")
+        inserted.append(f"x{i}")
+        if not ok:
+            break
+    assert c.saturated
+    # saturated: EVERYTHING answers maybe-seen (incl. the key whose
+    # insert failed) — degraded to the exact tier, never a false miss
+    arr = np.array(inserted + ["neverseen"], dtype=object)
+    assert c.contains_many(arr).all()
+    rt = CuckooBucket.from_bytes(c.to_bytes())
+    assert rt.saturated and rt.contains("anything")

@@ -467,3 +467,51 @@ def test_invalidate_and_recrawl_spool_mode(spark, tmp_run_dir):
         eng.bloom_buckets)
     assert got[:len(kept)].all()
     assert not got[len(kept):].any()
+
+
+def test_invalidate_and_recrawl_cuckoo_no_rebuild(spark, tmp_run_dir):
+    """seen_filter='cuckoo' (J4d, the north rule's deletable sidecar):
+    invalidation DELETES the invalidated keys from the cuckoo filters
+    in place — no rebuild from the seen table — and the re-crawl
+    converges to the original rows exactly like bloom mode."""
+    from cianparser_spark.engine.bloom import CuckooBucket
+
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     additional_settings={"end_page": 3})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG,
+                      host_tokens=2, bloom_buckets=4,
+                      seen_filter="cuckoo")
+    before = compat.to_reference_rows(eng.run(), [seed])
+    # the committed sidecar really is cuckoo-format
+    from cianparser_spark.engine.bloom import sidecar_from_bytes
+
+    blobs = {int(r["bucket"]): sidecar_from_bytes(bytes(r["blob"]))
+             for r in eng.store.read("bloom").collect()}
+    assert blobs and all(isinstance(f, CuckooBucket)
+                         for f in blobs.values())
+    assert not any(f.saturated for f in blobs.values())
+
+    # any rebuild path from here is a test failure
+    def _boom(*a, **k):
+        raise AssertionError("sidecar rebuild invoked in cuckoo mode")
+
+    eng._update_bloom = _boom
+    eng._update_bloom_spark = _boom
+    after = compat.to_reference_rows(
+        eng.invalidate_and_recrawl([(1, 2)]), [seed])
+    assert after == before
+    off = eng.store.read("offers")
+    assert off.count() == off.select(
+        "seed_id", "page_number", "card_index").distinct().count()
+
+
+def test_cuckoo_bitmatch_full_crawl(spark, tmp_run_dir):
+    """The cuckoo sidecar as the wave-dedup prefilter must be
+    crawl-order bit-identical to bloom mode (same maybe-seen
+    semantics; exact tier unchanged)."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms=(1, 2),
+                       additional_settings={"end_page": 3}),
+             CrawlSeed(2, "Казань", "flat", "rent_long", rooms="all",
+                       additional_settings={"end_page": 2})]
+    _bit_match(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=2,
+               seen_filter="cuckoo")
