@@ -1633,6 +1633,41 @@ def q_frontier_membership(spark, sf_dir):
     )
 
 
+def q_frontier_membership_exact(spark, sf_dir):
+    """The membership wave's EXACT tier as shipped in round 5
+    (engine/seenidx — VERDICT r04 ask #1): the seen keys become
+    per-bucket sorted int64 runs (built executor-side), candidates run
+    ONE map-only pass — deliberately tight Bloom prefilter (4096
+    bits/bucket, real false-positive traffic) + memmap searchsorted
+    probe of the maybe-seen sliver — with NO anti-join anywhere in the
+    plan.  This is the path that replaced the per-wave full-seen-table
+    left_anti (member_s 73→132 s growing at 10^8 keys; now flat
+    15-21 s — BENCH/frontier_scale_r5.json).  Oracle: plain DuckDB
+    ANTI JOIN on the same shared truth tables; one false negative
+    (dropped fresh URL) or false positive (re-seen key) mismatches."""
+    import os
+    import tempfile
+
+    from cianparser_spark import bench_frontier, truth
+    from cianparser_spark.engine import seenidx
+
+    cand_path, seen_path = truth.ensure_frontier_truth()
+    cand = spark.read.parquet(cand_path)
+    seen = spark.read.parquet(seen_path)
+    root = tempfile.mkdtemp(prefix="seenidx_contract_")
+    seenidx.write_runs(seen.select("key"), root, 8, "w0")
+    blob_dir = os.path.join(root, "bloom")
+    bench_frontier._build_partials_i64(seen, 8, 4096) \
+        .write.mode("overwrite").option("compression", "uncompressed") \
+        .parquet(blob_dir)
+    fresh = seenidx.fresh_udf((blob_dir,), (root,), 0, 8)
+    return (
+        cand.filter(fresh(F.col("key")))
+        .select("id", "url", "key")
+        .orderBy("id")
+    )
+
+
 def q_a4_offers_per_page(spark, sf_dir):
     """A4: the offers-per-page counter (reference base_list.py:38-41
     counts parsed offers per fetched page) over the flagship crawl —
@@ -2511,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every entry is judge-green regardless of position, and all
     # callers look up by name or iterate fully.
     return {
+        "frontier_membership_exact": q_frontier_membership_exact,
         "a1_first_wins": q_a1_first_wins,
         "a2_group_counts": q_a2_group_counts,
         "a3_mean": q_a3_mean,
@@ -3830,6 +3866,16 @@ def oracle_sql() -> dict[str, str]:
         # Frontier seen-set membership: plain ANTI JOIN twin of the
         # Bloom-prefilter + exact-join split (bench_frontier)
         "frontier_membership": f"""
+            SELECT c.id, c.url, c.key
+            FROM read_parquet('{frontier_cand_path}') c
+            ANTI JOIN read_parquet('{frontier_seen_path}') s
+              ON c.key = s.key
+            ORDER BY c.id
+        """,
+        # same oracle, but the Spark side is the r5 EXACT tier (sorted
+        # -run memmap probe, no join in the plan) instead of the
+        # prefilter+anti-join shape
+        "frontier_membership_exact": f"""
             SELECT c.id, c.url, c.key
             FROM read_parquet('{frontier_cand_path}') c
             ANTI JOIN read_parquet('{frontier_seen_path}') s

@@ -82,6 +82,7 @@ HEADLINE = [
     "crawl_resume", "s4_proxy_rotation",
     "crawl_robots", "robots_dead_letter",
     "t5_politeness_waves", "lineage_waves", "frontier_membership",
+    "frontier_membership_exact",
     "store_changelog",
     "a4_offers_per_page", "j5_offers_images", "j6_salted_join",
     "s5_csv_roundtrip", "u1_url_builder",

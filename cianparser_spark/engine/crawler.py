@@ -225,13 +225,27 @@ class CrawlEngine:
 
     # --------------------------------------------- adaptive execution mode
 
-    _CG_CONFS = ("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+    _CG_CONFS = ("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
+                 "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
 
     def _set_exec_mode(self, est_rows: int) -> None:
         """Pick compiled vs interpreted execution for this wave's plans
         (see ``codegen_row_floor``).  Interpreted mode skips source
         generation + janino + class loading for every plan the wave
-        builds — pure win when the wave moves a few hundred rows."""
+        builds — pure win when the wave moves a few hundred rows.
+
+        Tiny waves also turn AQE off and shrink the shuffle-partition
+        target: AQE re-plans every tiny groupBy as a chain of extra
+        scheduler jobs (~20 jobs/wave on the fault crawl, the dominant
+        per-wave fixed cost at toy scale — same finding as
+        ops.text.bpe_train's merge loop), and a politeness-bounded
+        wave's exchanges move a few hundred rows where the session
+        default would schedule 32 near-empty tasks each.  Big waves
+        (any real crawl at scale) keep AQE and the session target —
+        this mode never triggers there, so the 10^10 path is
+        untouched.  Plan results are partitioning-independent (the
+        engine orders explicitly everywhere), pinned by the bit-match
+        suite + fuzz either way."""
         if not self.codegen_row_floor or est_rows >= self.codegen_row_floor:
             self._restore_exec_mode()  # a big wave after a small one
             return
@@ -240,6 +254,8 @@ class CrawlEngine:
             self._cg_saved = tuple(conf.get(k, None) for k in self._CG_CONFS)
         conf.set(self._CG_CONFS[0], "false")
         conf.set(self._CG_CONFS[1], "NO_CODEGEN")
+        conf.set(self._CG_CONFS[2], "false")
+        conf.set(self._CG_CONFS[3], "4")
 
     def _restore_exec_mode(self) -> None:
         if self._cg_saved is None:

@@ -76,6 +76,47 @@ def main() -> None:
                 print(json.dumps(pairs[-1]), file=sys.stderr)
             finally:
                 shutil.rmtree(bdir, ignore_errors=True)
+        # secondary: the north rule's own example levels (8→32) in
+        # multi-JVM topology.  32 executor JVMs need every core, so
+        # this leg is SEQUENTIAL (8-side pinned to cpus 0-7 alone,
+        # then 32-side unpinned) with the platform's sequential memcpy
+        # ceiling measured in the same window — on this VM per-core
+        # DRAM delivery drops as cores activate, so the honest readout
+        # is engine-efficiency relative to what memory physically
+        # delivers at 32 cores (bench_control.seq_mem_control).
+        leg_8_32 = None
+        if os.environ.get("SPARK_GRAFT_MJ_8TO32", "1") == "1":
+            from cianparser_spark.bench_control import seq_mem_control
+
+            def run_level(cpus: int, cpu_list: str | None):
+                cmd = [sys.executable, "-m", "cianparser_spark.bench_crawl",
+                       "--cpus", str(cpus), "--seeds", str(SEEDS),
+                       "--snapshot", snap, "--multi-jvm"]
+                pin = shutil.which("taskset")
+                if pin and cpu_list:
+                    cmd = [pin, "-c", cpu_list] + cmd
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=3600, cwd="/root/repo")
+                return json.loads(r.stdout.strip().splitlines()[-1])
+
+            snap_dir2 = tempfile.mkdtemp(prefix="mj_snap2_", dir=snap_root)
+            snap = os.path.join(snap_dir2, "web.snap")
+            build_snapshot(SEEDS, 54, snap)
+            try:
+                r8 = run_level(8, "0-7")
+                r32 = run_level(32, None)
+                mem = seq_mem_control(8, 32)
+                leg_8_32 = {
+                    "pages_per_sec_8": r8["pages_per_sec"],
+                    "pages_per_sec_32": r32["pages_per_sec"],
+                    "efficiency_8_to_32": round(
+                        r32["pages_per_sec"] / (4 * r8["pages_per_sec"]), 3),
+                    "mem_ceiling_8_to_32": mem.get(
+                        "mem_scaling_efficiency"),
+                }
+                print(json.dumps(leg_8_32), file=sys.stderr)
+            finally:
+                shutil.rmtree(snap_dir2, ignore_errors=True)
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
     effs = sorted(p["efficiency"] for p in pairs)
@@ -88,6 +129,7 @@ def main() -> None:
         "workload": f"{SEEDS} seeds x 54 list pages",
         "pairs": pairs,
         "efficiency_median": med,
+        "leg_8_to_32": leg_8_32,
     }))
 
 

@@ -67,6 +67,14 @@ PICKS = [
      "(true hits + Bloom false positives) while definitely-fresh rows "
      "bypass it entirely — the union is the fresh frontier, no global "
      "shuffle of the bypass branch"),
+    ("frontier_membership_exact", "the r5 EXACT tier (engine/seenidx): "
+     "the WHOLE membership wave is one map-only ArrowEvalPython pass "
+     "over the candidate scan — Bloom prefilter + sorted-run memmap "
+     "searchsorted inside the same UDF — with NO join operator in the "
+     "plan at all; the seen table contributes zero scan, zero "
+     "exchange, zero hash relation (its keys live in the per-bucket "
+     "run files the closure references by path), so per-wave cost is "
+     "bounded by probe size however large seen grows"),
     ("export_shards", "shard manifest: ONE hash aggregate on a uniform "
      "derived key (id-suffix mod 16) with map-side partial aggregation — "
      "the encode UDF feeds partials, so at 10^10 rows the exchange "
