@@ -1652,6 +1652,8 @@ class CrawlEngine:
             )
 
         n_frontier_next = 0
+        fr_thread = None
+        fr_box: dict = {}
         if frontier_parts:
             frontier_next = frontier_parts[0]
             for p in frontier_parts[1:]:
@@ -1659,22 +1661,50 @@ class CrawlEngine:
             # write-once + adopt-by-rename: the row count rides the
             # write as an Observation, so "count, then write at commit"
             # (two executions of the same plan, or a persist + an extra
-            # job) collapses into ONE job per wave
+            # job) collapses into ONE job per wave — and the write runs
+            # on a BACKGROUND thread, overlapping the seen-table spool
+            # write below (two independent driver-blocking jobs per
+            # wave otherwise run back to back; the plan is fully built
+            # here, the thread only submits+awaits the job).
             fr_spool = os.path.join(self.store.root, "scratch", f"frontier-w{wave:05d}")
             obs_fr = Observation(f"fr-w{wave}")
-            frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")) \
-                .write.mode("overwrite").parquet(fr_spool)
-            n_frontier_next = int(obs_fr.get["n"])
-            if n_frontier_next:
-                adopt["frontier"] = fr_spool
-            self._tick("frontier_count")
-        if self._paused and not n_frontier_next:
-            # cannot happen: every paused walk blocks on a key whose
-            # winning occurrence sits in a dispatched or earlier-paused
-            # group, and blocking edges point strictly backward in
-            # (page, card) order — the chain always bottoms out at a
-            # dispatchable group in the frontier
-            raise RuntimeError(f"paused detail groups deadlocked: {sorted(self._paused)}")
+            fr_plan = frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n"))
+
+            def _write_frontier(plan=fr_plan, obs=obs_fr, path=fr_spool):
+                try:
+                    plan.write.mode("overwrite").parquet(path)
+                    fr_box["n"] = int(obs.get["n"])
+                except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                    fr_box["err"] = exc
+
+            import threading
+
+            fr_thread = threading.Thread(target=_write_frontier, daemon=True)
+            fr_thread.start()
+
+        def _finish_frontier() -> int:
+            """Join the frontier spool write (idempotent); the paused
+            deadlock invariant and every want_bloom decision depend on
+            its count."""
+            nonlocal fr_thread, n_frontier_next
+            if fr_thread is not None:
+                fr_thread.join()
+                fr_thread = None
+                if "err" in fr_box:
+                    raise fr_box["err"]
+                n_frontier_next = fr_box.get("n", 0)
+                if n_frontier_next:
+                    adopt["frontier"] = fr_spool
+                self._tick("frontier_count")
+            if self._paused and not n_frontier_next:
+                # cannot happen: every paused walk blocks on a key
+                # whose winning occurrence sits in a dispatched or
+                # earlier-paused group, and blocking edges point
+                # strictly backward in (page, card) order — the
+                # chain always bottoms out at a dispatchable group
+                raise RuntimeError(
+                    f"paused detail groups deadlocked: {sorted(self._paused)}")
+            return n_frontier_next
         if extra_ids and (dead_group_rows or self._paused or self._paused_dirty):
             replaces["paused"] = (
                 [(st["blocker"], json.dumps(st["rest"], ensure_ascii=False),
@@ -1757,16 +1787,19 @@ class CrawlEngine:
             # merge becomes pure driver work — the separate
             # bloom-collect job disappears from the wave
             n_keys = n_accepted + n_detail_ok
-            want_bloom = bool(n_frontier_next)
             small = (not self.bloom_spool) and n_keys <= 20_000
             seen_spool = os.path.join(self.store.root, "scratch", f"seen-w{wave:05d}")
             obs_seen = Observation(f"seen-w{wave}")
             aggs = [F.count(F.lit(1)).alias("n")]
-            if want_bloom and small:
+            if small:
+                # collected unconditionally (the frontier count that
+                # decides want_bloom is still in flight on its thread);
+                # a final wave just ignores the politeness-bounded list
                 aggs.append(F.collect_list(
                     F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))).alias("keys"))
             seen_df.observe(obs_seen, *aggs).write.mode("overwrite").parquet(seen_spool)
             row = obs_seen.get
+            want_bloom = bool(_finish_frontier())
             n_seen = int(row["n"])
             if n_seen:
                 adopt["seen"] = seen_spool
@@ -1796,6 +1829,7 @@ class CrawlEngine:
             if self._seen_rows is not None:
                 self._seen_rows += n_seen
 
+        n_frontier_next = _finish_frontier()  # no-op if already joined
         self._commit_parked(wave, replaces)
         self.store.commit_wave(wave, appends=appends, replaces=replaces,
                                adopt=adopt,
