@@ -450,7 +450,7 @@ def main() -> None:
     # of output, and the full JSON outgrew it (BENCH_r02.json came back
     # parsed:null) — so the LAST line must stay well under that.
     here = os.path.dirname(os.path.abspath(__file__))
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "4")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "5")
     detail_rel = f"BENCH/detail_r{rnd}.json"
     detail_path = os.path.join(here, detail_rel)
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
