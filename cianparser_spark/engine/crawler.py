@@ -136,6 +136,10 @@ class CrawlEngine:
         # work) — degraded, never a false negative.
         self.seen_filter = seen_filter
         self.cuckoo_table_rows = int(cuckoo_table_rows)
+        # exact-tier sidecar: full rebuild (replace) past this many
+        # committed run dirs — bounds the probe's per-run cost on long
+        # crawls (see _seenx_update)
+        self.seenx_compact_dirs = 64
         if seen_filter == "cuckoo" and self.bloom_spool:
             raise ValueError(
                 "seen_filter='cuckoo' is a driver-mode sidecar; "
@@ -2110,7 +2114,16 @@ class CrawlEngine:
                                 f"seenx-w{wave:05d}")
         key = F.concat_ws("|", F.col("seed_id"), F.col("deal_url_id"))
         delta = new_seen.select(key.alias("key"))
-        if self._seenx_usable():
+        # COMPACTION: runs accumulate one per bucket per wave and the
+        # probe pays a searchsorted per run — on a 10^4-wave crawl the
+        # per-probe run count would itself become the cost.  Past the
+        # dir threshold the delta write becomes a full rebuild with
+        # REPLACE semantics (the heal path below): one committed dir,
+        # one run per bucket, cost ∝ seen once per interval — the
+        # sidecar's analog of store.compact's file compaction.
+        compacting = (len(self.store.table_paths("seenx"))
+                      >= self.seenx_compact_dirs)
+        if self._seenx_usable() and not compacting:
             seenidx.write_str_runs(delta, sx_spool, self.bloom_buckets,
                                    f"w{wave:05d}")
             adopt["seenx"] = sx_spool

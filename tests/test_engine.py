@@ -515,3 +515,19 @@ def test_cuckoo_bitmatch_full_crawl(spark, tmp_run_dir):
                        additional_settings={"end_page": 2})]
     _bit_match(spark, tmp_run_dir, seeds, BITMATCH_CFG, host_tokens=2,
                seen_filter="cuckoo")
+
+
+def test_seenx_compaction_bounds_run_dirs(spark, tmp_run_dir):
+    """Long spool crawls must not accumulate one seenx dir per wave
+    forever (the probe pays a searchsorted per run): past the
+    threshold the delta write becomes a replace-committed full
+    rebuild, so committed dirs stay bounded and the crawl stays
+    bit-identical."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                       additional_settings={"end_page": 4})]
+    eng = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                      host_tokens=1, bloom_spool=True)
+    eng.seenx_compact_dirs = 2  # force a compaction mid-crawl
+    rows = compat.to_reference_rows(eng.run(), seeds)
+    assert rows == ReferenceSimulator(BITMATCH_CFG).run(seeds).rows
+    assert len(eng.store.table_paths("seenx")) <= 2
