@@ -631,15 +631,23 @@ class CrawlEngine:
                 .agg(F.max_by(F.struct("url", "consumed", "state", "ver"), "ver").alias("_s"))
                 .select("seed_id", "key", "_s.url", "_s.consumed", "_s.state", "_s.ver")
             )
-            # emitted keys leave the ledger (ledger is tiny — at real
-            # scale this anti-join takes the Bloom prefilter like the
-            # card dedup does; here the seen scan is already pruned to
-            # two columns)
+            # emitted keys leave the ledger (ledger is politeness-
+            # bounded; the seen side is the whole corpus)
             if self._seen_nonempty:
-                ks_live = ks_live.join(
-                    self.store.read("seen").select(
-                        "seed_id", F.col("deal_url_id").alias("key")),
-                    ["seed_id", "key"], "left_anti")
+                if self.bloom_spool and self._seenx_usable():
+                    # 10^10 shape: sorted-run probe instead of an
+                    # anti-join that would scan/shuffle the full seen
+                    # table — same exact tier as _dedup's
+                    sx = seenidx.seen_str_udf(
+                        tuple(sorted(self.store.table_paths("seenx"))),
+                        self.bloom_buckets)
+                    ks_live = ks_live.filter(~sx(F.concat_ws(
+                        "|", F.col("seed_id"), F.col("key"))))
+                else:
+                    ks_live = ks_live.join(
+                        self.store.read("seen").select(
+                            "seed_id", F.col("deal_url_id").alias("key")),
+                        ["seed_id", "key"], "left_anti")
             if emitted_keys_df is not None:
                 ks_live = ks_live.join(emitted_keys_df, ["seed_id", "key"], "left_anti")
 
@@ -842,8 +850,24 @@ class CrawlEngine:
             lits = [f"{s}\x1f{k}" for s, k in b_keys]
             kdf = (None if use_isin else self.spark.createDataFrame(
                 list(b_keys), "seed_id long, key string"))
+            spoolx = (self.bloom_spool and self._seen_nonempty
+                      and self._seenx_usable())
+            if spoolx:
+                # 10^10 shape: membership of a driver-held bounded key
+                # list against the committed seen set = a DRIVER-side
+                # sorted-run memmap probe (the index lives on shared
+                # storage; the driver is just another reader) — no
+                # Spark job, no seen-table scan at all
+                import numpy as np
+
+                arr = np.array([f"{s}|{k}" for s, k in b_keys],
+                               dtype=object)
+                hit = seenidx.probe_str_runs(
+                    tuple(sorted(self.store.table_paths("seenx"))),
+                    arr, self.bloom_buckets)
+                emitted = {bk for bk, h in zip(b_keys, hit) if h}
             seen_srcs = []
-            if self._seen_nonempty:
+            if self._seen_nonempty and not spoolx:
                 seen_srcs.append(self.store.read("seen").select(
                     "seed_id", F.col("deal_url_id").alias("key")))
             if emitted_keys_df is not None:
@@ -855,7 +879,7 @@ class CrawlEngine:
                 hits = (s.filter(ckey.isin(lits)).select("seed_id", "key")
                         if use_isin
                         else kdf.join(s, ["seed_id", "key"], "left_semi"))
-                emitted = {(int(r["seed_id"]), r["key"]) for r in hits.collect()}
+                emitted |= {(int(r["seed_id"]), r["key"]) for r in hits.collect()}
             if self._ks_nonempty:
                 ks = self.store.read("keystate")
                 ks = (ks.filter(ckey.isin(lits)) if use_isin

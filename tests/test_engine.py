@@ -531,3 +531,19 @@ def test_seenx_compaction_bounds_run_dirs(spark, tmp_run_dir):
     rows = compat.to_reference_rows(eng.run(), seeds)
     assert rows == ReferenceSimulator(BITMATCH_CFG).run(seeds).rows
     assert len(eng.store.table_paths("seenx")) <= 2
+
+
+def test_bloom_spool_detail_bitmatch(spark, tmp_run_dir):
+    """Spool mode × detail enrichment under faults: the ledger's
+    emitted-keys pruning and the paused-resolution membership probe
+    both take the sorted-run exact tier instead of seen-table joins —
+    must stay bit-identical to the sequential oracle (and to the
+    driver-mode engine)."""
+    from cianparser_spark import truth
+
+    seed, cfg = truth.detail_seed_and_cfg()
+    sim = ReferenceSimulator(cfg).run([seed])
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], cfg, host_tokens=4,
+                      bloom_spool=True)
+    rows = compat.to_reference_rows(eng.run(), [seed])
+    assert rows == sim.rows
