@@ -489,6 +489,9 @@ def main() -> None:
     }
     if frontier:
         result["frontier_urls_per_sec"] = frontier["member_urls_per_sec"]
+        if "member_exact_urls_per_sec" in frontier:
+            result["frontier_exact_urls_per_sec"] = \
+                frontier["member_exact_urls_per_sec"]
     if graph:
         result["graph_cc_nodes_per_sec"] = graph["cc_nodes_per_sec"]
         result["graph_pr_node_iters_per_sec"] = graph["pr_node_iters_per_sec"]

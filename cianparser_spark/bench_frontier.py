@@ -196,6 +196,31 @@ def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
 
     expect_fresh = n_urls - n_seen
     assert fresh_n == expect_fresh, (fresh_n, expect_fresh)
+
+    # 4. ``member_exact`` — the r5 EXACT-tier wave shape
+    # (engine/seenidx): seen keys as per-bucket sorted runs, the whole
+    # membership pass one map-only UDF (Bloom prefilter + memmap
+    # searchsorted), no join in the plan.  Run build untimed (cost ∝
+    # delta, reported separately at 10^8 scale in run_scale_bench).
+    from pyspark.sql import Observation
+
+    from cianparser_spark.engine import seenidx
+
+    idx_root = os.path.join(scratch, "seenidx")
+    seenidx.write_runs(seen, idx_root, n_buckets, "w0")
+    blob_dir = os.path.join(scratch, "bloomidx")
+    _build_partials_i64(seen, n_buckets, 1 << 20) \
+        .write.mode("overwrite").option("compression", "uncompressed") \
+        .parquet(blob_dir)
+    fresh_f = seenidx.fresh_udf((blob_dir,), (idx_root,), 0, n_buckets)
+    obs = Observation("frontier-member-exact")
+    t0 = time.time()
+    out = cand.filter(fresh_f(F.col("key"))).observe(
+        obs, F.count(F.lit(1)).alias("fresh"))
+    out.write.format("noop").mode("overwrite").save()
+    t_exact = time.time() - t0
+    assert int(obs.get["fresh"]) == expect_fresh
+
     if own_scratch:
         shutil.rmtree(scratch, ignore_errors=True)
     return {
@@ -207,6 +232,8 @@ def run_bench(spark: SparkSession, n_urls: int = 10_000_000,
         "bloom_build_keys_per_sec": round(n_seen / t_build),
         "member_s": round(t_member, 3),
         "member_urls_per_sec": round(n_urls / t_member),
+        "member_exact_s": round(t_exact, 3),
+        "member_exact_urls_per_sec": round(n_urls / t_exact),
         "fresh_rows": fresh_n,
         "maybe_seen_rows": maybe_n,
         "false_positive_rate": round((maybe_n - n_seen) / max(expect_fresh, 1), 5),
