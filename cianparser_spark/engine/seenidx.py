@@ -114,8 +114,22 @@ _MMAP_CACHE: dict[str, np.ndarray] = {}
 _LISTING_CACHE: dict[tuple, dict[int, list[str]]] = {}
 
 
+def _rotate_listing(kind: str, key: tuple, runs: dict) -> None:
+    """Keep one listing generation per run KIND (int64 '.keys' vs
+    string '.skeys' — a mixed workload alternating both must not
+    thrash the other kind's cache), and evict memmaps whose run file
+    is gone (compaction unlinks merged inputs; a cached memmap would
+    otherwise pin the inode — and its disk space — for the process
+    lifetime)."""
+    for k in [k for k in _LISTING_CACHE if k[0] == kind]:
+        del _LISTING_CACHE[k]
+    _LISTING_CACHE[key] = runs
+    for p in [p for p in _MMAP_CACHE if not os.path.exists(p)]:
+        del _MMAP_CACHE[p]
+
+
 def _bucket_runs(roots: tuple[str, ...], gen: int) -> dict[int, list[str]]:
-    key = (roots, gen)
+    key = ("i64", roots, gen)
     hit = _LISTING_CACHE.get(key)
     if hit is None:
         runs: dict[int, list[str]] = {}
@@ -130,8 +144,7 @@ def _bucket_runs(roots: tuple[str, ...], gen: int) -> dict[int, list[str]]:
                 for f in sorted(os.listdir(full)):
                     if f.startswith("run-") and f.endswith(".keys"):
                         runs.setdefault(b, []).append(os.path.join(full, f))
-        _LISTING_CACHE.clear()
-        _LISTING_CACHE[key] = runs
+        _rotate_listing("i64", key, runs)
         hit = runs
     return hit
 
@@ -357,7 +370,7 @@ def _str_bucket_runs(roots: tuple[str, ...]) -> dict[int, list[str]]:
     """Listing cache for .skeys runs — keyed by the roots tuple alone:
     the committed-directory list IS the generation (append-only tables
     grow a new root per wave), and run files are immutable."""
-    key = (roots, "str")
+    key = ("str", roots)
     hit = _LISTING_CACHE.get(key)
     if hit is None:
         runs: dict[int, list[str]] = {}
@@ -372,8 +385,7 @@ def _str_bucket_runs(roots: tuple[str, ...]) -> dict[int, list[str]]:
                 for f in sorted(os.listdir(full)):
                     if f.startswith("run-") and f.endswith(".skeys"):
                         runs.setdefault(b, []).append(os.path.join(full, f))
-        _LISTING_CACHE.clear()
-        _LISTING_CACHE[key] = runs
+        _rotate_listing("str", key, runs)
         hit = runs
     return hit
 
