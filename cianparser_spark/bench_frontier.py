@@ -370,7 +370,8 @@ def _spool_probe_udf(dirs: tuple, n_buckets: int):
 def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
                     n_waves: int = 4, probe_per_wave: int = 20_000_000,
                     n_buckets: int = 64, n_bits: int = 1 << 25,
-                    scratch: str | None = None) -> dict:
+                    scratch: str | None = None,
+                    compact_at: int | None = None) -> dict:
     """The 10^8-key SPOOL-mode wave loop: per wave, commit a delta of
     seen keys, merge it into the blob table EXECUTOR-side, then run a
     membership probe whose task closures carry only a path tuple.
@@ -473,9 +474,22 @@ def run_scale_bench(spark: SparkSession, n_keys: int = 100_000_000,
         # xxhash64 collisions between the committed and virgin halves
         # are the only slack — none observed at these sizes
         assert fresh_n == half, (w, fresh_n, half)
+        t_compact = None
+        if compact_at is not None and w == compact_at:
+            # mid-run compaction: k-way merge each bucket's accumulated
+            # runs back to one (the long-crawl hygiene path) — later
+            # waves probe the compacted layout; member_s must stay flat
+            # through it
+            t0 = time.time()
+            n_compacted = seenidx.compact(spark, idx_root, n_buckets,
+                                          min_runs=2)
+            t_compact = round(time.time() - t0, 2)
         waves.append({
             "wave": w, "seen_total": hi,
             "index_s": round(t_index, 2),
+            **({"compact_s": t_compact,
+                "buckets_compacted": n_compacted} if t_compact is not None
+               else {}),
             "merge_s": round(t_merge, 2),
             "prefilter_s": round(t_prefilter, 2),
             "prefilter_keys_per_sec": round(probe_per_wave / t_prefilter),
@@ -520,7 +534,11 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     if len(sys.argv) > 1 and sys.argv[1] == "--scale":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
-        res = run_scale_bench(spark, n_keys=n)
+        waves = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        compact_at = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        res = run_scale_bench(spark, n_keys=n, n_waves=waves,
+                              probe_per_wave=max(10_000_000, n // 10),
+                              compact_at=compact_at)
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
         res = run_bench(spark, n_urls=n)
