@@ -144,3 +144,27 @@ def test_seenidx_saturated_bloom_exactness(spark, frames, tmp_path):
     fu = seenidx.fresh_udf((bdir,), (root,), 0, 4)
     got = cand.filter(fu(F.col("key")))
     assert _checksum(got) == want
+
+
+def test_seenidx_str_runs_multibyte_keys(tmp_path):
+    """Fixed-width byte runs must stay exact across multi-byte UTF-8
+    keys (width is BYTES, not characters) and near-miss prefixes."""
+    import os
+
+    import numpy as np
+
+    from cianparser_spark.engine import seenidx
+
+    d = tmp_path / "bucket=0"
+    d.mkdir(parents=True)
+    keys = ["1|Казань", "2|дом-7", "3|x"]
+    enc = sorted(k.encode() for k in keys)
+    w = max(len(e) for e in enc)
+    arr = np.sort(np.array(enc, dtype=f"S{w}"))
+    with open(os.path.join(str(d), "run-a.skeys"), "wb") as fh:
+        fh.write(np.array([w, len(arr)], np.int64).tobytes())
+        fh.write(arr.tobytes())
+    got = seenidx.probe_str_runs(
+        (str(tmp_path),),
+        np.array(keys + ["1|Казан", "4|Казань?"], dtype=object), 1)
+    assert list(got) == [True, True, True, False, False]
