@@ -1187,6 +1187,10 @@ def q_text_bpe(spark, sf_dir):
 # is GC'd, which would serve DataFrames bound to a dead session.
 _BPE_CACHE: dict[tuple, tuple] = {}
 
+# frontier_membership_exact's session-scoped sorted-run index:
+# {applicationId: (idx_root, blob_dir)}, cleaned at interpreter exit
+_SEENIDX_CONTRACT_CACHE: dict[str, tuple] = {}
+
 
 def _trained_bpe(spark, sf_dir):
     from cianparser_spark.ops.text import bpe_train
@@ -1654,12 +1658,25 @@ def q_frontier_membership_exact(spark, sf_dir):
     cand_path, seen_path = truth.ensure_frontier_truth()
     cand = spark.read.parquet(cand_path)
     seen = spark.read.parquet(seen_path)
-    root = tempfile.mkdtemp(prefix="seenidx_contract_")
-    seenidx.write_runs(seen.select("key"), root, 8, "w0")
-    blob_dir = os.path.join(root, "bloom")
-    bench_frontier._build_partials_i64(seen, 8, 4096) \
-        .write.mode("overwrite").option("compression", "uncompressed") \
-        .parquet(blob_dir)
+    # index built once per session (the truth tables are fixed) and
+    # removed at exit — a per-call mkdtemp would leak a directory per
+    # evaluation AND pin its memmaps in seenidx's process cache
+    app_id = spark.sparkContext.applicationId
+    cached = _SEENIDX_CONTRACT_CACHE.get(app_id)
+    if cached is None:
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="seenidx_contract_")
+        seenidx.write_runs(seen.select("key"), root, 8, "w0")
+        blob_dir = os.path.join(root, "bloom")
+        bench_frontier._build_partials_i64(seen, 8, 4096) \
+            .write.mode("overwrite").option("compression", "uncompressed") \
+            .parquet(blob_dir)
+        _SEENIDX_CONTRACT_CACHE.clear()
+        _SEENIDX_CONTRACT_CACHE[app_id] = cached = (root, blob_dir)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root, blob_dir = cached
     fresh = seenidx.fresh_udf((blob_dir,), (root,), 0, 8)
     return (
         cand.filter(fresh(F.col("key")))

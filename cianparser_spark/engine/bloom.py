@@ -267,6 +267,19 @@ def load_spool_filters(dirs: tuple[str, ...]) -> dict[int, "BloomFilter"]:
                                    columns=["bucket", "blob"])
                 for b, blob in zip(tb.column("bucket").to_pylist(),
                                    tb.column("blob").to_pylist()):
+                    if int(np.frombuffer(memoryview(blob)[:8],
+                                         np.int64)[0]) == CuckooBucket.MAGIC:
+                        # a cuckoo-built store reopened in spool mode:
+                        # parsing the slot table as Bloom bits would
+                        # fail as an opaque executor IndexError — be
+                        # loud and actionable instead
+                        raise ValueError(
+                            "cuckoo sidecar blob in the spool blob "
+                            "table: reopen the store with "
+                            "seen_filter='cuckoo' (driver mode), or "
+                            "rebuild the sidecar "
+                            "(invalidate_and_recrawl) before using "
+                            "bloom_spool")
                     f = BloomFilter.from_bytes(bytes(blob))
                     have = filters.get(int(b))
                     if have is None:
@@ -320,7 +333,13 @@ class CuckooBucket:
     MAGIC = -2
 
     def __init__(self, n_buckets: int):
-        self.n_buckets = max(8, n_buckets)
+        # POWER OF TWO required: the kick step's alternate bucket is
+        # (i ^ (fp * C)) % n, which is a proper involution (the two
+        # candidate buckets map to each other) only when n is 2^k —
+        # otherwise a displaced fingerprint can land in a bucket
+        # neither lookup probes, a SILENT false negative.  Round up.
+        n = max(8, int(n_buckets))
+        self.n_buckets = 1 << (n - 1).bit_length()
         self.table = np.zeros((self.n_buckets, self.SLOTS), np.uint16)
         self.saturated = False
 

@@ -1127,6 +1127,30 @@ class CrawlEngine:
             # copy saturates the bucket rather than risk a false
             # negative.  The collect is bounded by the invalidated
             # pages' offers.
+            #
+            # FIRST restore sidecar ⊇ seen: the crawl's final wave
+            # appends seen keys WITHOUT a sidecar update (nothing in
+            # that run reads it — same policy as the Bloom), so keys
+            # newer than the blob table's commit wave are missing and
+            # would probe definitely-unseen.  The Bloom branch rebuilds
+            # from the full seen table for exactly this reason; here
+            # the lagged slice is inserted instead (one wave's keys,
+            # politeness-bounded).  Review-found bug, pinned by
+            # test_cuckoo_recrawl_final_wave_lag: a final-wave winner
+            # whose suppressed duplicate sits on an invalidated
+            # same-wave sibling page was re-admitted.
+            bloom_wave = -1
+            bdirs = self.store.table_paths("bloom")
+            if bdirs:
+                base = os.path.basename(bdirs[0])
+                if base.startswith("w"):
+                    bloom_wave = int(base[1:].split("-", 1)[0])
+            lagged = self.store.read("seen") \
+                .filter(F.col("wave") > bloom_wave) \
+                .select("seed_id", "deal_url_id").collect()
+            if lagged:
+                self._merge_bloom_keys(
+                    [f"{r['seed_id']}|{r['deal_url_id']}" for r in lagged])
             inv = invalid_keys.collect()
             arr = np.array([f"{r['seed_id']}|{r['deal_url_id']}"
                             for r in inv], dtype=object)
@@ -1160,12 +1184,14 @@ class CrawlEngine:
                     F.col("deal_url_id")).alias("key")),
                 sx_spool, self.bloom_buckets, f"w{marker:05d}")
             adopt_replace = {"seenx": sx_spool}
-            self._seenx_ok = True
         else:
             self._bloom = {}
             self._bloom_gen += 1
             bloom_df = self._update_bloom(new_seen)
-        self._seenx_ok = None  # seen rewritten; recheck before use
+        # seen rewritten in every branch: recheck sidecar coverage
+        # before the next consult (the spool branch's rebuild passes
+        # the recheck by its replace-commit naming)
+        self._seenx_ok = None
         self.store.commit_wave(
             marker,
             appends={"frontier": self.spark.createDataFrame(rows, model.FRONTIER_SCHEMA)},
@@ -2112,16 +2138,30 @@ class CrawlEngine:
         oldest surviving seenx dir covered the whole seen table as of
         its commit (earlier seen waves included)."""
         if self._seenx_ok is None:
-            def waves(name: str) -> set[int]:
-                out = set()
+            def waves(name: str) -> set[int] | None:
+                """Wave ids of the table's committed dirs; None if any
+                dir has no parseable wave id — store.compact rewrites
+                appends into 'c<version>-...' dirs and merge into
+                'm...' dirs, which erase the pairing evidence.  seen
+                must FAIL CLOSED on those (review-found: a compacted
+                seen table made the gate vacuously true while seenx
+                lacked the final wave's keys)."""
+                out: set[int] = set()
                 for d in self.store.table_paths(name):
                     base = os.path.basename(d)
-                    if base.startswith("w"):
+                    if not base.startswith("w"):
+                        return None
+                    try:
                         out.add(int(base[1:].split("-", 1)[0]))
+                    except ValueError:
+                        return None
                 return out
             sw, xw = waves("seen"), waves("seenx")
-            self._seenx_ok = bool(xw) and all(
-                w in xw or w <= min(xw) for w in sw)
+            # unparseable seenx dirs only ever ADD coverage, but the
+            # conservative reading (treat as absent) is still correct
+            self._seenx_ok = (sw is not None and xw is not None
+                              and bool(xw) and all(
+                                  w in xw or w <= min(xw) for w in sw))
         return self._seenx_ok
 
     def _seenx_update(self, new_seen: DataFrame, wave: int,

@@ -128,8 +128,10 @@ def _rotate_listing(kind: str, key: tuple, runs: dict) -> None:
         del _MMAP_CACHE[p]
 
 
-def _bucket_runs(roots: tuple[str, ...], gen: int) -> dict[int, list[str]]:
-    key = ("i64", roots, gen)
+def _list_runs(kind: str, ext: str, key: tuple,
+               roots: tuple[str, ...]) -> dict[int, list[str]]:
+    """Shared bucket-dir walk for both run kinds (cache-rotated per
+    kind; run files are immutable so only the listing re-runs)."""
     hit = _LISTING_CACHE.get(key)
     if hit is None:
         runs: dict[int, list[str]] = {}
@@ -142,11 +144,18 @@ def _bucket_runs(roots: tuple[str, ...], gen: int) -> dict[int, list[str]]:
                 b = int(d.split("=", 1)[1])
                 full = os.path.join(root, d)
                 for f in sorted(os.listdir(full)):
-                    if f.startswith("run-") and f.endswith(".keys"):
+                    # '.skeys' also ends with '.keys' — the int64 walk
+                    # must not pick up string runs sharing a root
+                    if f.startswith("run-") and f.endswith(ext) and not (
+                            ext == ".keys" and f.endswith(".skeys")):
                         runs.setdefault(b, []).append(os.path.join(full, f))
-        _rotate_listing("i64", key, runs)
+        _rotate_listing(kind, key, runs)
         hit = runs
     return hit
+
+
+def _bucket_runs(roots: tuple[str, ...], gen: int) -> dict[int, list[str]]:
+    return _list_runs("i64", ".keys", ("i64", roots, gen), roots)
 
 
 def _mmap(path: str) -> np.ndarray:
@@ -370,24 +379,7 @@ def _str_bucket_runs(roots: tuple[str, ...]) -> dict[int, list[str]]:
     """Listing cache for .skeys runs — keyed by the roots tuple alone:
     the committed-directory list IS the generation (append-only tables
     grow a new root per wave), and run files are immutable."""
-    key = ("str", roots)
-    hit = _LISTING_CACHE.get(key)
-    if hit is None:
-        runs: dict[int, list[str]] = {}
-        for root in roots:
-            if not os.path.isdir(root):
-                continue
-            for d in os.listdir(root):
-                if not d.startswith("bucket="):
-                    continue
-                b = int(d.split("=", 1)[1])
-                full = os.path.join(root, d)
-                for f in sorted(os.listdir(full)):
-                    if f.startswith("run-") and f.endswith(".skeys"):
-                        runs.setdefault(b, []).append(os.path.join(full, f))
-        _rotate_listing("str", key, runs)
-        hit = runs
-    return hit
+    return _list_runs("str", ".skeys", ("str", roots), roots)
 
 
 def _str_mmap(path: str) -> tuple[int, np.ndarray]:

@@ -547,3 +547,44 @@ def test_bloom_spool_detail_bitmatch(spark, tmp_run_dir):
                       bloom_spool=True)
     rows = compat.to_reference_rows(eng.run(), [seed])
     assert rows == sim.rows
+
+
+def test_cuckoo_recrawl_final_wave_lag(spark, tmp_run_dir):
+    """Review-found bug: the crawl's final wave appends seen keys
+    without a sidecar update, so a FRESH engine's cuckoo
+    invalidate-and-recrawl must first top up the lagged keys — else a
+    final-wave winner whose suppressed duplicate sits on an
+    invalidated same-wave sibling page probes definitely-unseen and is
+    re-admitted (reproduced: 107 rows vs 106 at bloom_buckets=64,
+    where per-bucket saturation no longer masks the hole)."""
+    seed = CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                     additional_settings={"end_page": 4})
+    eng = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG,
+                      host_tokens=2, bloom_buckets=64,
+                      seen_filter="cuckoo")
+    before = compat.to_reference_rows(eng.run(), [seed])
+    e2 = CrawlEngine(spark, tmp_run_dir, [seed], BITMATCH_CFG,
+                     host_tokens=2, bloom_buckets=64,
+                     seen_filter="cuckoo")
+    after = compat.to_reference_rows(
+        e2.invalidate_and_recrawl([(1, 4)]), [seed])
+    assert after == before
+
+
+def test_seenx_gate_fails_closed_after_seen_compaction(spark, tmp_run_dir):
+    """store.compact('seen') rewrites appends into 'c<version>' dirs,
+    erasing the wave-pairing evidence — the seenx gate must fail
+    CLOSED (fall back to the join; next spool wave heals), not pass
+    vacuously (review-found)."""
+    seeds = [CrawlSeed(1, "Москва", "flat", "sale", rooms="all",
+                       additional_settings={"end_page": 4})]
+    e1 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=1, bloom_spool=True)
+    e1.run(max_waves=2)
+    assert e1._seenx_usable()
+    e1.store.compact("seen", target_file_bytes=1 << 30)
+    e2 = CrawlEngine(spark, tmp_run_dir, seeds, BITMATCH_CFG,
+                     host_tokens=1, bloom_spool=True)
+    assert not e2._seenx_usable()
+    resumed = compat.to_reference_rows(e2.run(), seeds)
+    assert resumed == ReferenceSimulator(BITMATCH_CFG).run(seeds).rows
